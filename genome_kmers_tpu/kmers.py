@@ -1,0 +1,1024 @@
+"""Kmers: the L3 k-mer analysis engine (TPU-native re-design).
+
+API- and output-compatible with the reference class (reference:
+kmers.py:651-1737), with the compute path re-architected for TPU:
+
+  * ``sort()`` — the reference instantiates a Numba quicksort around a
+    byte-compare closure (kmers.py:1624-1652). Here the whole stack collapses
+    into: packed 4-bit rank keys -> ``jax.lax.sort`` over key words + position
+    (ops/sort.py). Output order equals the reference's ``break_ties=True``
+    mode (deterministic) and is string-identical to its default mode.
+  * group statistics — the reference's sequential JIT'd generator walk
+    (kmers.py:523-648) becomes vectorized segmented ops (ops/groups.py).
+  * filters — vectorized masks (ops/filters.py) with scalar parity fallbacks.
+
+Free functions below (`compare_sba_kmers_lexicographically`,
+`kmer_info_by_group_generator`, `get_kmer_group_size_hist`, ...) mirror the
+reference's module-level kernel API exactly; they are host-side parity
+implementations used by tests and as a fully general fallback when a caller
+supplies custom comparison/filter/info callables the vectorized engine does
+not recognize.
+"""
+
+from __future__ import annotations
+
+import shelve
+from pathlib import Path
+from typing import Callable, Generator, Union
+
+import numpy as np
+
+from .ops.filters import (  # noqa: F401  (re-exported reference API)
+    FilterContext,
+    KmerFilter,
+    crispr_ngg_pam_filter,
+    gen_kmer_gc_content_filter_func,
+    gen_kmer_homopolymer_filter_func,
+    gen_kmer_length_filter_func,
+    gen_no_ambiguous_bases_filter,
+    kmer_filter_keep_all,
+    kmer_has_required_len,
+)
+from .sequence_collection import SequenceCollection
+
+_DOLLAR = ord("$")
+
+
+# --------------------------------------------------------------------------- #
+# comparison kernels (host parity versions of reference kmers.py:262-397)
+# --------------------------------------------------------------------------- #
+
+
+def compare_sba_kmers_lexicographically(
+    sba_a,
+    sba_b,
+    kmer_sba_start_idx_a: int,
+    kmer_sba_start_idx_b: int,
+    max_kmer_len: Union[int, None] = None,
+) -> tuple[int, int]:
+    """Scalar parity version of reference kmers.py:306-397.
+
+    Returns (comparison in {-1, 0, 1}, last_kmer_index_compared), with the
+    '$'/array-end => smaller rule. The TPU compute path never calls this —
+    packed keys reproduce it wholesale (ops/encoding.py) — but tests and the
+    generic fallback walk do.
+    """
+    kmer_idx = 0
+    comparison = 0
+    last_kmer_index_compared = None
+    while True:
+        idx_a = kmer_sba_start_idx_a + kmer_idx
+        idx_b = kmer_sba_start_idx_b + kmer_idx
+        a_oob = idx_a >= len(sba_a) or sba_a[idx_a] == _DOLLAR
+        b_oob = idx_b >= len(sba_b) or sba_b[idx_b] == _DOLLAR
+        if a_oob or b_oob:
+            last_kmer_index_compared = kmer_idx - 1
+            if last_kmer_index_compared < 0:
+                raise AssertionError("There were no valid kmer bases to compare")
+            if a_oob and not b_oob:
+                comparison = -1
+            elif b_oob and not a_oob:
+                comparison = 1
+            else:
+                comparison = 0
+            break
+        if sba_a[idx_a] < sba_b[idx_b]:
+            comparison = -1
+            last_kmer_index_compared = kmer_idx
+            break
+        if sba_a[idx_a] > sba_b[idx_b]:
+            comparison = 1
+            last_kmer_index_compared = kmer_idx
+            break
+        if max_kmer_len is not None and kmer_idx == max_kmer_len - 1:
+            last_kmer_index_compared = kmer_idx
+            break
+        kmer_idx += 1
+    return comparison, last_kmer_index_compared
+
+
+class _AlwaysLessThanComparator:
+    """Unsorted-path comparator: every k-mer its own group (reference
+    kmers.py:295-303)."""
+
+    def __call__(self, sba_a, sba_b, idx_a, idx_b, max_kmer_len=None):
+        return -1, 0
+
+
+compare_sba_kmers_always_less_than = _AlwaysLessThanComparator()
+
+
+class _FixedLenComparator:
+    """Comparator with max_kmer_len bound (reference kmers.py:285-292). The
+    vectorized engine recognizes instances by their ``kmer_len`` attribute."""
+
+    def __init__(self, kmer_len):
+        self.kmer_len = kmer_len
+
+    def __call__(self, sba_a, sba_b, idx_a, idx_b):
+        return compare_sba_kmers_lexicographically(
+            sba_a, sba_b, idx_a, idx_b, max_kmer_len=self.kmer_len
+        )
+
+
+def get_compare_sba_kmers_func(kmer_len) -> _FixedLenComparator:
+    """Reference kmers.py:285-292."""
+    return _FixedLenComparator(kmer_len)
+
+
+def get_kmer_info_minimal(
+    kmer_num, kmer_sba_start_indices, sba, kmer_len, group_size_yielded, group_size_total
+):
+    """Reference kmers.py:400-425."""
+    return kmer_num, group_size_yielded, group_size_total
+
+
+def get_kmer_info_group_size_only(
+    kmer_num, kmer_sba_start_indices, sba, kmer_len, group_size_yielded, group_size_total
+):
+    """Reference kmers.py:428-451."""
+    return group_size_total
+
+
+# --------------------------------------------------------------------------- #
+# generic group walk (host fallback; exact reference semantics)
+# --------------------------------------------------------------------------- #
+
+
+def kmer_info_by_group_generator(
+    sba,
+    sba_strand,
+    kmer_len,
+    kmer_start_indices,
+    kmer_comparison_func,
+    kmer_filter_func,
+    kmer_info_func,
+    min_group_size: int = 1,
+    max_group_size: Union[int, None] = None,
+    yield_first_n: Union[int, None] = None,
+) -> Generator[tuple, None, None]:
+    """Faithful host implementation of the reference's JIT'd group-walk
+    generator (kmers.py:523-648): skip filtered k-mers, compare each survivor
+    to the previous survivor, yield up to yield_first_n members of each
+    completed group whose size is within [min_group_size, max_group_size].
+
+    The Kmers methods use the vectorized segmented-op engine instead whenever
+    the supplied callables are the library's own; this walk is the fully
+    general escape hatch for arbitrary user callables.
+    """
+    if min_group_size < 1:
+        raise ValueError(f"min_group_size ({min_group_size}) must be >= 1")
+    if max_group_size is not None and max_group_size < min_group_size:
+        raise ValueError(
+            f"if max_group_size ({max_group_size}) is specified, it must be >= min_group_size ({min_group_size})"
+        )
+    if yield_first_n is not None and yield_first_n < 1:
+        raise ValueError(f"if yield_first_n ({yield_first_n}) is specified, it must be > 0")
+
+    valid_kmer_nums_in_group = []
+    group_size = 0
+    prev_valid_kmer_sba_start_idx = None
+    for kmer_num in range(len(kmer_start_indices)):
+        kmer_sba_start_idx = int(kmer_start_indices[kmer_num])
+        if not kmer_filter_func(sba, sba_strand, kmer_sba_start_idx):
+            continue
+
+        if prev_valid_kmer_sba_start_idx is None:
+            prev_valid_kmer_sba_start_idx = kmer_sba_start_idx
+            in_same_group = True
+        else:
+            comparison, _ = kmer_comparison_func(
+                sba, sba, prev_valid_kmer_sba_start_idx, kmer_sba_start_idx
+            )
+            in_same_group = comparison == 0
+            prev_valid_kmer_sba_start_idx = kmer_sba_start_idx
+
+        if in_same_group:
+            group_size += 1
+            if yield_first_n is None or len(valid_kmer_nums_in_group) < yield_first_n:
+                valid_kmer_nums_in_group.append(kmer_num)
+        else:
+            meets_min = group_size >= min_group_size
+            meets_max = max_group_size is None or group_size <= max_group_size
+            if meets_min and meets_max:
+                group_size_yielded = len(valid_kmer_nums_in_group)
+                for kmer_num_in_group in valid_kmer_nums_in_group:
+                    yield kmer_info_func(
+                        kmer_num_in_group,
+                        kmer_start_indices,
+                        sba,
+                        kmer_len,
+                        group_size_yielded,
+                        group_size,
+                    )
+            group_size = 1
+            valid_kmer_nums_in_group = [kmer_num]
+
+    meets_min = group_size >= min_group_size
+    meets_max = max_group_size is None or group_size <= max_group_size
+    if meets_min and meets_max:
+        group_size_yielded = len(valid_kmer_nums_in_group)
+        for kmer_num_in_group in valid_kmer_nums_in_group:
+            yield kmer_info_func(
+                kmer_num_in_group,
+                kmer_start_indices,
+                sba,
+                kmer_len,
+                group_size_yielded,
+                group_size,
+            )
+
+
+def get_kmer_group_size_hist(
+    sba,
+    sba_strand,
+    kmer_len,
+    kmer_start_indices,
+    kmer_comparison_func,
+    kmer_filter_func,
+    min_group_size: int = 1,
+    max_group_size: Union[int, None] = None,
+    max_counts_bin: int = 1000000,
+) -> tuple[np.ndarray, int]:
+    """Host parity version of reference kmers.py:454-520 (histogram of group
+    sizes + total k-mer count). Kmers.get_kmer_group_counts uses the device
+    engine instead; this free function keeps the reference kernel API."""
+    if max_counts_bin <= 0:
+        raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
+
+    kmer_generator = kmer_info_by_group_generator(
+        sba,
+        sba_strand,
+        kmer_len,
+        kmer_start_indices,
+        kmer_comparison_func,
+        kmer_filter_func,
+        get_kmer_info_group_size_only,
+        min_group_size,
+        max_group_size,
+        yield_first_n=1,
+    )
+    counts_by_group_size = np.zeros((max_counts_bin + 1,), dtype=np.int64)
+    total_kmer_count = 0
+    for group_size_total in kmer_generator:
+        total_kmer_count += group_size_total
+        counts_by_group_size[min(group_size_total, max_counts_bin)] += 1
+    return counts_by_group_size, total_kmer_count
+
+
+# --------------------------------------------------------------------------- #
+# Kmers
+# --------------------------------------------------------------------------- #
+
+_UINT32_SENTINEL = np.uint32(0xFFFFFFF0)
+
+
+class Kmers:
+    """Memory-efficient k-mer calculations on a genome, TPU-accelerated.
+
+    Constructor arguments, validation, and error behavior match the reference
+    (kmers.py:656-760), including the v1.0.1 restrictions
+    (track_strands_separately / non-forward source_strand / init-time
+    kmer_filters / double_pass raise NotImplementedError).
+    """
+
+    def __init__(
+        self,
+        seq_coll: Union[SequenceCollection, None] = None,
+        min_kmer_len: int = 1,
+        max_kmer_len: Union[int, None] = None,
+        source_strand: str = "forward",
+        track_strands_separately: bool = False,
+        method: str = "single_pass",
+    ) -> None:
+        if track_strands_separately:
+            raise NotImplementedError(
+                f"This function has not been implemented for track_strands_separately = '{track_strands_separately}'"
+            )
+        if source_strand != "forward":
+            raise NotImplementedError(
+                f"This function has not been implemented for source_strand = '{source_strand}'"
+            )
+
+        if source_strand not in ("forward", "reverse_complement", "both"):
+            raise ValueError(f"source_strand ({source_strand}) not recognized")
+        if source_strand != "both" and track_strands_separately:
+            raise ValueError(
+                f"track_strands_separately can only be true if source_strand is 'both', but it is '{source_strand}'"
+            )
+        if min_kmer_len < 1:
+            raise ValueError(f"min_kmer_len ({min_kmer_len}) must be greater than zero")
+        if max_kmer_len is not None:
+            if max_kmer_len < 1:
+                raise ValueError(f"max_kmer_len ({max_kmer_len}) must be greater than zero")
+            if min_kmer_len is not None and max_kmer_len < min_kmer_len:
+                raise ValueError(
+                    f"max_kmer_len ({max_kmer_len}) is less than min_kmer_len ({min_kmer_len})"
+                )
+
+        self.min_kmer_len = min_kmer_len
+        self.max_kmer_len = max_kmer_len
+        self.kmer_source_strand = source_strand
+        self.track_strands_separately = track_strands_separately
+
+        self._is_initialized = False
+        self._is_set = False
+        self._is_sorted = False
+        self.kmer_sba_start_indices = None
+        self._pos_dev = None  # cached device copy of kmer_sba_start_indices
+
+        if seq_coll is None:
+            return
+
+        seq_lengths = []
+        min_seq_len = None
+        num_records = 0
+        for _, s, e in seq_coll.iter_records():
+            seq_length = e - s + 1
+            seq_lengths.append(seq_length)
+            if min_seq_len is None or seq_length < min_seq_len:
+                min_seq_len = seq_length
+            num_records += 1
+
+        if num_records == 0:
+            raise ValueError("sequence_collection is empty")
+        if min_kmer_len is not None and min_kmer_len > min_seq_len:
+            raise ValueError(
+                f"min_kmer_len ({min_kmer_len}) must be <= the shortest sequence length ({min_seq_len})"
+            )
+        if seq_coll.strands_loaded() != source_strand:
+            raise ValueError(
+                f"source_strand ({source_strand}) does not match sequence_collection loaded strand ({seq_coll.strands_loaded()})"
+            )
+
+        self.seq_coll = seq_coll
+        self._initialize(method=method)
+
+    # ------------------------------------------------------------------ #
+    # initialization
+    # ------------------------------------------------------------------ #
+
+    def _initialize(self, kmer_filters=[], method: str = "single_pass"):
+        if kmer_filters != []:
+            raise NotImplementedError("kmer_filters have not been implemented")
+        if method == "double_pass":
+            raise NotImplementedError(f"method '{method}' has not been implemented")
+        elif method == "single_pass":
+            self._initialize_single_pass(kmer_filters=kmer_filters)
+        else:
+            raise ValueError(f"method '{method}' not recognized")
+        self._is_initialized = True
+
+    def _initialize_single_pass(self, kmer_filters=[]):
+        """Vectorized equivalent of the reference's per-record np.arange fill
+        (kmers.py:789-835): one repeat/cumsum pass builds every k-mer start
+        position in [seg_start, seg_end - min_kmer_len + 1] per record."""
+        if kmer_filters != []:
+            raise NotImplementedError("kmer_filters have not been implemented")
+
+        num_kmers = self._get_unfiltered_kmer_count()
+        if num_kmers > 2**32 - 1:
+            msg = "the size of the required kmers array exceeds the limit set by a uint32"
+            raise NotImplementedError(msg)
+
+        seg_starts = []
+        counts = []
+        for _, s, e in self.seq_coll.iter_records():
+            seg_starts.append(s)
+            counts.append((e - s + 1) - self.min_kmer_len + 1)
+        seg_starts = np.asarray(seg_starts, dtype=np.int64)
+        counts = np.asarray(counts, dtype=np.int64)
+
+        starts_rep = np.repeat(seg_starts, counts)
+        cum_excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        base_rep = np.repeat(cum_excl, counts)
+        offsets = np.arange(num_kmers, dtype=np.int64) - base_rep
+        self.kmer_sba_start_indices = (starts_rep + offsets).astype(np.uint32)
+        self._pos_dev = None
+
+    def _get_unfiltered_kmer_count(self) -> int:
+        """Reference kmers.py:837-861."""
+        num_kmers = 0
+        num_records = 0
+        for _, s, e in self.seq_coll.iter_records():
+            num_kmers += (e - s + 1) - self.min_kmer_len + 1
+            num_records += 1
+        if num_records == 0:
+            raise ValueError("SequenceCollection does not have any records")
+        return num_kmers
+
+    def __len__(self):
+        return len(self.kmer_sba_start_indices)
+
+    def __getitem__(self):
+        """Stub, matching the reference (kmers.py:866-867)."""
+        pass
+
+    # ------------------------------------------------------------------ #
+    # device helpers
+    # ------------------------------------------------------------------ #
+
+    def _device_positions(self):
+        import jax.numpy as jnp
+
+        if self._pos_dev is None:
+            self._pos_dev = jnp.asarray(self.kmer_sba_start_indices)
+        return self._pos_dev
+
+    def _check_forward_only(self):
+        condition1 = self.kmer_source_strand != "forward"
+        condition2 = self.seq_coll.strands_loaded() != "forward"
+        if condition1 or condition2:
+            raise NotImplementedError(
+                f"both kmer_source_strand ({self.kmer_source_strand}) and "
+                "sequence_collection.strands_loaded() must be 'forward'"
+            )
+
+    def _check_group_params_unsorted(self, min_group_size, max_group_size, yield_first_n=None):
+        """Reference kmers.py:939-954: group params require a sorted index."""
+        if not self._is_sorted:
+            if min_group_size != 1:
+                msg = "Returning group parameters is not supported when kmers has not been"
+                msg += f" sorted. min_group_size ({min_group_size}) cannot be specified. Did you"
+                msg += " mean to run sort() before getting kmers?"
+                raise ValueError(msg)
+            if max_group_size is not None:
+                msg = "Returning group parameters is not supported when kmers has not been"
+                msg += f" sorted. max_group_size ({max_group_size}) cannot be specified. Did you"
+                msg += " mean to run sort() before getting kmers?"
+                raise ValueError(msg)
+            if yield_first_n is not None:
+                msg = "Returning group parameters is not supported when kmers has not been"
+                msg += f" sorted. yield_first_n ({yield_first_n}) cannot be specified. Did you"
+                msg += " mean to run sort() before getting kmers?"
+                raise ValueError(msg)
+
+    def _survivors(self, kmer_filter_func):
+        """Apply a filter over all k-mer positions.
+
+        Returns (surv_nums or None-if-all, surv_pos dev, surv_vl dev). Library
+        filters evaluate as one vectorized device mask; arbitrary callables
+        fall back to a per-position host loop (documented slow path)."""
+        import jax.numpy as jnp
+
+        from .ops.filters import KeepAllFilter
+        from .ops.keys import compute_valid_len
+
+        dc = self.seq_coll.device_cache("forward")
+        positions = self._device_positions()
+        n = positions.shape[0]
+        valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
+
+        if isinstance(kmer_filter_func, KeepAllFilter):
+            return None, positions, valid_len
+
+        if isinstance(kmer_filter_func, KmerFilter):
+            ctx = FilterContext(self.seq_coll.forward_sba, positions, valid_len, sba_dev=dc.sba)
+            mask = np.asarray(kmer_filter_func.batch_mask(ctx))
+        else:
+            sba = self.seq_coll.forward_sba
+            mask = np.fromiter(
+                (
+                    bool(kmer_filter_func(sba, "forward", int(p)))
+                    for p in self.kmer_sba_start_indices
+                ),
+                dtype=bool,
+                count=n,
+            )
+        surv_nums = np.flatnonzero(mask)
+        idx_dev = jnp.asarray(surv_nums.astype(np.int32))
+        return surv_nums, jnp.take(positions, idx_dev), jnp.take(valid_len, idx_dev)
+
+    def _group_device(self, kmer_len, kmer_filter_func):
+        """Survivor selection + group boundary/size/rank on device.
+
+        Returns (surv_nums or None, surv_pos, boundary, size, rank) — the
+        static-shape replacement for the reference's sequential walk."""
+        import jax.numpy as jnp
+
+        from .ops.groups import group_geometry
+        from .ops.keys import cap_lengths
+        from .ops.sort import adjacent_boundaries
+
+        dc = self.seq_coll.device_cache("forward")
+        surv_nums, surv_pos, surv_vl = self._survivors(kmer_filter_func)
+        m = surv_pos.shape[0]
+        if m == 0:
+            z = jnp.zeros(0, dtype=jnp.uint32)
+            return surv_nums, surv_pos, jnp.zeros(0, dtype=bool), z, z
+
+        if self._is_sorted:
+            cap = cap_lengths(surv_vl, kmer_len)
+            boundary = adjacent_boundaries(dc.packed, surv_pos, cap, kmer_len)
+        else:
+            boundary = jnp.ones(m, dtype=bool)
+
+        _, _, size, rank = group_geometry(boundary)
+        return surv_nums, surv_pos, boundary, size, rank
+
+    def _group_arrays(self, kmer_len, kmer_filter_func, min_group_size, max_group_size, yield_first_n):
+        """Host-side arrays for the yielding APIs: (survivor kmer_nums,
+        survivor positions, yielded mask, group_size_yielded,
+        group_size_total), over filter survivors in index order."""
+        import jax.numpy as jnp
+
+        from .ops.groups import selection_masks
+
+        surv_nums, surv_pos, boundary, size, rank = self._group_device(kmer_len, kmer_filter_func)
+        m = surv_pos.shape[0]
+        if m == 0:
+            empty_u32 = np.zeros(0, dtype=np.uint32)
+            return (
+                np.zeros(0, dtype=np.int64),
+                empty_u32,
+                np.zeros(0, dtype=bool),
+                empty_u32,
+                empty_u32,
+            )
+
+        max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
+            _UINT32_SENTINEL
+        )
+        yfn = jnp.uint32(yield_first_n) if yield_first_n is not None else jnp.asarray(
+            _UINT32_SENTINEL
+        )
+        yielded, gsy = selection_masks(
+            boundary, size, rank, jnp.uint32(min_group_size), max_gs, yfn
+        )
+
+        if surv_nums is None:
+            surv_nums = np.arange(len(self.kmer_sba_start_indices), dtype=np.int64)
+        return (
+            surv_nums,
+            np.asarray(surv_pos),
+            np.asarray(yielded),
+            np.asarray(gsy),
+            np.asarray(size),
+        )
+
+    # ------------------------------------------------------------------ #
+    # public queries
+    # ------------------------------------------------------------------ #
+
+    def get_kmers(
+        self,
+        kmer_len: Union[int, None],
+        one_based_seq_index: bool = False,
+        kmer_filter_func: Callable = kmer_filter_keep_all,
+        kmer_info_to_yield: str = "minimum",
+        min_group_size: int = 1,
+        max_group_size: Union[int, None] = None,
+        yield_first_n: Union[int, None] = None,
+    ) -> Generator[tuple, None, None]:
+        """Customizable generator yielding k-mer info tuples (reference
+        kmers.py:869-992). Vectorized engine for library filters; host walk
+        for arbitrary user callables."""
+        self._check_forward_only()
+        if kmer_len is not None and kmer_len < 1:
+            raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
+        self._check_group_params_unsorted(min_group_size, max_group_size, yield_first_n)
+        if kmer_info_to_yield not in ("minimum", "full"):
+            raise ValueError(f"kmer_info_to_yield ({kmer_info_to_yield}) not recognized")
+
+        surv_nums, surv_pos, yielded, gsy, gst = self._group_arrays(
+            kmer_len, kmer_filter_func, min_group_size, max_group_size, yield_first_n
+        )
+
+        full = kmer_info_to_yield == "full"
+        if full:
+            get_record_info = self.seq_coll.generate_get_record_info_from_sba_index_func(
+                one_based_seq_index
+            )
+
+        yield_idx = np.flatnonzero(yielded)
+        for j in yield_idx:
+            kmer_num = int(surv_nums[j])
+            if not full:
+                yield (kmer_num, int(gsy[j]), int(gst[j]))
+            else:
+                sba_idx = int(surv_pos[j])
+                seg_num, s, e, seq_strand, seq_chrom, seq_start_idx = get_record_info(sba_idx)
+                if kmer_len is None:
+                    out_kmer_len = e - sba_idx + 1
+                else:
+                    if sba_idx + kmer_len - 1 > e:
+                        raise ValueError(
+                            f"kmer_len ({kmer_len}) for kmer_num ({kmer_num}) extends beyond the end of the segment"
+                        )
+                    out_kmer_len = kmer_len
+                yield (
+                    kmer_num,
+                    seq_strand,
+                    seq_chrom,
+                    seq_start_idx,
+                    out_kmer_len,
+                    int(gsy[j]),
+                    int(gst[j]),
+                )
+
+    def get_kmer_count(
+        self,
+        kmer_len: Union[int, None],
+        kmer_filter_func: Callable = kmer_filter_keep_all,
+        min_group_size: int = 1,
+        max_group_size: Union[int, None] = None,
+    ) -> int:
+        """Total k-mers in qualifying groups (reference kmers.py:994-1083)."""
+        self._check_forward_only()
+        if kmer_len is not None and kmer_len < 1:
+            raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
+        self._check_group_params_unsorted(min_group_size, max_group_size)
+
+        import jax.numpy as jnp
+
+        from .ops.groups import group_size_histogram
+
+        _, _, boundary, size, _ = self._group_device(kmer_len, kmer_filter_func)
+        if boundary.shape[0] == 0:
+            return 0
+        max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
+            _UINT32_SENTINEL
+        )
+        _, total = group_size_histogram(
+            boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=1
+        )
+        return int(total)
+
+    def get_kmer_group_counts(
+        self,
+        kmer_len: Union[int, None],
+        kmer_filter_func: Callable = kmer_filter_keep_all,
+        min_group_size: int = 1,
+        max_group_size: Union[int, None] = None,
+        max_counts_bin: int = 1000000,
+    ) -> tuple[np.ndarray, int]:
+        """Histogram of group sizes + total count (reference kmers.py:1085-1178)."""
+        self._check_forward_only()
+        if kmer_len is not None and kmer_len < 1:
+            raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
+        self._check_group_params_unsorted(min_group_size, max_group_size)
+        if not self._is_sorted:
+            raise AssertionError("The kmers must be sorted when calling get_kmer_group_counts")
+        if max_counts_bin <= 0:
+            raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
+
+        import jax.numpy as jnp
+
+        from .ops.groups import group_size_histogram
+
+        _, _, boundary, size, _ = self._group_device(kmer_len, kmer_filter_func)
+        if boundary.shape[0] == 0:
+            return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
+        max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
+            _UINT32_SENTINEL
+        )
+        counts, total = group_size_histogram(
+            boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=max_counts_bin
+        )
+        return np.asarray(counts).astype(np.int64), int(total)
+
+    # ------------------------------------------------------------------ #
+    # full-info closure (reference kmers.py:1180-1264)
+    # ------------------------------------------------------------------ #
+
+    def generate_get_kmer_info_func(self, one_based_seq_index: bool) -> Callable:
+        get_record_info_from_sba_index = self.seq_coll.generate_get_record_info_from_sba_index_func(
+            one_based_seq_index
+        )
+
+        def get_kmer_info(
+            kmer_num, kmer_sba_start_indices, sba, kmer_len, group_size_yielded, group_size_total
+        ):
+            if kmer_num < 0:
+                raise ValueError(f"kmer_num ({kmer_num}) cannot be less than zero")
+            if kmer_num >= len(kmer_sba_start_indices):
+                raise ValueError(
+                    f"kmer_num ({kmer_num}) is out of bounds (num kmers = {len(kmer_sba_start_indices)})"
+                )
+            sba_idx = int(kmer_sba_start_indices[kmer_num])
+            seg_num, s, e, seq_strand, seq_chrom, seq_start_idx = get_record_info_from_sba_index(
+                sba_idx
+            )
+            if kmer_len is None:
+                kmer_len = e - sba_idx + 1
+            else:
+                if sba_idx + kmer_len - 1 > e:
+                    raise ValueError(
+                        f"kmer_len ({kmer_len}) for kmer_num ({kmer_num}) extends beyond the end of the segment"
+                    )
+            return (
+                kmer_num,
+                seq_strand,
+                seq_chrom,
+                seq_start_idx,
+                kmer_len,
+                group_size_yielded,
+                group_size_total,
+            )
+
+        return get_kmer_info
+
+    # ------------------------------------------------------------------ #
+    # equality (reference kmers.py:1266-1304)
+    # ------------------------------------------------------------------ #
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __eq__(self, other):
+        if self.min_kmer_len != other.min_kmer_len:
+            return False
+        if (self.max_kmer_len is None) != (other.max_kmer_len is None):
+            return False
+        if self.max_kmer_len is not None and self.max_kmer_len != other.max_kmer_len:
+            return False
+        if self.kmer_source_strand != other.kmer_source_strand:
+            return False
+        if self.track_strands_separately != other.track_strands_separately:
+            return False
+        if self._is_initialized != other._is_initialized:
+            return False
+        if self._is_set != other._is_set:
+            return False
+        if self._is_sorted != other._is_sorted:
+            return False
+        if (self.kmer_sba_start_indices is None) != (other.kmer_sba_start_indices is None):
+            return False
+        if self.kmer_sba_start_indices is not None and not np.array_equal(
+            self.kmer_sba_start_indices, other.kmer_sba_start_indices
+        ):
+            return False
+        if self.seq_coll != other.seq_coll:
+            return False
+        return True
+
+    # ------------------------------------------------------------------ #
+    # persistence (same schema as reference kmers.py:1306-1531)
+    # ------------------------------------------------------------------ #
+
+    def save(
+        self,
+        save_file_path,
+        include_sequence_collection: bool = False,
+        format: str = "hdf5",
+        mode: str = "w",
+    ) -> None:
+        if format == "hdf5":
+            self._save_hdf5(save_file_path, include_sequence_collection, mode=mode)
+        elif format == "shelve":
+            self._save_shelve(save_file_path, include_sequence_collection)
+        else:
+            raise ValueError(f"format ({format}) not recognized")
+
+    def load(self, load_file_path, seq_coll=None, format: str = "hdf5") -> None:
+        if format == "hdf5":
+            self._load_hdf5(load_file_path, seq_coll)
+        elif format == "shelve":
+            self._load_shelve(load_file_path, seq_coll)
+        else:
+            raise ValueError(f"format ({format}) not recognized")
+        self._pos_dev = None
+
+    @staticmethod
+    def _set_for_export(value, value_if_none):
+        return value_if_none if value is None else value
+
+    @staticmethod
+    def _correct_import(value, value_if_none):
+        if isinstance(value, np.ndarray):
+            if value.shape == (0,):
+                return None
+        elif value == value_if_none:
+            return None
+        return value
+
+    def _save_hdf5(self, save_file_path, include_sequence_collection=False, mode="w") -> None:
+        import h5py
+
+        with h5py.File(save_file_path, mode) as file:
+            grp = file.create_group("kmers")
+            empty_start_indices = np.array([], dtype=np.uint32)
+            grp["min_kmer_len"] = self.min_kmer_len
+            grp["max_kmer_len"] = self._set_for_export(self.max_kmer_len, 0)
+            grp["kmer_source_strand"] = self.kmer_source_strand
+            grp["track_strands_separately"] = self.track_strands_separately
+            grp["_is_initialized"] = self._is_initialized
+            grp["_is_set"] = self._is_set
+            grp["_is_sorted"] = self._is_sorted
+            grp["kmer_sba_start_indices"] = self._set_for_export(
+                self.kmer_sba_start_indices, empty_start_indices
+            )
+        if include_sequence_collection:
+            self.seq_coll.save(save_file_path, mode="a", format="hdf5")
+
+    def _load_hdf5(self, load_file_path, seq_coll=None) -> None:
+        import h5py
+
+        with h5py.File(load_file_path, "r") as file:
+            grp = file["kmers"]
+            empty_start_indices = np.array([], dtype=np.uint32)
+            self.min_kmer_len = int(grp["min_kmer_len"][()])
+            self.max_kmer_len = self._correct_import(grp["max_kmer_len"][()], 0)
+            if self.max_kmer_len is not None:
+                self.max_kmer_len = int(self.max_kmer_len)
+            self.kmer_source_strand = grp["kmer_source_strand"][()].decode("utf-8")
+            self.track_strands_separately = bool(grp["track_strands_separately"][()])
+            self._is_initialized = bool(grp["_is_initialized"][()])
+            self._is_set = bool(grp["_is_set"][()])
+            self._is_sorted = bool(grp["_is_sorted"][()])
+            self.kmer_sba_start_indices = self._correct_import(
+                grp["kmer_sba_start_indices"][:], empty_start_indices
+            )
+        if seq_coll is not None:
+            self.seq_coll = seq_coll
+        else:
+            self.seq_coll = SequenceCollection()
+            self.seq_coll.load(load_file_path, format="hdf5")
+
+    def _save_shelve(self, save_file_path, include_sequence_collection=False) -> None:
+        with shelve.open(save_file_path) as db:
+            db["min_kmer_len"] = self.min_kmer_len
+            db["max_kmer_len"] = self.max_kmer_len
+            db["kmer_source_strand"] = self.kmer_source_strand
+            db["track_strands_separately"] = self.track_strands_separately
+            db["_is_initialized"] = self._is_initialized
+            db["_is_set"] = self._is_set
+            db["_is_sorted"] = self._is_sorted
+            db["kmer_sba_start_indices"] = self.kmer_sba_start_indices
+        if include_sequence_collection:
+            self.seq_coll.save(save_file_path, format="shelve")
+
+    def _load_shelve(self, load_file_path, seq_coll=None) -> None:
+        with shelve.open(load_file_path) as db:
+            self.min_kmer_len = db["min_kmer_len"]
+            self.max_kmer_len = db["max_kmer_len"]
+            self.kmer_source_strand = db["kmer_source_strand"]
+            self.track_strands_separately = db["track_strands_separately"]
+            self._is_initialized = db["_is_initialized"]
+            self._is_set = db["_is_set"]
+            self._is_sorted = db["_is_sorted"]
+            self.kmer_sba_start_indices = db["kmer_sba_start_indices"]
+        if seq_coll is None:
+            self.seq_coll = SequenceCollection()
+            self.seq_coll.load(load_file_path, format="shelve")
+        else:
+            self.seq_coll = seq_coll
+
+    # ------------------------------------------------------------------ #
+    # string extraction (reference kmers.py:1533-1622)
+    # ------------------------------------------------------------------ #
+
+    def get_kmer_str_no_checks(self, kmer_num: int, kmer_strand: str, kmer_len: int) -> str:
+        if kmer_strand == "+":
+            sba = self.seq_coll.forward_sba
+            sba_start_idx = self.kmer_sba_start_indices[kmer_num]
+        elif kmer_strand == "-":
+            raise NotImplementedError("Only implemented for kmer_strand='+'")
+        else:
+            raise ValueError(f"kmer_strand ({kmer_strand}) not recognized")
+        return bytearray(sba[sba_start_idx : sba_start_idx + kmer_len]).decode("utf-8")
+
+    def get_kmer_str(self, kmer_num: int, kmer_len: Union[int, None] = None) -> str:
+        self._check_forward_only()
+        if kmer_num < 0:
+            raise ValueError(f"kmer_num ({kmer_num}) cannot be less than zero")
+        if kmer_num >= len(self):
+            raise ValueError(f"kmer_num ({kmer_num}) is out of bounds (num kmers = {len(self)})")
+        if kmer_len is not None and kmer_len < self.min_kmer_len:
+            raise ValueError(
+                f"kmer_len ({kmer_len}) is less than min_kmer_len ({self.min_kmer_len})"
+            )
+        if self.max_kmer_len is not None and kmer_len is not None and kmer_len > self.max_kmer_len:
+            raise ValueError(
+                f"kmer_len ({kmer_len}) is greater than max_kmer_len ({self.max_kmer_len})"
+            )
+
+        sba_start_idx = int(self.kmer_sba_start_indices[kmer_num])
+        seg_num = self.seq_coll.get_segment_num_from_sba_index(sba_start_idx)
+        _, sba_seg_end_idx = self.seq_coll.get_sba_start_end_indices_for_segment(seg_num)
+
+        if kmer_len is None:
+            largest_kmer_len = sba_seg_end_idx - sba_start_idx + 1
+            if self.max_kmer_len is None:
+                kmer_len = largest_kmer_len
+            else:
+                kmer_len = min(self.max_kmer_len, largest_kmer_len)
+
+        if sba_start_idx + kmer_len - 1 > sba_seg_end_idx:
+            raise ValueError(
+                f"kmer_len ({kmer_len}) for kmer_num ({kmer_num}) extends beyond the end of the segment"
+            )
+
+        sba = self.seq_coll.forward_sba
+        return bytearray(sba[sba_start_idx : sba_start_idx + kmer_len]).decode("utf-8")
+
+    # ------------------------------------------------------------------ #
+    # sort
+    # ------------------------------------------------------------------ #
+
+    def sort(self):
+        """Sort kmer_sba_start_indices lexicographically by the k-mers they
+        define (reference kmers.py:1624-1652), on the accelerator.
+
+        Equal k-mers end up ordered by start index (the reference's
+        break_ties=True mode) — deterministic, and string-identical to the
+        reference's default unstable order.
+        """
+        self._check_forward_only()
+
+        from .ops.keys import cap_lengths, compute_valid_len
+        from .ops.sort import sort_positions
+
+        dc = self.seq_coll.device_cache("forward")
+        positions = self._device_positions()
+        valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
+
+        # equivalent of the reference's validate_kmers pass (kmers.py:1715-1727)
+        if self.min_kmer_len > 1:
+            vl_min = int(valid_len.min()) if positions.shape[0] else self.min_kmer_len
+            if vl_min < self.min_kmer_len:
+                raise AssertionError(
+                    f"kmers compared were less than min_kmer_len ({self.min_kmer_len}).  Was kmer_sba_start_indices initialized correctly?"
+                )
+
+        cap = cap_lengths(valid_len, self.max_kmer_len)
+        sorted_pos = sort_positions(dc.packed, positions, cap, self.max_kmer_len)
+        self._pos_dev = sorted_pos
+        self.kmer_sba_start_indices = np.asarray(sorted_pos)
+        self._is_sorted = True
+
+    def get_is_less_than_func(
+        self, validate_kmers: bool = True, break_ties: bool = False
+    ) -> Callable:
+        """Host parity version of the reference's quicksort comparator
+        closure (kmers.py:1654-1731). The TPU sort never calls it; it exists
+        for API compatibility and comparator-level tests."""
+        self._check_forward_only()
+        sba = self.seq_coll.forward_sba
+        min_kmer_len = self.min_kmer_len
+        max_kmer_len = self.max_kmer_len
+
+        def is_less_than(kmer_sba_start_idx_a: int, kmer_sba_start_idx_b: int) -> bool:
+            comparison, last_kmer_index_compared = compare_sba_kmers_lexicographically(
+                sba, sba, kmer_sba_start_idx_a, kmer_sba_start_idx_b, max_kmer_len=max_kmer_len
+            )
+            if comparison < 0:
+                a_lt_b = True
+            elif comparison > 0:
+                a_lt_b = False
+            else:
+                a_lt_b = kmer_sba_start_idx_a < kmer_sba_start_idx_b if break_ties else False
+
+            if validate_kmers:
+                num_bases_to_check = min_kmer_len - (last_kmer_index_compared + 1)
+                kmer_a_is_valid = kmer_has_required_len(
+                    sba, kmer_sba_start_idx_a + last_kmer_index_compared + 1, num_bases_to_check
+                )
+                kmer_b_is_valid = kmer_has_required_len(
+                    sba, kmer_sba_start_idx_b + last_kmer_index_compared + 1, num_bases_to_check
+                )
+                if not kmer_a_is_valid or not kmer_b_is_valid:
+                    raise AssertionError(
+                        f"kmers compared were less than min_kmer_len ({min_kmer_len}).  Was kmer_sba_start_indices initialized correctly?"
+                    )
+            return a_lt_b
+
+        return is_less_than
+
+    def to_csv(self, kmer_len, output_file_path, fields=["kmer"]):
+        """Write k-mers to CSV.
+
+        The reference declares this but leaves it a stub (kmers.py:1733-1737);
+        implemented here as an extension. Supported fields: "kmer",
+        "kmer_num", "chrom", "start", "strand", "group_size".
+        """
+        allowed = {"kmer", "kmer_num", "chrom", "start", "strand", "group_size"}
+        bad = set(fields) - allowed
+        if bad:
+            raise ValueError(f"unrecognized fields: {sorted(bad)}")
+        need_full = bool({"chrom", "start", "strand"} & set(fields))
+        info_kind = "full" if need_full else "minimum"
+        with open(output_file_path, "w") as f:
+            f.write(",".join(fields) + "\n")
+            for info in self.get_kmers(kmer_len, kmer_info_to_yield=info_kind):
+                if need_full:
+                    kmer_num, strand, chrom, start, klen, gsy, gst = info
+                else:
+                    kmer_num, gsy, gst = info
+                    strand = chrom = start = None
+                    klen = kmer_len
+                row = []
+                for field in fields:
+                    if field == "kmer":
+                        row.append(self.get_kmer_str(kmer_num, klen))
+                    elif field == "kmer_num":
+                        row.append(str(kmer_num))
+                    elif field == "chrom":
+                        row.append(str(chrom))
+                    elif field == "start":
+                        row.append(str(start))
+                    elif field == "strand":
+                        row.append(str(strand))
+                    elif field == "group_size":
+                        row.append(str(gst))
+                f.write(",".join(row) + "\n")

@@ -1,0 +1,82 @@
+"""Base encodings for the TPU k-mer engine.
+
+The reference stores sequences as ASCII bytes in a "sequence byte array" (SBA)
+and compares k-mers byte-by-byte with a Numba comparator
+(reference: kmers.py:306-397). TPUs want fixed-width vectorized keys instead,
+so we exploit a structural accident of the IUPAC alphabet: the 15 IUPAC codes
+plus the ``$`` record separator are exactly 16 symbols, and their ASCII order
+
+    $ < A < B < C < D < G < H < K < M < N < R < S < T < V < W < Y
+
+is the comparison order the reference uses (plain byte compare, with ``$`` /
+past-the-end sorting below every base — reference kmers.py:360-378). We
+therefore map each byte to a 4-bit *rank* (``$`` -> 0, A -> 1, ... Y -> 15) and
+nibble-pack 8 ranks per uint32 word, big-endian within the word. Unsigned
+comparison of packed words is then exactly byte-wise lexicographic comparison
+of the underlying bases, including full IUPAC parity and the
+"shorter-prefix-equal => smaller" rule (rank 0 pads past segment ends).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# The 16 allowed symbols in ASCII (== comparison) order.
+ALLOWED_CHARS = "$ABCDGHKMNRSTVWY"
+SEPARATOR = ord("$")
+
+# uint8 byte value -> 4-bit rank. Disallowed bytes map to 0 but are rejected
+# during SequenceCollection validation, so they never reach the compute path.
+RANK_TABLE = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate(ALLOWED_CHARS):
+    RANK_TABLE[ord(_c)] = _i
+
+# rank -> ASCII byte (for decoding packed data back to strings if needed)
+UNRANK_TABLE = np.zeros(16, dtype=np.uint8)
+for _i, _c in enumerate(ALLOWED_CHARS):
+    UNRANK_TABLE[_i] = ord(_c)
+
+# IUPAC complement (reference: sequence_collection.py:402-433), as a 256-entry
+# byte-to-byte table so reverse-complement is a flip + one table gather.
+COMPLEMENT_PAIRS = {
+    "A": "T", "C": "G", "G": "C", "T": "A",
+    "R": "Y", "Y": "R", "S": "S", "W": "W",
+    "K": "M", "M": "K", "B": "V", "D": "H",
+    "H": "D", "V": "B", "N": "N", "$": "$",
+}
+COMPLEMENT_TABLE = np.zeros(256, dtype=np.uint8)
+for _k, _v in COMPLEMENT_PAIRS.items():
+    COMPLEMENT_TABLE[ord(_k)] = ord(_v)
+
+BASES_PER_WORD = 8  # 8 nibbles per uint32
+
+# MASKS[r] keeps the top r nibbles of a packed word (r in [0, 8]).
+NIBBLE_MASKS = np.zeros(9, dtype=np.uint32)
+for _r in range(9):
+    NIBBLE_MASKS[_r] = (0xFFFFFFFF << (4 * (8 - _r))) & 0xFFFFFFFF if _r else 0
+
+
+def reverse_complement_bytes(sba: np.ndarray) -> np.ndarray:
+    """Vectorized reverse complement of an ASCII SBA.
+
+    Replaces the reference's scalar Numba loop
+    (sequence_collection.py:42-73) with a table gather + flip.
+    """
+    return COMPLEMENT_TABLE[sba][::-1].copy()
+
+
+def pack_rank_words_np(sba: np.ndarray) -> np.ndarray:
+    """Host (NumPy) version of the nibble packing, for tests and small inputs.
+
+    P[i] packs ranks of bytes i..i+7 big-endian into one uint32; positions past
+    the end of the array pack as rank 0 (same as ``$``), reproducing the
+    reference's "past the array end == out of bounds" rule (kmers.py:361-362).
+    """
+    n = len(sba)
+    ranks = RANK_TABLE[sba].astype(np.uint32)
+    padded = np.zeros(n + BASES_PER_WORD - 1, dtype=np.uint32)
+    padded[:n] = ranks
+    out = np.zeros(n, dtype=np.uint32)
+    for j in range(BASES_PER_WORD):
+        out |= padded[j : j + n] << np.uint32(4 * (7 - j))
+    return out

@@ -1,0 +1,413 @@
+"""K-mer filters: vectorized TPU masks + scalar parity implementations.
+
+The reference implements filters as Numba closures called once per k-mer from
+inside the sequential group walk (kmers.py:14-259, applied at kmers.py:584-587).
+Here each filter is an object with two faces:
+
+  * ``__call__(sba, sba_strand, kmer_sba_start_idx) -> bool`` — scalar,
+    host-side, semantics-identical to the reference closure (including which
+    ValueError fires first). Used for parity tests and as a fallback for the
+    generic walk.
+  * ``batch_mask(ctx) -> jnp.ndarray[bool]`` — one vectorized mask over every
+    k-mer start position, built from O(N) precomputed scans (GC prefix sums,
+    run lengths, next-ambiguous-base pointers) instead of per-k-mer loops.
+
+Exact-parity notes (verified against reference control flow):
+  * homopolymer: overflow ValueError precedes everything; ``kmer_len <
+    max_homopolymer_size`` returns True *before* any '$' check (kmers.py:66-74).
+  * GC: the impossible-range short-circuit returns False before touching the
+    SBA (kmers.py:167-168); a k-mer whose GC count exceeds the max *before*
+    reaching a '$' returns False without raising (kmers.py:176-185).
+  * no-ambiguous: a non-ACGT base found before a '$' returns False without
+    raising (kmers.py:216-227).
+  * CRISPR PAM: reads raw bytes at +21/+22 with no '$' check (kmers.py:252-258).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DOLLAR = ord("$")
+_ACGT = frozenset((ord("A"), ord("C"), ord("G"), ord("T")))
+_BIG = jnp.uint32(0xFFFFFFF0)
+
+
+class FilterContext:
+    """Per-call device context handed to ``batch_mask``.
+
+    Holds the SBA and the k-mer start positions plus lazily computed scans
+    shared between filters.
+    """
+
+    def __init__(self, sba_u8: np.ndarray, positions, valid_len, sba_dev=None):
+        self.sba_np = sba_u8
+        self.sba_len = int(len(sba_u8))
+        self._sba_dev = sba_dev
+        self.positions = positions  # device uint32
+        self.valid_len = valid_len  # device uint32
+        self._gc_cumsum = None
+        self._run_len = None
+        self._next_amb = None
+
+    @property
+    def sba(self):
+        if self._sba_dev is None:
+            self._sba_dev = jnp.asarray(self.sba_np)
+        return self._sba_dev
+
+    @property
+    def gc_cumsum(self):
+        if self._gc_cumsum is None:
+            self._gc_cumsum = _gc_cumsum(self.sba)
+        return self._gc_cumsum
+
+    @property
+    def run_len(self):
+        if self._run_len is None:
+            self._run_len = _run_lengths(self.sba)
+        return self._run_len
+
+    @property
+    def next_amb(self):
+        if self._next_amb is None:
+            self._next_amb = _next_ambiguous(self.sba)
+        return self._next_amb
+
+
+@jax.jit
+def _gc_cumsum(sba):
+    """gc[i] = number of G/C bytes in sba[0:i] (length n+1, uint32)."""
+    is_gc = (sba == ord("G")) | (sba == ord("C"))
+    c = jnp.cumsum(is_gc.astype(jnp.uint32))
+    return jnp.concatenate([jnp.zeros(1, dtype=jnp.uint32), c])
+
+
+@jax.jit
+def _run_lengths(sba):
+    """r[i] = length of the equal-byte run ending at i (>= 1).
+
+    Computed branch-free: last_change[i] = cummax over positions where the
+    byte differs from its predecessor; r = i - last_change + 1.
+    """
+    n = sba.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    prev = jnp.concatenate([sba[:1], sba[:-1]])
+    changed = (sba != prev).at[0].set(True)
+    last_change = jax.lax.cummax(jnp.where(changed, idx, jnp.uint32(0)))
+    return idx - last_change + jnp.uint32(1)
+
+
+@jax.jit
+def _next_ambiguous(sba):
+    """na[i] = smallest j >= i whose byte is neither A/C/G/T nor '$' (else BIG)."""
+    n = sba.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    is_amb = ~(
+        (sba == ord("A"))
+        | (sba == ord("C"))
+        | (sba == ord("G"))
+        | (sba == ord("T"))
+        | (sba == _DOLLAR)
+    )
+    marked = jnp.where(is_amb, idx, _BIG)
+    return jax.lax.cummin(marked, reverse=True)
+
+
+class KmerFilter:
+    """Base class: a filter usable both per-k-mer (reference signature) and
+    as a vectorized mask."""
+
+    batchable = True
+
+    def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
+        raise NotImplementedError
+
+    def batch_mask(self, ctx: FilterContext):
+        raise NotImplementedError
+
+
+class KeepAllFilter(KmerFilter):
+    """Reference kmers.py:14-16."""
+
+    def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
+        return True
+
+    def batch_mask(self, ctx):
+        return jnp.ones(ctx.positions.shape[0], dtype=bool)
+
+
+kmer_filter_keep_all = KeepAllFilter()
+
+
+def _scalar_valid_len(sba, start):
+    """Bases from start to segment end, scanning for '$' (host helper)."""
+    n = len(sba)
+    i = start
+    while i < n and sba[i] != _DOLLAR:
+        i += 1
+    return i - start
+
+
+class LengthFilter(KmerFilter):
+    """Passes iff the k-mer has at least min_kmer_len bases before the segment
+    end (reference kmers.py:19-34 via kmers.py:262-282)."""
+
+    def __init__(self, min_kmer_len: int):
+        self.min_kmer_len = min_kmer_len
+
+    def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
+        return kmer_has_required_len(sba, kmer_sba_start_idx, self.min_kmer_len)
+
+    def batch_mask(self, ctx):
+        return ctx.valid_len >= jnp.uint32(max(self.min_kmer_len, 0))
+
+
+def gen_kmer_length_filter_func(min_kmer_len: int) -> LengthFilter:
+    """Reference kmers.py:19-34."""
+    return LengthFilter(min_kmer_len)
+
+
+class HomopolymerFilter(KmerFilter):
+    """Passes iff no homopolymer longer than max_homopolymer_size lies within
+    the k-mer window (reference kmers.py:37-100)."""
+
+    def __init__(self, max_homopolymer_size: int, kmer_len: int):
+        if max_homopolymer_size < 1:
+            raise ValueError(
+                f"max_homopolymer_size ({max_homopolymer_size}) must be >= 1"
+            )
+        if kmer_len < 1:
+            raise ValueError(f"kmer_len ({kmer_len}) must be >= 1")
+        self.max_homopolymer_size = max_homopolymer_size
+        self.kmer_len = kmer_len
+
+    def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
+        k, max_h = self.kmer_len, self.max_homopolymer_size
+        if kmer_sba_start_idx + k - 1 >= len(sba):
+            raise ValueError(
+                f"The kmer_len ({k}) requested is too large for kmer_sba_start_idx ({kmer_sba_start_idx})"
+            )
+        if k < max_h:
+            return True
+        size = 1
+        for j in range(1, k):
+            idx = kmer_sba_start_idx + j
+            if sba[idx] == _DOLLAR:
+                raise ValueError(
+                    f"The kmer_len ({k}) requested is too large for kmer_sba_start_idx ({kmer_sba_start_idx})"
+                )
+            if sba[idx] == sba[idx - 1]:
+                size += 1
+                if size > max_h:
+                    return False
+            else:
+                size = 1
+        return True
+
+    def batch_mask(self, ctx):
+        k, max_h = self.kmer_len, self.max_homopolymer_size
+        # Overflow past the array end always raises; a '$' inside the window
+        # raises only when k >= max_h (the reference early-returns True for
+        # short k-mers before its '$' scan, kmers.py:66-74). Both raise the
+        # same message. valid_len < k covers both the '$' and array-end cases.
+        pos_np = np.asarray(ctx.positions)
+        overflow = pos_np.astype(np.int64) + k - 1 >= ctx.sba_len
+        if k < max_h:
+            if overflow.any():
+                bad = int(pos_np[overflow][0])
+                raise ValueError(
+                    f"The kmer_len ({k}) requested is too large for kmer_sba_start_idx ({bad})"
+                )
+            return jnp.ones(ctx.positions.shape[0], dtype=bool)
+        vl = np.asarray(ctx.valid_len)
+        truncated = vl < k
+        if truncated.any():
+            bad = int(pos_np[truncated][0])
+            raise ValueError(
+                f"The kmer_len ({k}) requested is too large for kmer_sba_start_idx ({bad})"
+            )
+        return _homopolymer_mask(ctx.run_len, ctx.positions, k, max_h)
+
+
+@jax.jit
+def _windowed_any(flags_u32_cumsum, lo, hi):
+    """any flag in index window [lo, hi] inclusive, given cumsum over flags."""
+    n = flags_u32_cumsum.shape[0] - 1
+    hi_c = jnp.minimum(hi + jnp.uint32(1), jnp.uint32(n))
+    lo_c = jnp.minimum(lo, hi_c)
+    return (
+        jnp.take(flags_u32_cumsum, hi_c.astype(jnp.int32))
+        - jnp.take(flags_u32_cumsum, lo_c.astype(jnp.int32))
+    ) > 0
+
+
+def _homopolymer_mask(run_len, positions, kmer_len, max_h):
+    # A run of length > max_h fully inside window [p, p+k-1] exists iff some
+    # i in [p+max_h, p+k-1] has run_len[i] > max_h (run covers i-max_h..i >= p).
+    bad = (run_len > jnp.uint32(max_h)).astype(jnp.uint32)
+    cs = jnp.concatenate([jnp.zeros(1, dtype=jnp.uint32), jnp.cumsum(bad)])
+    lo = positions + jnp.uint32(max_h)
+    hi = positions + jnp.uint32(kmer_len - 1)
+    if kmer_len - 1 < max_h:  # window empty -> cannot fail
+        return jnp.ones(positions.shape[0], dtype=bool)
+    return ~_windowed_any(cs, lo, hi)
+
+
+def gen_kmer_homopolymer_filter_func(max_homopolymer_size: int, kmer_len: int) -> HomopolymerFilter:
+    """Reference kmers.py:37-100."""
+    return HomopolymerFilter(max_homopolymer_size, kmer_len)
+
+
+class GcContentFilter(KmerFilter):
+    """Passes iff GC fraction within [min, max] (reference kmers.py:103-192)."""
+
+    def __init__(self, min_allowed_gc_frac: float, max_allowed_gc_frac: float, kmer_len: int):
+        if min_allowed_gc_frac > max_allowed_gc_frac:
+            raise ValueError(
+                f"min_allowed_gc_frac ({min_allowed_gc_frac}) must be <= max_allowed_gc_frac ({max_allowed_gc_frac})"
+            )
+        if min_allowed_gc_frac < 0.0 or min_allowed_gc_frac > 1.0:
+            raise ValueError(
+                f"min_allowed_gc_frac ({min_allowed_gc_frac}) must be in the range [0.0, 1.0]"
+            )
+        if max_allowed_gc_frac < 0.0 or max_allowed_gc_frac > 1.0:
+            raise ValueError(
+                f"max_allowed_gc_frac ({max_allowed_gc_frac}) must be in the range [0.0, 1.0]"
+            )
+        self.kmer_len = kmer_len
+        self.min_allowed_gc_count = int(math.ceil(kmer_len * min_allowed_gc_frac))
+        self.max_allowed_gc_count = int(math.floor(kmer_len * max_allowed_gc_frac))
+
+    def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
+        if self.max_allowed_gc_count < self.min_allowed_gc_count:
+            return False
+        count = 0
+        for j in range(self.kmer_len):
+            idx = kmer_sba_start_idx + j
+            if idx >= len(sba) or sba[idx] == _DOLLAR:
+                raise ValueError(
+                    f"The kmer_len ({self.kmer_len}) requested is too larger for kmer_sba_start_idx ({kmer_sba_start_idx})"
+                )
+            if sba[idx] == ord("G") or sba[idx] == ord("C"):
+                count += 1
+                if count > self.max_allowed_gc_count:
+                    return False
+        if self.min_allowed_gc_count <= count <= self.max_allowed_gc_count:
+            return True
+        return False
+
+    def batch_mask(self, ctx):
+        k = self.kmer_len
+        if self.max_allowed_gc_count < self.min_allowed_gc_count:
+            return jnp.zeros(ctx.positions.shape[0], dtype=bool)
+        # A k-mer that hits '$'/array-end raises only if its GC count did not
+        # exceed the max first (reference scans left to right, kmers.py:170-185).
+        pos = ctx.positions
+        vl = ctx.valid_len
+        gc = ctx.gc_cumsum
+        d = jnp.minimum(vl, jnp.uint32(k))
+        gc_before_end = jnp.take(gc, (pos + d).astype(jnp.int32)) - jnp.take(
+            gc, pos.astype(jnp.int32)
+        )
+        truncated = vl < jnp.uint32(k)
+        raises = truncated & (gc_before_end <= jnp.uint32(self.max_allowed_gc_count))
+        raises_np = np.asarray(raises)
+        if raises_np.any():
+            bad = int(np.asarray(pos)[raises_np][0])
+            raise ValueError(
+                f"The kmer_len ({k}) requested is too larger for kmer_sba_start_idx ({bad})"
+            )
+        count = gc_before_end  # == full-window count where not truncated
+        ok = (~truncated) & (count >= jnp.uint32(self.min_allowed_gc_count)) & (
+            count <= jnp.uint32(self.max_allowed_gc_count)
+        )
+        return ok
+
+
+def gen_kmer_gc_content_filter_func(
+    min_allowed_gc_frac: float, max_allowed_gc_frac: float, kmer_len: int
+) -> GcContentFilter:
+    """Reference kmers.py:103-192."""
+    return GcContentFilter(min_allowed_gc_frac, max_allowed_gc_frac, kmer_len)
+
+
+class NoAmbiguousBasesFilter(KmerFilter):
+    """Passes iff only A/C/G/T within the k-mer (reference kmers.py:195-229)."""
+
+    def __init__(self, kmer_len: int):
+        self.kmer_len = kmer_len
+
+    def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
+        k = self.kmer_len
+        if kmer_sba_start_idx + k > len(sba):
+            raise ValueError(f"kmer_len ({k}) is invalid. It extends beyond len(sba)")
+        for j in range(k):
+            base = sba[kmer_sba_start_idx + j]
+            if base == _DOLLAR:
+                raise ValueError(f"end of segment was reached. kmer_len ({k}) invalid.")
+            if base not in _ACGT:
+                return False
+        return True
+
+    def batch_mask(self, ctx):
+        k = self.kmer_len
+        pos_np = np.asarray(ctx.positions)
+        if pos_np.size and (pos_np.astype(np.int64) + k > ctx.sba_len).any():
+            raise ValueError(f"kmer_len ({k}) is invalid. It extends beyond len(sba)")
+        pos = ctx.positions
+        vl = ctx.valid_len
+        # d = first '$' offset within window (k if none); a = first ambiguous
+        # (non-ACGT, non-'$') offset within window (k if none). A '$' found
+        # before an ambiguous base raises; an ambiguous base found first just
+        # fails the k-mer (reference kmers.py:216-227).
+        d = jnp.minimum(vl, jnp.uint32(k))
+        na = jnp.take(ctx.next_amb, pos.astype(jnp.int32))
+        a = jnp.minimum(na - pos, jnp.uint32(k))
+        raises = (d < jnp.uint32(k)) & (d < a)
+        raises_np = np.asarray(raises)
+        if raises_np.any():
+            raise ValueError(f"end of segment was reached. kmer_len ({k}) invalid.")
+        return a >= jnp.uint32(k)
+
+
+def gen_no_ambiguous_bases_filter(kmer_len: int) -> NoAmbiguousBasesFilter:
+    """Reference kmers.py:195-229."""
+    return NoAmbiguousBasesFilter(kmer_len)
+
+
+class CrisprNggPamFilter(KmerFilter):
+    """Passes for 23-mers ending in GG — SpyCas9 NGG PAM at offsets +21/+22
+    (reference kmers.py:232-259). Reads raw bytes with no '$' check, exactly
+    like the reference."""
+
+    def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
+        if kmer_sba_start_idx + 23 > len(sba):
+            raise ValueError("The guide defined at this start index extends beyond the sba")
+        return sba[kmer_sba_start_idx + 21] == ord("G") and sba[
+            kmer_sba_start_idx + 22
+        ] == ord("G")
+
+    def batch_mask(self, ctx):
+        pos_np = np.asarray(ctx.positions)
+        if pos_np.size and (pos_np.astype(np.int64) + 23 > ctx.sba_len).any():
+            raise ValueError("The guide defined at this start index extends beyond the sba")
+        pos = ctx.positions
+        g = jnp.uint8(ord("G"))
+        b21 = jnp.take(ctx.sba, (pos + jnp.uint32(21)).astype(jnp.int32))
+        b22 = jnp.take(ctx.sba, (pos + jnp.uint32(22)).astype(jnp.int32))
+        return (b21 == g) & (b22 == g)
+
+
+crispr_ngg_pam_filter = CrisprNggPamFilter()
+
+
+def kmer_has_required_len(sba, sba_start_idx, min_kmer_len) -> bool:
+    """Scalar parity version of reference kmers.py:262-282."""
+    for idx in range(sba_start_idx, sba_start_idx + min_kmer_len):
+        if idx >= len(sba) or sba[idx] == _DOLLAR:
+            return False
+    return True

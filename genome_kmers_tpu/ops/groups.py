@@ -1,0 +1,86 @@
+"""Segmented group statistics over a sorted k-mer index.
+
+The reference walks the sorted array with a Numba-JIT'd generator, carrying
+"previous survivor" state and yielding per completed group
+(kmers.py:523-648). On TPU the walk becomes static-shape segmented ops:
+
+    boundary mask  ->  per-element group start (cummax)
+                   ->  per-element group end   (reverse cummin of next boundary)
+                   ->  size / rank-in-group    (pure arithmetic)
+                   ->  histogram               (scatter-add at boundary elements)
+
+Everything is fixed-shape and fully jittable — no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def group_geometry(boundary: jax.Array):
+    """Per-element group geometry from a boundary mask (boundary[0] must be True).
+
+    Returns (start, end, size, rank):
+        start[i] = index of first element of i's group
+        end[i]   = index one past the last element of i's group
+        size[i]  = group size (replaces group_size_total, kmers.py:616-625)
+        rank[i]  = i's 0-based position within its group
+    """
+    n = boundary.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    start = jax.lax.cummax(jnp.where(boundary, idx, jnp.uint32(0)))
+    nxt = jnp.where(boundary, idx, jnp.uint32(n))
+    nxt_after = jnp.concatenate([nxt[1:], jnp.array([n], dtype=jnp.uint32)])
+    end = jax.lax.cummin(nxt_after, reverse=True)
+    size = end - start
+    rank = idx - start
+    return start, end, size, rank
+
+
+@partial(jax.jit, static_argnames=("max_counts_bin",))
+def group_size_histogram(
+    boundary: jax.Array,
+    size: jax.Array,
+    min_group_size,
+    max_group_size,
+    max_counts_bin: int,
+):
+    """Histogram of group sizes + total k-mer count over qualifying groups.
+
+    counts[s] = number of groups of size s (sizes > max_counts_bin clip into
+    the top bin, reference kmers.py:514-518); only groups with
+    min_group_size <= size <= max_group_size contribute (kmers.py:612-614).
+    max_group_size is passed as a huge sentinel when None.
+    """
+    qualifies = boundary & (size >= min_group_size) & (size <= max_group_size)
+    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin)).astype(jnp.int32)
+    counts = jnp.zeros(max_counts_bin + 1, dtype=jnp.uint32)
+    counts = counts.at[clipped].add(qualifies.astype(jnp.uint32))
+    total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
+    return counts, total
+
+
+@jax.jit
+def selection_masks(
+    boundary: jax.Array,
+    size: jax.Array,
+    rank: jax.Array,
+    min_group_size,
+    max_group_size,
+    yield_first_n,
+):
+    """Which elements the reference generator would yield, plus per-element
+    (group_size_yielded, group_size_total).
+
+    yield_first_n is passed as a huge sentinel when None. Matches
+    kmers.py:604-625: yield the first n group members (in sorted order) of
+    every group whose total size is within bounds.
+    """
+    in_bounds = (size >= min_group_size) & (size <= max_group_size)
+    yielded = in_bounds & (rank < yield_first_n)
+    group_size_yielded = jnp.minimum(size, yield_first_n.astype(jnp.uint32))
+    return yielded, group_size_yielded

@@ -1,0 +1,120 @@
+"""Device-side k-mer key construction.
+
+A k-mer is identified by its start position in the SBA (reference kmers.py:811).
+Its sort key is the sequence of 4-bit ranks of its bases, zero-padded past the
+end of its segment (see encoding.py for why this reproduces the reference's
+comparator, kmers.py:306-397). Keys are materialized as ``W = ceil(k/8)``
+uint32 words gathered from the precomputed packed-rank array ``P`` — W gathers
+per k-mer instead of the reference's byte-at-a-time comparator loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .encoding import BASES_PER_WORD, NIBBLE_MASKS, RANK_TABLE
+
+# Sentinel "infinite" cap used when max_kmer_len is None. Must exceed any
+# possible segment length while staying < 2**32 (uint32 arithmetic).
+NO_CAP = jnp.uint32(0xFFFFFFF0)
+
+
+@jax.jit
+def ascii_to_ranks(sba_u8: jax.Array) -> jax.Array:
+    """Map ASCII bytes to 4-bit ranks (uint8)."""
+    return jnp.take(jnp.asarray(RANK_TABLE), sba_u8.astype(jnp.int32))
+
+
+@jax.jit
+def pack_rank_words(sba_u8: jax.Array) -> jax.Array:
+    """P[i] = ranks of bytes i..i+7, nibble-packed big-endian into uint32.
+
+    Built with 8 shifted adds over the rank array — one pass, O(8N), runs on
+    the VPU. Positions past the array end pack as 0.
+    """
+    n = sba_u8.shape[0]
+    ranks = ascii_to_ranks(sba_u8).astype(jnp.uint32)
+    padded = jnp.zeros(n + BASES_PER_WORD - 1, dtype=jnp.uint32).at[:n].set(ranks)
+    out = jnp.zeros(n, dtype=jnp.uint32)
+    for j in range(BASES_PER_WORD):
+        out = out | (jax.lax.dynamic_slice(padded, (j,), (n,)) << (4 * (7 - j)))
+    return out
+
+
+@jax.jit
+def compute_seg_ends(seg_starts: jax.Array, sba_len) -> jax.Array:
+    """Per-segment inclusive end index.
+
+    seg_ends[i] = seg_starts[i+1] - 2 (skip the '$'), last segment ends at
+    sba_len - 1 (reference sequence_collection.py:155-187).
+    """
+    sba_len = jnp.uint32(sba_len)
+    shifted = jnp.concatenate(
+        [seg_starts[1:] - jnp.uint32(2), jnp.array([sba_len - jnp.uint32(1)], dtype=jnp.uint32)]
+    )
+    return shifted
+
+
+@jax.jit
+def segment_ids_for_positions(positions: jax.Array, seg_starts: jax.Array) -> jax.Array:
+    """Batched segment lookup: searchsorted(seg_starts, pos, 'right') - 1.
+
+    The vectorized equivalent of the reference's per-call binary search
+    (sequence_collection.py:76-97).
+    """
+    return (
+        jnp.searchsorted(seg_starts, positions, side="right").astype(jnp.uint32)
+        - jnp.uint32(1)
+    )
+
+
+@jax.jit
+def compute_valid_len(positions: jax.Array, seg_starts: jax.Array, seg_ends: jax.Array) -> jax.Array:
+    """Number of real bases from each position to the end of its segment.
+
+    valid_len[p] = seg_end(segment containing p) - p + 1. Replaces the
+    reference's in-band '$' probing (kmers.py:361-362) with precomputed
+    per-position extents — TPUs prefer masks to data-dependent branches.
+    """
+    seg_ids = segment_ids_for_positions(positions, seg_starts)
+    ends = jnp.take(seg_ends, seg_ids.astype(jnp.int32))
+    return ends - positions + jnp.uint32(1)
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def build_key_words(
+    packed: jax.Array,
+    positions: jax.Array,
+    cap_len: jax.Array,
+    n_words: int,
+    offset=jnp.uint32(0),
+) -> tuple[jax.Array, ...]:
+    """Build ``n_words`` uint32 key words for each position.
+
+    Word w of the key for position p covers bases [offset + 8w, offset + 8w+8).
+    Nibbles at or beyond ``cap_len`` bases from p (cap_len = min(valid_len,
+    max_kmer_len)) are zeroed, so comparison terminates exactly where the
+    reference's comparator would stop (kmers.py:360-393).
+    """
+    masks = jnp.asarray(NIBBLE_MASKS)
+    offset = jnp.uint32(offset)
+    words = []
+    for w in range(n_words):
+        off = offset + jnp.uint32(8 * w)
+        word = jnp.take(packed, (positions + off).astype(jnp.int32), mode="clip")
+        # r = clamp(cap_len - off, 0, 8) without uint32 underflow
+        beyond = cap_len > off
+        r = jnp.where(beyond, jnp.minimum(cap_len - off, jnp.uint32(8)), jnp.uint32(0))
+        word = word & jnp.take(masks, r.astype(jnp.int32))
+        words.append(word)
+    return tuple(words)
+
+
+def cap_lengths(valid_len: jax.Array, max_kmer_len) -> jax.Array:
+    """min(valid_len, max_kmer_len), with max_kmer_len=None meaning unbounded."""
+    if max_kmer_len is None:
+        return valid_len
+    return jnp.minimum(valid_len, jnp.uint32(max_kmer_len))

@@ -1,0 +1,155 @@
+"""Single-device sorted k-mer index construction.
+
+The reference sorts its uint32 position array with a Numba quicksort whose
+``<`` dereferences the SBA and compares base-by-base (kmers.py:1624-1652,
+comparator kmers.py:306-397). On TPU that collapses into ``jax.lax.sort`` over
+fixed-width packed key words plus the position as a final tie-break key —
+deterministic and string-identical to the reference (the reference's default
+sort leaves equal-kmer order unspecified; ours equals its ``break_ties=True``
+mode, see kmers.py:1654-1731, which tests cannot distinguish since they
+compare k-mer strings).
+
+``max_kmer_len=None`` means "compare until the segment end" (kmers.py:315-316)
+— unbounded suffix comparison. We handle it with iterative refinement: sort by
+a 32-base window, then re-sort runs that are still tied (and still have bases
+left) keyed by (run id, next 32-base window, position), until no run is both
+tied and extendable. Random genomes resolve in 1-2 rounds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .keys import build_key_words
+
+WINDOW_WORDS = 4  # 32 bases per refinement round
+WINDOW_BASES = WINDOW_WORDS * 8
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def _sort_one_window(packed, positions, cap_len, n_words):
+    """Single lax.sort when the full compare length fits in one window."""
+    words = build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
+    res = jax.lax.sort(words + (positions,), num_keys=n_words + 1)
+    return res[-1]
+
+
+def _adjacent_eq(words: tuple[jax.Array, ...], base_eq: jax.Array) -> jax.Array:
+    """eq[i] = base_eq[i] and all key words equal between i and i-1 (eq[0]=False)."""
+    eq = base_eq
+    for w in words:
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eq = eq & (w == prev)
+    return eq.at[0].set(False)
+
+
+@partial(jax.jit, static_argnames=("n_words", "first"))
+def _sort_round(packed, positions, cap_len, group_id, offset, n_words, first):
+    """One refinement round: sort, then recompute run structure.
+
+    Returns (sorted positions, sorted cap_len, new group ids, any_unresolved).
+    A pair of adjacent equal keys is unresolved iff either member still has
+    bases beyond offset + window (see module docstring for why both-terminated
+    ties are final).
+    """
+    words = build_key_words(packed, positions, cap_len, n_words, offset)
+    if first:
+        ops = words + (positions, cap_len)
+        res = jax.lax.sort(ops, num_keys=n_words + 1)
+        s_words = res[:n_words]
+        gid_eq = jnp.ones(positions.shape[0], dtype=bool)
+    else:
+        ops = (group_id,) + words + (positions, cap_len)
+        res = jax.lax.sort(ops, num_keys=n_words + 2)
+        s_gid = res[0]
+        s_words = res[1 : 1 + n_words]
+        prev_gid = jnp.concatenate([s_gid[:1], s_gid[:-1]])
+        gid_eq = s_gid == prev_gid
+    s_pos = res[-2]
+    s_cap = res[-1]
+
+    eq = _adjacent_eq(s_words, gid_eq)
+    limit = offset + jnp.uint32(n_words * 8)
+    beyond = s_cap > limit
+    prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
+    unresolved = eq & (beyond | prev_beyond)
+    new_gid = jnp.cumsum((~eq).astype(jnp.uint32))
+    return s_pos, s_cap, new_gid, jnp.any(unresolved)
+
+
+def sort_positions(packed, positions, cap_len, max_kmer_len) -> jax.Array:
+    """Sort k-mer start positions lexicographically by their (capped) suffix.
+
+    Args:
+        packed: uint32 packed-rank words for the whole SBA (keys.pack_rank_words)
+        positions: uint32 k-mer start positions
+        cap_len: uint32 per-position compare length = min(valid_len, max_kmer_len)
+        max_kmer_len: static compare cap (None = to segment end)
+
+    Returns:
+        uint32 sorted positions (ties broken by position — deterministic).
+    """
+    if positions.shape[0] <= 1:
+        return positions
+    if max_kmer_len is not None and max_kmer_len <= WINDOW_BASES:
+        return _sort_one_window(packed, positions, cap_len, _cdiv(max_kmer_len, 8))
+
+    pos, cap, gid, unresolved = _sort_round(
+        packed, positions, cap_len, None, jnp.uint32(0), WINDOW_WORDS, True
+    )
+    offset = WINDOW_BASES
+    while bool(unresolved):
+        pos, cap, gid, unresolved = _sort_round(
+            packed, pos, cap, gid, jnp.uint32(offset), WINDOW_WORDS, False
+        )
+        offset += WINDOW_BASES
+    return pos
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def _adj_eq_round(packed, positions, cap_len, eq, offset, n_words):
+    """One round of adjacent-pair comparison at the given base offset."""
+    words = build_key_words(packed, positions, cap_len, n_words, offset)
+    eq = _adjacent_eq(words, eq)
+    limit = offset + jnp.uint32(n_words * 8)
+    beyond = cap_len > limit
+    prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
+    unresolved = eq & (beyond | prev_beyond)
+    return eq, jnp.any(unresolved)
+
+
+def adjacent_boundaries(packed, sorted_positions, cap_len, kmer_len) -> jax.Array:
+    """Group-boundary mask over a sorted position array.
+
+    boundary[i] = True iff kmer(sorted_positions[i]) != kmer(sorted_positions[i-1])
+    when compared with the reference comparator at max_kmer_len=kmer_len
+    (kmers.py:306-397); boundary[0] = True. This replaces the sequential
+    group-walk carry (kmers.py:592-601) with a vectorized adjacent compare.
+    """
+    n = sorted_positions.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), dtype=bool)
+    if kmer_len is not None and kmer_len <= WINDOW_BASES:
+        words = build_key_words(
+            packed, sorted_positions, cap_len, _cdiv(kmer_len, 8), jnp.uint32(0)
+        )
+        eq = _adjacent_eq(words, jnp.ones(n, dtype=bool))
+        return ~eq
+
+    eq = jnp.ones(n, dtype=bool)
+    offset = 0
+    while True:
+        eq, unresolved = _adj_eq_round(
+            packed, sorted_positions, cap_len, eq, jnp.uint32(offset), WINDOW_WORDS
+        )
+        offset += WINDOW_BASES
+        if not bool(unresolved):
+            break
+    return ~eq

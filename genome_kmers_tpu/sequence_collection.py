@@ -1,0 +1,766 @@
+"""SequenceCollection: the L1 genome container (TPU-native re-design).
+
+API- and semantics-compatible with the reference class
+(reference: sequence_collection.py:190-1446). Differences in *implementation*:
+
+  * FASTA ingest is a whole-buffer vectorized parser (io/fasta.py) instead of
+    a per-line Python loop (reference :476-576).
+  * reverse complement is a table-gather + flip (ops/encoding.py) instead of a
+    scalar Numba loop (reference :42-73).
+  * record lookups are backed by NumPy searchsorted host-side and by batched
+    jnp.searchsorted on device (ops/keys.py) instead of a JIT'd bisect
+    (reference :15-39, :76-97).
+  * a lazily built device cache (packed 4-bit rank words + segment extents)
+    feeds the TPU k-mer pipeline; the ASCII SBA remains the source of truth
+    for exact string/IUPAC parity.
+
+The host-side ASCII "sequence byte array" (SBA) layout is identical: records
+joined by '$', uint32 segment starts, record names in read order
+(reference :195-252).
+"""
+
+from __future__ import annotations
+
+import pickle
+import shelve
+from collections import Counter
+from pathlib import Path
+from typing import Callable, List, Union
+
+import numpy as np
+
+from .io.fasta import _get_fasta_record_name, parse_fasta_file
+from .ops.encoding import COMPLEMENT_TABLE, reverse_complement_bytes
+
+
+def bisect_right(a, x):
+    """Rightmost insertion point in sorted array a (reference
+    sequence_collection.py:15-39). Host scalar helper kept for API parity;
+    the batched device version is ops.keys.segment_ids_for_positions."""
+    lo, hi = 0, len(a)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if x < a[mid]:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+def reverse_complement_sba(sba: np.ndarray, complement_mapping_arr: np.ndarray, inplace=False):
+    """Reverse complement an ASCII SBA (reference sequence_collection.py:42-73),
+    vectorized: one table gather + flip instead of a scalar loop."""
+    out = complement_mapping_arr[sba][::-1]
+    if inplace:
+        sba[:] = out
+        return sba
+    return out.copy()
+
+
+def get_segment_num_from_sba_index(sba_idx: int, sba_strand: str, sba_seg_starts: np.ndarray) -> int:
+    """Reference sequence_collection.py:76-97 (scalar parity wrapper)."""
+    return int(np.searchsorted(sba_seg_starts, sba_idx, side="right")) - 1
+
+
+def get_forward_seq_idx(
+    sba_idx: int,
+    sba_strand: str,
+    seg_sba_start_idx: int,
+    seg_sba_end_idx: int,
+    one_based: bool = False,
+) -> int:
+    """Reference sequence_collection.py:100-152."""
+    if sba_idx < seg_sba_start_idx:
+        raise ValueError(f"sba_idx ({sba_idx}) must be >= seg_sba_start_idx ({seg_sba_start_idx})")
+    if sba_idx > seg_sba_end_idx:
+        raise ValueError(f"sba_idx ({sba_idx}) must be <= seg_end_start_idx ({seg_sba_end_idx})")
+    if seg_sba_start_idx > seg_sba_end_idx:
+        raise ValueError(
+            f"seg_sba_start_idx ({seg_sba_start_idx}) must be <= seg_sba_end_idx ({seg_sba_end_idx})"
+        )
+    if seg_sba_start_idx < 0:
+        raise ValueError(f"seg_sba_start_idx ({seg_sba_start_idx}) must be > 0")
+
+    if sba_strand == "forward":
+        seq_idx = sba_idx - seg_sba_start_idx
+    elif sba_strand == "reverse_complement":
+        seq_idx = seg_sba_end_idx - sba_idx
+    else:
+        raise ValueError(f"sba_strand ({sba_strand}) not recognized")
+
+    if one_based:
+        seq_idx += 1
+    return int(seq_idx)
+
+
+def get_sba_start_end_indices_for_segment(
+    segment_num: int, sba_strand: str, sba_seg_starts: np.ndarray, len_sba: int
+) -> tuple[int, int]:
+    """Reference sequence_collection.py:155-187."""
+    if segment_num < 0:
+        raise ValueError(f"segment_num ({segment_num}) is out of bounds")
+    elif segment_num >= len(sba_seg_starts):
+        raise ValueError(f"segment_num ({segment_num}) is out of bounds")
+
+    sba_start_index = int(sba_seg_starts[segment_num])
+    if segment_num == len(sba_seg_starts) - 1:
+        sba_end_index = len_sba - 1
+    else:
+        sba_end_index = int(sba_seg_starts[segment_num + 1]) - 2
+    return sba_start_index, sba_end_index
+
+
+class _DeviceCache:
+    """Lazily built device-side views of one strand's SBA used by the k-mer
+    compute path: packed rank words, segment starts/ends, raw bytes."""
+
+    def __init__(self, sba: np.ndarray, seg_starts: np.ndarray):
+        self._sba_np = sba
+        self._seg_starts_np = seg_starts
+        self._packed = None
+        self._sba_dev = None
+        self._seg_starts_dev = None
+        self._seg_ends_dev = None
+
+    @property
+    def sba(self):
+        import jax.numpy as jnp
+
+        if self._sba_dev is None:
+            self._sba_dev = jnp.asarray(self._sba_np)
+        return self._sba_dev
+
+    @property
+    def packed(self):
+        from .ops.keys import pack_rank_words
+
+        if self._packed is None:
+            self._packed = pack_rank_words(self.sba)
+        return self._packed
+
+    @property
+    def seg_starts(self):
+        import jax.numpy as jnp
+
+        if self._seg_starts_dev is None:
+            self._seg_starts_dev = jnp.asarray(self._seg_starts_np)
+        return self._seg_starts_dev
+
+    @property
+    def seg_ends(self):
+        from .ops.keys import compute_seg_ends
+
+        if self._seg_ends_dev is None:
+            self._seg_ends_dev = compute_seg_ends(self.seg_starts, len(self._sba_np))
+        return self._seg_ends_dev
+
+
+class SequenceCollection:
+    """Holds all the information contained within a fasta file in a format
+    conducive to TPU k-mer sorting.
+
+    Terminology, invariants, and members match the reference
+    (sequence_collection.py:190-252): record = header + sequence in read
+    order; segment = leftmost-numbered span in the current SBA; '$'
+    separators; >= 1 sequence; all sequence lengths > 0; unique record names.
+    """
+
+    def __init__(
+        self,
+        fasta_file_path: Union[Path, None] = None,
+        sequence_list: Union[list, None] = None,
+        strands_to_load: str = "forward",
+    ) -> None:
+        self.forward_sba = None
+        self._forward_sba_seg_starts = None
+        self.forward_record_names = None
+        self.revcomp_sba = None
+        self._revcomp_sba_seg_starts = None
+        self.revcomp_record_names = None
+        self._strands_loaded = None
+        self._fasta_file_path = None
+        self._device = {}
+
+        self._initialize_mapping_arrays()
+
+        if fasta_file_path is None and sequence_list is None:
+            return
+
+        if fasta_file_path is not None and sequence_list is not None:
+            raise ValueError("Only one of fasta_file_path and sequence_list can be specified")
+        if strands_to_load not in ("forward", "reverse_complement", "both"):
+            raise ValueError(f"strands_to_load unrecognized ({strands_to_load})")
+
+        if fasta_file_path is not None:
+            self._fasta_file_path = fasta_file_path
+            self._initialize_from_fasta(fasta_file_path, strands_to_load)
+        else:
+            self._initialize_from_sequence_list(sequence_list, strands_to_load)
+
+    # ------------------------------------------------------------------ #
+    # device cache
+    # ------------------------------------------------------------------ #
+
+    def _invalidate_device_cache(self):
+        self._device = {}
+
+    def device_cache(self, sba_strand: str) -> _DeviceCache:
+        """Device-side packed views for the given strand's SBA."""
+        if sba_strand not in self._device:
+            if sba_strand == "forward":
+                if self.forward_sba is None:
+                    raise ValueError("forward strand is not loaded")
+                self._device[sba_strand] = _DeviceCache(
+                    self.forward_sba, self._forward_sba_seg_starts
+                )
+            elif sba_strand == "reverse_complement":
+                if self.revcomp_sba is None:
+                    raise ValueError("reverse_complement strand is not loaded")
+                self._device[sba_strand] = _DeviceCache(
+                    self.revcomp_sba, self._revcomp_sba_seg_starts
+                )
+            else:
+                raise ValueError(f"sba_strand ({sba_strand}) not recognized")
+        return self._device[sba_strand]
+
+    # ------------------------------------------------------------------ #
+    # dunder / info
+    # ------------------------------------------------------------------ #
+
+    def __len__(self) -> int:
+        if self._strands_loaded == "forward" or self._strands_loaded == "both":
+            return len(self._forward_sba_seg_starts)
+        elif self._strands_loaded == "reverse_complement":
+            return len(self._revcomp_sba_seg_starts)
+        else:
+            raise AssertionError(f"strands_loaded ({self._strands_loaded}) not recognized")
+
+    def __str__(self) -> str:
+        sba_strand = (
+            "reverse_complement" if self._strands_loaded == "reverse_complement" else "forward"
+        )
+        sba = self.forward_sba if sba_strand == "forward" else self.revcomp_sba
+        lines = []
+        for record_name, s, e in self.iter_records(sba_strand):
+            seq = bytearray(sba[s : e + 1]).decode()
+            lines.append(f">{record_name}")
+            lines.append(seq)
+        return "\n".join(lines)
+
+    def sequence_length(self, record_num=None, record_name=None):
+        """Declared but unimplemented in the reference
+        (sequence_collection.py:338-354); behavior matched."""
+        if record_name is not None and record_num is not None:
+            raise ValueError(
+                f"record_num ({record_num}) and record_name ({record_name}) cannot both be specified"
+            )
+        raise NotImplementedError()
+
+    def iter_records(self, sba_strand: str = None):
+        """Yield (record_name, sba_start, sba_end) in record_num order
+        (reference sequence_collection.py:356-391)."""
+        sba_strand = self._get_sba_strand_to_use(sba_strand)
+        if sba_strand == "forward":
+            for segment_num in range(len(self)):
+                record_name = self.forward_record_names[segment_num]
+                s, e = get_sba_start_end_indices_for_segment(
+                    segment_num, sba_strand, self._forward_sba_seg_starts, len(self.forward_sba)
+                )
+                yield (record_name, s, e)
+        elif sba_strand == "reverse_complement":
+            # reverse segment order to keep record_num ordering
+            for segment_num in range(len(self) - 1, -1, -1):
+                record_name = self.revcomp_record_names[segment_num]
+                s, e = get_sba_start_end_indices_for_segment(
+                    segment_num, sba_strand, self._revcomp_sba_seg_starts, len(self.revcomp_sba)
+                )
+                yield (record_name, s, e)
+        else:
+            raise ValueError(f"sba_strand ({sba_strand}) must be 'forward' or 'reverse_complement'")
+
+    def strands_loaded(self) -> str:
+        return self._strands_loaded
+
+    # ------------------------------------------------------------------ #
+    # construction
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _get_complement_mapping_array():
+        return COMPLEMENT_TABLE.copy()
+
+    def _initialize_mapping_arrays(self):
+        self._allowed_bases = set("ACGTRYSWKMBDHVN$")
+        self._allowed_uint8 = {ord(b) for b in self._allowed_bases}
+        self._complement_mapping_arr = SequenceCollection._get_complement_mapping_array()
+        self._uint8_to_u1_mapping = np.zeros(256, dtype="U1")
+        self._u1_to_uint8_mapping = dict()
+        for i in range(256):
+            self._u1_to_uint8_mapping[chr(i)] = i
+            self._uint8_to_u1_mapping[i] = chr(i)
+
+    @staticmethod
+    def _get_fasta_stats(fasta_file_path) -> tuple[int, int]:
+        """Record count and total sequence length (reference
+        sequence_collection.py:476-495), via one buffered pass."""
+        num_records = 0
+        total_seq_len = 0
+        with open(fasta_file_path, "r") as f:
+            for line in f:
+                if line.startswith(">"):
+                    num_records += 1
+                else:
+                    total_seq_len += len(line.strip())
+        return num_records, total_seq_len
+
+    @staticmethod
+    def _get_fasta_record_name(line: str) -> str:
+        return _get_fasta_record_name(line)
+
+    def _load_forward_sba_from_fasta(self, fasta_file_path, num_records=None, total_seq_len=None):
+        """Vectorized equivalent of reference sequence_collection.py:517-576."""
+        sba, sba_seg_starts, record_names = parse_fasta_file(fasta_file_path)
+        SequenceCollection._verify_record_names_are_unique(record_names)
+        values_not_allowed = set(np.unique(sba)) - self._allowed_uint8
+        if values_not_allowed != set():
+            raise ValueError(f"Sequence contains non-allowed characters! ({values_not_allowed})")
+        return sba, sba_seg_starts, record_names
+
+    def _initialize_from_fasta(self, fasta_file_path, strands_to_load: str) -> None:
+        if strands_to_load not in ("forward", "reverse_complement", "both"):
+            raise ValueError(f"strands_to_load not recognized ({strands_to_load})")
+
+        self.forward_sba = None
+        self._forward_sba_seg_starts = None
+        self.revcomp_sba = None
+        self._revcomp_sba_seg_starts = None
+        self.forward_record_names = None
+        self.revcomp_record_names = None
+        self._invalidate_device_cache()
+
+        if strands_to_load in ("forward", "both"):
+            self.forward_sba, self._forward_sba_seg_starts, self.forward_record_names = (
+                self._load_forward_sba_from_fasta(fasta_file_path)
+            )
+
+        if strands_to_load == "both":
+            self.revcomp_sba = reverse_complement_bytes(self.forward_sba)
+            self._revcomp_sba_seg_starts = self._get_opposite_strand_sba_start_indices(
+                self._forward_sba_seg_starts, len(self.revcomp_sba)
+            )
+            self.revcomp_record_names = self.forward_record_names.copy()
+            self.revcomp_record_names.reverse()
+        elif strands_to_load == "reverse_complement":
+            self.forward_sba, self._forward_sba_seg_starts, self.forward_record_names = (
+                self._load_forward_sba_from_fasta(fasta_file_path)
+            )
+            self._strands_loaded = "forward"
+            self.reverse_complement()
+
+        self._strands_loaded = strands_to_load
+
+    @staticmethod
+    def _get_required_sba_length_from_sequence_list(sequence_list) -> int:
+        """Reference sequence_collection.py:634-661."""
+        total_seq_len = 0
+        for record_name, seq in sequence_list:
+            if len(seq) == 0:
+                raise ValueError(
+                    f"Each sequence in the collection must have length > 0.  Record '{record_name}' has a sequence lengt of 0"
+                )
+            total_seq_len += len(seq)
+        return total_seq_len + len(sequence_list) - 1
+
+    def _get_sba_from_sequence_list(self, sequence_list) -> np.ndarray:
+        """Reference sequence_collection.py:663-699 (no uppercasing — invalid
+        characters, including lowercase, raise)."""
+        sba_length = SequenceCollection._get_required_sba_length_from_sequence_list(sequence_list)
+        parts = []
+        for i, (_, seq) in enumerate(sequence_list):
+            parts.append(np.frombuffer(seq.encode("utf-8"), dtype=np.uint8))
+            if i != len(sequence_list) - 1:
+                parts.append(np.array([ord("$")], dtype=np.uint8))
+        sba = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+        if len(sba) != sba_length:
+            raise AssertionError("logic error building sba from sequence_list")
+        values_not_allowed = set(np.unique(sba)) - self._allowed_uint8
+        if values_not_allowed != set():
+            raise ValueError(f"Sequence contains non-allowed characters! ({values_not_allowed})")
+        return sba
+
+    @staticmethod
+    def _get_sba_starts_from_sequence_list(sequence_list) -> np.ndarray:
+        """Reference sequence_collection.py:701-726."""
+        lens = np.array([len(seq) for _, seq in sequence_list], dtype=np.int64)
+        starts = np.zeros(len(sequence_list), dtype=np.uint32)
+        if len(sequence_list) > 1:
+            starts[1:] = np.cumsum(lens[:-1] + 1).astype(np.uint32)
+        return starts
+
+    @staticmethod
+    def _verify_record_names_are_unique(record_names):
+        counter = Counter(record_names)
+        if len(record_names) != len(counter):
+            num_repeated = len([1 for c in counter.values() if c > 1])
+            raise ValueError(f"sequence_list contains {num_repeated} repeated record_names")
+
+    @staticmethod
+    def _get_record_names_from_sequence_list(sequence_list) -> List[str]:
+        record_names = [record_name for record_name, _ in sequence_list]
+        SequenceCollection._verify_record_names_are_unique(record_names)
+        return record_names
+
+    def _initialize_from_sequence_list(self, sequence_list, strands_to_load: str):
+        if strands_to_load not in ("forward", "reverse_complement", "both"):
+            raise ValueError(f"strands_to_load not recognized ({strands_to_load})")
+
+        self.forward_sba = None
+        self._forward_sba_seg_starts = None
+        self.revcomp_sba = None
+        self._revcomp_sba_seg_starts = None
+        self.forward_record_names = None
+        self.revcomp_record_names = None
+        self._invalidate_device_cache()
+
+        if strands_to_load in ("forward", "both"):
+            self.forward_sba = self._get_sba_from_sequence_list(sequence_list)
+            self._forward_sba_seg_starts = self._get_sba_starts_from_sequence_list(sequence_list)
+            self.forward_record_names = self._get_record_names_from_sequence_list(sequence_list)
+
+        if strands_to_load == "both":
+            self.revcomp_sba = reverse_complement_bytes(self.forward_sba)
+            self._revcomp_sba_seg_starts = self._get_opposite_strand_sba_start_indices(
+                self._forward_sba_seg_starts, len(self.revcomp_sba)
+            )
+            self.revcomp_record_names = self.forward_record_names.copy()
+            self.revcomp_record_names.reverse()
+        elif strands_to_load == "reverse_complement":
+            fwd = self._get_sba_from_sequence_list(sequence_list)
+            self.revcomp_sba = reverse_complement_bytes(fwd)
+            starts = self._get_sba_starts_from_sequence_list(sequence_list)
+            self._revcomp_sba_seg_starts = self._get_opposite_strand_sba_start_indices(
+                starts, len(self.revcomp_sba)
+            )
+            self.revcomp_record_names = self._get_record_names_from_sequence_list(sequence_list)
+            self.revcomp_record_names.reverse()
+
+        self._strands_loaded = strands_to_load
+
+    # ------------------------------------------------------------------ #
+    # strand manipulation
+    # ------------------------------------------------------------------ #
+
+    def reverse_complement(self):
+        """Reference sequence_collection.py:821-870."""
+        if self._strands_loaded == "both":
+            raise ValueError(f"self._strands_loaded ({self._strands_loaded}) cannot be 'both'")
+        self._invalidate_device_cache()
+
+        if self._strands_loaded == "forward":
+            self.revcomp_sba = reverse_complement_bytes(self.forward_sba)
+            self.forward_sba = None
+            self._revcomp_sba_seg_starts = self._get_opposite_strand_sba_start_indices(
+                self._forward_sba_seg_starts, len(self.revcomp_sba)
+            )
+            self._forward_sba_seg_starts = None
+            self.revcomp_record_names = self.forward_record_names
+            self.revcomp_record_names.reverse()
+            self.forward_record_names = None
+            self._strands_loaded = "reverse_complement"
+        elif self._strands_loaded == "reverse_complement":
+            self.forward_sba = reverse_complement_bytes(self.revcomp_sba)
+            self.revcomp_sba = None
+            self._forward_sba_seg_starts = self._get_opposite_strand_sba_start_indices(
+                self._revcomp_sba_seg_starts, len(self.forward_sba)
+            )
+            self._revcomp_sba_seg_starts = None
+            self.forward_record_names = self.revcomp_record_names
+            self.forward_record_names.reverse()
+            self.revcomp_record_names = None
+            self._strands_loaded = "forward"
+
+    @staticmethod
+    def _get_opposite_strand_sba_index(sba_idx: int, sba_len: int) -> int:
+        """Reference sequence_collection.py:872-886."""
+        if sba_idx < 0 or sba_idx >= sba_len:
+            raise ValueError(f"sba_idx ({sba_idx}) is out of bounds")
+        return sba_len - 1 - sba_idx
+
+    @staticmethod
+    def _get_opposite_strand_sba_indices(sba_indices: np.ndarray, sba_len: int) -> np.ndarray:
+        """Reference sequence_collection.py:888-902."""
+        if (sba_indices.astype(np.int64) < 0).any() or (
+            sba_indices.astype(np.int64) >= sba_len
+        ).any():
+            raise ValueError("There is at least one sba index that is out of bounds")
+        return (sba_len - 1 - sba_indices.astype(np.int64)).astype(sba_indices.dtype)
+
+    @staticmethod
+    def _get_opposite_strand_sba_start_indices(sba_starts: np.ndarray, sba_len: int) -> np.ndarray:
+        """Reference sequence_collection.py:904-928 (end-index flip trick)."""
+        sba_end_indices = np.copy(sba_starts)
+        if len(sba_end_indices) > 1:
+            sba_end_indices[:-1] = sba_end_indices[1:] - 2
+        sba_end_indices[-1] = sba_len - 1
+        return SequenceCollection._get_opposite_strand_sba_indices(
+            np.flip(sba_end_indices), sba_len
+        )
+
+    # ------------------------------------------------------------------ #
+    # record lookups
+    # ------------------------------------------------------------------ #
+
+    def get_record_loc_from_sba_index(
+        self, sba_idx: int, sba_strand: str = None, one_based: bool = False
+    ) -> tuple[str, str, int]:
+        """(strand, record_name, seq_idx) for an SBA index (reference
+        sequence_collection.py:930-978)."""
+        sba_strand = self._get_sba_strand_to_use(sba_strand)
+        if sba_strand == "forward":
+            seg_starts, names, sba = (
+                self._forward_sba_seg_starts,
+                self.forward_record_names,
+                self.forward_sba,
+            )
+        elif sba_strand == "reverse_complement":
+            seg_starts, names, sba = (
+                self._revcomp_sba_seg_starts,
+                self.revcomp_record_names,
+                self.revcomp_sba,
+            )
+        else:
+            raise ValueError(f"sba_strand ({sba_strand}) not recognized")
+
+        segment_num = get_segment_num_from_sba_index(sba_idx, sba_strand, seg_starts)
+        record_name = names[segment_num]
+        s, e = get_sba_start_end_indices_for_segment(segment_num, sba_strand, seg_starts, len(sba))
+        seq_idx = get_forward_seq_idx(sba_idx, sba_strand, s, e, one_based=one_based)
+        strand = "+" if sba_strand == "forward" else "-"
+        return (strand, record_name, seq_idx)
+
+    def get_record_name_from_sba_index(self, sba_idx: int, sba_strand: str = None) -> str:
+        """Reference sequence_collection.py:980-1011."""
+        sba_strand = self._get_sba_strand_to_use(sba_strand)
+        if sba_strand == "forward":
+            segment_num = get_segment_num_from_sba_index(
+                sba_idx, sba_strand, self._forward_sba_seg_starts
+            )
+            return self.forward_record_names[segment_num]
+        elif sba_strand == "reverse_complement":
+            segment_num = get_segment_num_from_sba_index(
+                sba_idx, sba_strand, self._revcomp_sba_seg_starts
+            )
+            return self.revcomp_record_names[segment_num]
+        raise ValueError(f"sba_strand ({sba_strand}) not recognized")
+
+    def _get_sba_strand_to_use(self, sba_strand: str) -> str:
+        """Reference sequence_collection.py:1013-1033."""
+        if sba_strand is not None:
+            if sba_strand == "forward":
+                if self._strands_loaded == "reverse_complement":
+                    raise ValueError(
+                        f"sba_strand ({sba_strand}) does not match _strands_loaded ({self._strands_loaded})"
+                    )
+            elif sba_strand == "reverse_complement":
+                if self._strands_loaded == "forward":
+                    raise ValueError(
+                        f"sba_strand ({sba_strand}) does not match _strands_loaded ({self._strands_loaded})"
+                    )
+            else:
+                raise ValueError(f"sba_strand ({sba_strand}) not recognized")
+        if self._strands_loaded == "both" and sba_strand is None:
+            raise ValueError("sba_strand must be specified when both strands are loaded")
+        return self._strands_loaded if self._strands_loaded != "both" else sba_strand
+
+    def get_segment_num_from_sba_index(self, sba_idx: int, sba_strand: str = None) -> int:
+        """Reference sequence_collection.py:1035-1068."""
+        sba_strand = self._get_sba_strand_to_use(sba_strand)
+        if sba_strand == "forward":
+            if sba_idx < 0 or sba_idx >= len(self.forward_sba):
+                raise IndexError(f"sba_idx ({sba_idx}) is out of bounds")
+            return get_segment_num_from_sba_index(
+                sba_idx, sba_strand, self._forward_sba_seg_starts
+            )
+        elif sba_strand == "reverse_complement":
+            if sba_idx < 0 or sba_idx >= len(self.revcomp_sba):
+                raise IndexError(f"sba_idx ({sba_idx}) is out of bounds")
+            return get_segment_num_from_sba_index(
+                sba_idx, sba_strand, self._revcomp_sba_seg_starts
+            )
+
+    def get_sba_start_end_indices_for_segment(
+        self, segment_num: int, sba_strand: str = None
+    ) -> tuple[int, int]:
+        """Reference sequence_collection.py:1070-1111."""
+        sba_strand = self._get_sba_strand_to_use(sba_strand)
+        if sba_strand == "forward":
+            seg_starts, sba = self._forward_sba_seg_starts, self.forward_sba
+        elif sba_strand == "reverse_complement":
+            seg_starts, sba = self._revcomp_sba_seg_starts, self.revcomp_sba
+        if segment_num < 0 or segment_num >= len(seg_starts):
+            raise ValueError(f"segment_num ({segment_num}) is out of bounds")
+        return get_sba_start_end_indices_for_segment(segment_num, sba_strand, seg_starts, len(sba))
+
+    def generate_get_record_info_from_sba_index_func(self, one_based: bool = False) -> Callable:
+        """Returns a host closure mapping an SBA index to full record info
+        (reference sequence_collection.py:1113-1187)."""
+        sba_strand = self._get_sba_strand_to_use(self.strands_loaded())
+        if sba_strand == "forward":
+            record_names = tuple(self.forward_record_names)
+            sba_seg_starts = self._forward_sba_seg_starts
+            seq_strand = "+"
+            len_sba = len(self.forward_sba)
+        elif sba_strand == "reverse_complement":
+            record_names = tuple(self.revcomp_record_names)
+            sba_seg_starts = self._revcomp_sba_seg_starts
+            seq_strand = "-"
+            len_sba = len(self.revcomp_sba)
+        else:
+            raise ValueError(f"sba_strand ({sba_strand}) not recognized")
+
+        def get_record_info_from_sba_index(sba_idx: int):
+            seg_num = get_segment_num_from_sba_index(sba_idx, sba_strand, sba_seg_starts)
+            s, e = get_sba_start_end_indices_for_segment(
+                seg_num, sba_strand, sba_seg_starts, len_sba
+            )
+            seq_start_idx = get_forward_seq_idx(sba_idx, sba_strand, s, e, one_based=one_based)
+            return (seg_num, s, e, seq_strand, record_names[seg_num], seq_start_idx)
+
+        return get_record_info_from_sba_index
+
+    # ------------------------------------------------------------------ #
+    # equality
+    # ------------------------------------------------------------------ #
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __eq__(self, other):
+        """Memberwise equality ignoring _fasta_file_path (reference
+        sequence_collection.py:1192-1251)."""
+
+        def _arr_eq(a, b):
+            if a is None and b is not None:
+                return False
+            if a is not None and b is None:
+                return False
+            if a is None and b is None:
+                return True
+            return np.array_equal(a, b)
+
+        def _val_eq(a, b):
+            if (a is None) != (b is None):
+                return False
+            return a == b
+
+        return (
+            _arr_eq(self.forward_sba, other.forward_sba)
+            and _arr_eq(self._forward_sba_seg_starts, other._forward_sba_seg_starts)
+            and _val_eq(self.forward_record_names, other.forward_record_names)
+            and _arr_eq(self.revcomp_sba, other.revcomp_sba)
+            and _arr_eq(self._revcomp_sba_seg_starts, other._revcomp_sba_seg_starts)
+            and _val_eq(self.revcomp_record_names, other.revcomp_record_names)
+            and _val_eq(self._strands_loaded, other._strands_loaded)
+        )
+
+    # ------------------------------------------------------------------ #
+    # persistence (same schema as reference sequence_collection.py:1253-1446)
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _set_for_export(value, value_if_none):
+        return value_if_none if value is None else value
+
+    @staticmethod
+    def _correct_import(value, value_if_none):
+        if isinstance(value, np.ndarray):
+            if value.shape == (0,):
+                return None
+        elif value == value_if_none:
+            return None
+        return value
+
+    def save(self, save_file_path, mode: str = "a", format: str = "hdf5") -> None:
+        if format == "hdf5":
+            self._save_hdf5(save_file_path, mode=mode)
+        elif format == "shelve":
+            self._save_shelve(save_file_path)
+        else:
+            raise ValueError(f"format ({format}) not recognized")
+
+    def load(self, load_file_path, format: str = "hdf5"):
+        if format == "hdf5":
+            self._load_h5py(load_file_path)
+        elif format == "shelve":
+            self._load_shelve(load_file_path)
+        else:
+            raise ValueError(f"format ({format}) not recognized")
+
+    def _save_hdf5(self, save_file_path, mode: str = "a") -> None:
+        import h5py
+
+        with h5py.File(save_file_path, mode) as file:
+            grp = file.create_group("seq_coll")
+            grp["forward_sba"] = self._set_for_export(
+                self.forward_sba, np.array([], dtype=np.uint8)
+            )
+            grp["_forward_sba_seg_starts"] = self._set_for_export(self._forward_sba_seg_starts, [])
+            grp["forward_record_names"] = self._set_for_export(self.forward_record_names, [])
+            grp["revcomp_sba"] = self._set_for_export(
+                self.revcomp_sba, np.array([], dtype=np.uint8)
+            )
+            grp["_revcomp_sba_seg_starts"] = self._set_for_export(self._revcomp_sba_seg_starts, [])
+            grp["revcomp_record_names"] = self._set_for_export(self.revcomp_record_names, [])
+            grp["_strands_loaded"] = self._set_for_export(self._strands_loaded, "")
+            grp["_fasta_file_path"] = str(self._set_for_export(self._fasta_file_path, ""))
+
+    def _load_h5py(self, load_file_path):
+        import h5py
+
+        with h5py.File(load_file_path, "r") as file:
+            grp = file["seq_coll"]
+            empty_sba = np.array([], dtype=np.uint8)
+            self.forward_sba = self._correct_import(grp["forward_sba"][:], empty_sba)
+            self._forward_sba_seg_starts = self._correct_import(
+                grp["_forward_sba_seg_starts"][:], []
+            )
+            self.forward_record_names = [v.decode("utf-8") for v in grp["forward_record_names"]]
+            self.forward_record_names = self._correct_import(self.forward_record_names, [])
+            self.revcomp_sba = self._correct_import(grp["revcomp_sba"][:], empty_sba)
+            self._revcomp_sba_seg_starts = self._correct_import(
+                grp["_revcomp_sba_seg_starts"][:], []
+            )
+            self.revcomp_record_names = [v.decode("utf-8") for v in grp["revcomp_record_names"]]
+            self.revcomp_record_names = self._correct_import(self.revcomp_record_names, [])
+            self._strands_loaded = self._correct_import(grp["_strands_loaded"][()].decode("utf-8"), "")
+            self._fasta_file_path = self._correct_import(
+                grp["_fasta_file_path"][()].decode("utf-8"), ""
+            )
+            if self._fasta_file_path is not None:
+                self._fasta_file_path = Path(self._fasta_file_path)
+            self._initialize_mapping_arrays()
+            self._invalidate_device_cache()
+
+    def _save_shelve(self, save_file_path) -> None:
+        with shelve.open(save_file_path, protocol=pickle.DEFAULT_PROTOCOL) as db:
+            db["seq_coll.forward_sba"] = self.forward_sba
+            db["seq_coll._forward_sba_seg_starts"] = self._forward_sba_seg_starts
+            db["seq_coll.forward_record_names"] = self.forward_record_names
+            db["seq_coll.revcomp_sba"] = self.revcomp_sba
+            db["seq_coll._revcomp_sba_seg_starts"] = self._revcomp_sba_seg_starts
+            db["seq_coll.revcomp_record_names"] = self.revcomp_record_names
+            db["seq_coll._strands_loaded"] = self._strands_loaded
+            db["seq_coll._fasta_file_path"] = self._fasta_file_path
+
+    def _load_shelve(self, load_file_path):
+        with shelve.open(load_file_path) as db:
+            self.forward_sba = db["seq_coll.forward_sba"]
+            self._forward_sba_seg_starts = db["seq_coll._forward_sba_seg_starts"]
+            self.forward_record_names = db["seq_coll.forward_record_names"]
+            self.revcomp_sba = db["seq_coll.revcomp_sba"]
+            self._revcomp_sba_seg_starts = db["seq_coll._revcomp_sba_seg_starts"]
+            self.revcomp_record_names = db["seq_coll.revcomp_record_names"]
+            self._strands_loaded = db["seq_coll._strands_loaded"]
+            self._fasta_file_path = db["seq_coll._fasta_file_path"]
+            self._initialize_mapping_arrays()
+            self._invalidate_device_cache()
