@@ -1,0 +1,92 @@
+"""Headline benchmark: k=31 sorted k-mer index build throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no kmers.sort() numbers (BASELINE.md); its documented
+scale is "whole-genome calculations can take hours" for a ~3.1 Gbp genome
+(reference docs/overview.rst:20-21). We take the charitable end of that —
+2 hours for 3.1e9 k-mers ≈ 430e3 kmers/s — as the baseline denominator, and
+override it with a directly measured number in BASELINE_MEASURED.json when
+one exists (see tools/measure_reference_baseline.py).
+
+Env overrides: GKT_BENCH_BP (default 2**27), GKT_BENCH_K (default 31),
+GKT_BENCH_REPS (default 3).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+DEFAULT_BASELINE_KMERS_PER_S = 430e3
+
+
+def main():
+    n_bp = int(os.environ.get("GKT_BENCH_BP", 2**27))
+    k = int(os.environ.get("GKT_BENCH_K", 31))
+    reps = int(os.environ.get("GKT_BENCH_REPS", 3))
+
+    import jax
+    import jax.numpy as jnp
+
+    from genome_kmers_tpu.ops.keys import (
+        cap_lengths,
+        compute_seg_ends,
+        compute_valid_len,
+        pack_rank_words,
+    )
+    from genome_kmers_tpu.ops.sort import sort_positions
+
+    rng = np.random.default_rng(0)
+    sba = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n_bp)
+
+    sba_dev = jnp.asarray(sba)
+    packed = pack_rank_words(sba_dev)
+    seg_starts = jnp.zeros(1, dtype=jnp.uint32)
+    seg_ends = compute_seg_ends(seg_starts, n_bp)
+    n_kmers = n_bp - k + 1
+    positions = jnp.arange(n_kmers, dtype=jnp.uint32)
+    valid_len = compute_valid_len(positions, seg_starts, seg_ends)
+    cap = cap_lengths(valid_len, k)
+
+    def run_once():
+        # A scalar-digest transfer forces real device completion; on remote
+        # backends block_until_ready can return before execution finishes
+        # (measured: 2.8 ms "sorts" of 16M keys), so never time against it.
+        r = sort_positions(packed, positions, cap, k)
+        return float(jnp.sum(r))
+
+    # discard first run (XLA compile), same hygiene as the reference's
+    # discard_first_run (reference profiling.py:128-131)
+    run_once()
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    kmers_per_s = n_kmers / t
+
+    baseline = DEFAULT_BASELINE_KMERS_PER_S
+    measured_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(measured_path):
+        with open(measured_path) as f:
+            m = json.load(f)
+        baseline = float(m.get("kmers_per_s", baseline))
+
+    print(
+        json.dumps(
+            {
+                "metric": f"k{k}_sorted_index_build_throughput",
+                "value": round(kmers_per_s, 1),
+                "unit": "kmers/s/chip",
+                "vs_baseline": round(kmers_per_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

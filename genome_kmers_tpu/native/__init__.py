@@ -1,0 +1,133 @@
+"""Native (C++) sidecar: fast FASTA parsing + byte-table kernels.
+
+Builds ``libgkt_native.so`` from fasta_parser.cpp on first use (g++ -O3) and
+binds it via ctypes; every caller falls back to the vectorized NumPy path in
+io/fasta.py when the toolchain or the build is unavailable, so the native
+layer is a pure accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).parent / "fasta_parser.cpp"
+_LIB = Path(__file__).parent / "libgkt_native.so"
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:  # toolchain missing / sandboxed build dir
+        logger.debug("native build failed: %s", e)
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError as e:
+        logger.debug("native load failed: %s", e)
+        return None
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gk_fasta_stats.restype = ctypes.c_int64
+    lib.gk_fasta_stats.argtypes = [u8p, ctypes.c_int64, i64p, ctypes.c_int64]
+    lib.gk_fasta_fill.restype = ctypes.c_int64
+    lib.gk_fasta_fill.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64, i64p, i64p]
+    lib.gk_validate_alphabet.restype = ctypes.c_int64
+    lib.gk_validate_alphabet.argtypes = [u8p, ctypes.c_int64, u8p]
+    lib.gk_reverse_complement.restype = None
+    lib.gk_reverse_complement.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+    _lib = lib
+    return _lib
+
+
+def _u8(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def parse_fasta_bytes_native(data: bytes):
+    """Native two-pass parse. Returns (sba, seg_starts, header_spans) or None
+    if the native library is unavailable or limits are exceeded."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    max_records = max(1024, n // 8)
+    seq_lens = np.zeros(max_records, dtype=np.int64)
+    num_records = lib.gk_fasta_stats(_u8(arr), n, _i64(seq_lens), max_records)
+    if num_records < 0:
+        return None
+    seq_lens = seq_lens[:num_records]
+
+    if num_records > 0 and (seq_lens == 0).any():
+        raise ValueError("At least one empty sequence was found in the input file")
+
+    sba_len = int(seq_lens.sum()) + max(num_records - 1, 0)
+    sba = np.empty(max(sba_len, 1), dtype=np.uint8)
+    header_starts = np.zeros(max(num_records, 1), dtype=np.int64)
+    header_ends = np.zeros(max(num_records, 1), dtype=np.int64)
+    written = lib.gk_fasta_fill(
+        _u8(arr), n, _u8(sba), sba.size, _i64(header_starts), _i64(header_ends)
+    )
+    if written != sba_len:
+        raise AssertionError("After parsing the fasta file, we expect sba to be full")
+    sba = sba[:sba_len]
+
+    seg_starts = np.zeros(num_records, dtype=np.uint32)
+    if num_records > 1:
+        seg_starts[1:] = (np.cumsum(seq_lens[:-1] + 1)).astype(np.uint32)
+    header_spans = list(zip(header_starts[:num_records], header_ends[:num_records]))
+    return sba, seg_starts, header_spans
+
+
+def validate_alphabet_native(sba: np.ndarray, allowed_bytes: set) -> int | None:
+    """First disallowed byte value, or None if clean / native unavailable
+    (caller must fall back when None and the array wasn't checked)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    table = np.zeros(256, dtype=np.uint8)
+    for b in allowed_bytes:
+        table[b] = 1
+    bad = lib.gk_validate_alphabet(_u8(np.ascontiguousarray(sba)), sba.size, _u8(table))
+    return int(bad)
+
+
+def reverse_complement_native(sba: np.ndarray, table: np.ndarray) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(sba)
+    out = np.empty_like(src)
+    lib.gk_reverse_complement(_u8(src), src.size, _u8(np.ascontiguousarray(table)), _u8(out))
+    return out

@@ -28,16 +28,42 @@ from .keys import build_key_words
 WINDOW_WORDS = 4  # 32 bases per refinement round
 WINDOW_BASES = WINDOW_WORDS * 8
 
+# Padding sentinel for shape-bucketed sorts. Real positions are < 2**32 - 16
+# (the Kmers uint32 ceiling), so padded rows sort strictly after every real
+# row via the is_pad leading key.
+_PAD_POS = jnp.uint32(0xFFFFFFF0)
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _bucket(n: int) -> int:
+    """Round n up to the next power of two (min 8) so repeated sorts with
+    nearby sizes reuse one compiled executable — static shapes are an XLA
+    requirement, and per-genome-size recompiles would dominate small runs."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_to(arr, n_pad: int, fill):
+    n = arr.shape[0]
+    if n == n_pad:
+        return arr
+    return jnp.concatenate([arr, jnp.full((n_pad - n,), fill, dtype=arr.dtype)])
+
+
 @partial(jax.jit, static_argnames=("n_words",))
-def _sort_one_window(packed, positions, cap_len, n_words):
-    """Single lax.sort when the full compare length fits in one window."""
+def _sort_one_window(packed, positions, cap_len, is_pad, n_words):
+    """Single lax.sort when the full compare length fits in one window.
+
+    is_pad is a leading uint32 key (0 real / 1 pad) so shape-bucketing
+    padding sorts after every real row.
+    """
     words = build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
-    res = jax.lax.sort(words + (positions,), num_keys=n_words + 1)
+    res = jax.lax.sort((is_pad,) + words + (positions,), num_keys=n_words + 2)
     return res[-1]
 
 
@@ -57,19 +83,19 @@ def _sort_round(packed, positions, cap_len, group_id, offset, n_words, first):
     Returns (sorted positions, sorted cap_len, new group ids, any_unresolved).
     A pair of adjacent equal keys is unresolved iff either member still has
     bases beyond offset + window (see module docstring for why both-terminated
-    ties are final).
+    ties are final). ``group_id`` doubles as the padding key on the first round
+    (0 real / 1 pad): padded rows have cap 0 so their words are all-zero, but a
+    real k-mer's first nibble is always >= rank('A') = 1, so pads sort last and
+    stay resolved.
     """
     words = build_key_words(packed, positions, cap_len, n_words, offset)
+    ops = (group_id,) + words + (positions, cap_len)
+    res = jax.lax.sort(ops, num_keys=n_words + 2)
+    s_gid = res[0]
+    s_words = res[1 : 1 + n_words]
     if first:
-        ops = words + (positions, cap_len)
-        res = jax.lax.sort(ops, num_keys=n_words + 1)
-        s_words = res[:n_words]
         gid_eq = jnp.ones(positions.shape[0], dtype=bool)
     else:
-        ops = (group_id,) + words + (positions, cap_len)
-        res = jax.lax.sort(ops, num_keys=n_words + 2)
-        s_gid = res[0]
-        s_words = res[1 : 1 + n_words]
         prev_gid = jnp.concatenate([s_gid[:1], s_gid[:-1]])
         gid_eq = s_gid == prev_gid
     s_pos = res[-2]
@@ -95,14 +121,25 @@ def sort_positions(packed, positions, cap_len, max_kmer_len) -> jax.Array:
 
     Returns:
         uint32 sorted positions (ties broken by position — deterministic).
+
+    Inputs are shape-bucketed to the next power of two so nearby sizes share
+    one compiled executable; padded rows carry an is_pad leading key and are
+    sliced off after the sort.
     """
-    if positions.shape[0] <= 1:
+    n = positions.shape[0]
+    if n <= 1:
         return positions
+    n_pad = _bucket(n)
+    is_pad = _pad_to(jnp.zeros(n, dtype=jnp.uint32), n_pad, jnp.uint32(1))
+    positions = _pad_to(positions, n_pad, _PAD_POS)
+    cap_len = _pad_to(cap_len, n_pad, jnp.uint32(0))
+
     if max_kmer_len is not None and max_kmer_len <= WINDOW_BASES:
-        return _sort_one_window(packed, positions, cap_len, _cdiv(max_kmer_len, 8))
+        out = _sort_one_window(packed, positions, cap_len, is_pad, _cdiv(max_kmer_len, 8))
+        return out[:n]
 
     pos, cap, gid, unresolved = _sort_round(
-        packed, positions, cap_len, None, jnp.uint32(0), WINDOW_WORDS, True
+        packed, positions, cap_len, is_pad, jnp.uint32(0), WINDOW_WORDS, True
     )
     offset = WINDOW_BASES
     while bool(unresolved):
@@ -110,7 +147,7 @@ def sort_positions(packed, positions, cap_len, max_kmer_len) -> jax.Array:
             packed, pos, cap, gid, jnp.uint32(offset), WINDOW_WORDS, False
         )
         offset += WINDOW_BASES
-    return pos
+    return pos[:n]
 
 
 @partial(jax.jit, static_argnames=("n_words",))
@@ -136,14 +173,18 @@ def adjacent_boundaries(packed, sorted_positions, cap_len, kmer_len) -> jax.Arra
     n = sorted_positions.shape[0]
     if n == 0:
         return jnp.zeros((0,), dtype=bool)
+    n_pad = _bucket(n)
+    sorted_positions = _pad_to(sorted_positions, n_pad, _PAD_POS)
+    cap_len = _pad_to(cap_len, n_pad, jnp.uint32(0))
+
     if kmer_len is not None and kmer_len <= WINDOW_BASES:
         words = build_key_words(
             packed, sorted_positions, cap_len, _cdiv(kmer_len, 8), jnp.uint32(0)
         )
-        eq = _adjacent_eq(words, jnp.ones(n, dtype=bool))
-        return ~eq
+        eq = _adjacent_eq(words, jnp.ones(n_pad, dtype=bool))
+        return (~eq)[:n]
 
-    eq = jnp.ones(n, dtype=bool)
+    eq = jnp.ones(n_pad, dtype=bool)
     offset = 0
     while True:
         eq, unresolved = _adj_eq_round(
@@ -152,4 +193,4 @@ def adjacent_boundaries(packed, sorted_positions, cap_len, kmer_len) -> jax.Arra
         offset += WINDOW_BASES
         if not bool(unresolved):
             break
-    return ~eq
+    return (~eq)[:n]

@@ -1,0 +1,17 @@
+"""Multi-chip scaling: position-sharded k-mer sort and stitched group
+statistics over a ``jax.sharding.Mesh`` (new TPU-native design; the reference
+has no distributed code — SURVEY.md §2)."""
+
+from .distributed import (
+    AXIS,
+    distributed_group_size_histogram,
+    distributed_sort_positions,
+    make_mesh,
+)
+
+__all__ = [
+    "AXIS",
+    "distributed_group_size_histogram",
+    "distributed_sort_positions",
+    "make_mesh",
+]

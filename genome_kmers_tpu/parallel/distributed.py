@@ -1,0 +1,308 @@
+"""Multi-chip k-mer index construction over a ``jax.sharding.Mesh``.
+
+The reference is strictly single-process (SURVEY.md §2: no distributed code
+anywhere), so this module is new TPU-native design, constrained only by output
+parity with the single-chip engine:
+
+  * the packed-rank genome is **replicated** per device (a packed human genome
+    is ~1.7 GB of uint32 at 4 bits/base — fits HBM), and the k-mer position
+    array is **sharded** along one mesh axis — the distributed analog of the
+    reference's per-record ``np.arange`` fill (kmers.py:813-826).
+  * the global sort runs as a ``shard_map``: each device key-builds + locally
+    sorts its shard, then ``n_devices`` rounds of odd-even block merge-split
+    (pairwise ppermute exchange + local 2m merge, keep lower/upper half)
+    produce a globally sorted, evenly sharded position array. Odd-even
+    transposition on sorted blocks is deterministic, static-shape, and rides
+    the ICI; it replaces the reference's Numba quicksort
+    (kmers.py:1624-1652) at multi-chip scale.
+  * group statistics stitch across shard boundaries by exchanging per-shard
+    edge runs (first/last key + run length) via all_gather — the distributed
+    replacement for the sequential group-walk carry (kmers.py:592-601).
+
+Everything here also runs on a CPU ``Mesh`` built from
+``xla_force_host_platform_device_count`` virtual devices, which is how the
+test suite exercises it without TPU hardware.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.keys import build_key_words
+from ..ops.sort import _PAD_POS, _cdiv
+
+AXIS = "kmers"  # mesh axis name: position-sharded data parallelism
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over the position-sharding axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _pad_to_multiple(arr: jax.Array, multiple: int, fill) -> jax.Array:
+    n = arr.shape[0]
+    n_pad = _cdiv(max(n, 1), multiple) * multiple
+    if n_pad == n:
+        return arr
+    return jnp.concatenate([arr, jnp.full((n_pad - n,), fill, dtype=arr.dtype)])
+
+
+def _oddeven_phase(ops, n_keys, n_dev, phase):
+    """One block odd-even transposition phase inside shard_map.
+
+    Even phases pair shards (0,1),(2,3),…; odd phases pair (1,2),(3,4),….
+    Each pair exchanges full blocks via ppermute, merges the 2m rows with one
+    lax.sort, and the lower-indexed shard keeps the lower half. Unpaired
+    shards (ends of the chain) keep their rows. n_dev phases guarantee a
+    globally sorted sequence of blocks (odd-even transposition invariant).
+    """
+    my = jax.lax.axis_index(AXIS).astype(jnp.int32)
+    perm = []
+    for i in range(n_dev):
+        j = (i ^ 1) if phase % 2 == 0 else (i + 1 if i % 2 == 1 else i - 1)
+        if 0 <= j < n_dev:
+            perm.append((i, j))
+    if phase % 2 == 0:
+        partner = my ^ 1
+        is_low = (my % 2) == 0
+    else:
+        partner = jnp.where(my % 2 == 1, my + 1, my - 1)
+        is_low = (my % 2) == 1
+    paired = (partner >= 0) & (partner < n_dev)
+
+    received = [jax.lax.ppermute(x, AXIS, perm) for x in ops]
+    m = ops[0].shape[0]
+    merged = jax.lax.sort(
+        tuple(jnp.concatenate([a, b]) for a, b in zip(ops, received)), num_keys=n_keys
+    )
+    lo = tuple(x[:m] for x in merged)
+    hi = tuple(x[m:] for x in merged)
+    picked = tuple(jnp.where(is_low, l, h) for l, h in zip(lo, hi))
+    return tuple(jnp.where(paired, p, o) for p, o in zip(picked, ops))
+
+
+def _dist_sort_local(packed, positions, cap_len, is_pad, n_words, n_dev):
+    """shard_map body: local key build + sort, then n_dev odd-even phases."""
+    words = build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
+    ops = (is_pad,) + words + (positions, cap_len)
+    n_keys = n_words + 2
+    ops = jax.lax.sort(ops, num_keys=n_keys)
+    for phase in range(n_dev):
+        ops = _oddeven_phase(ops, n_keys, n_dev, phase)
+    return ops
+
+
+@partial(jax.jit, static_argnames=("n_words", "mesh"))
+def _distributed_sort_jit(packed, positions, cap_len, is_pad, n_words, mesh):
+    n_dev = mesh.shape[AXIS]
+    fn = shard_map(
+        partial(_dist_sort_local, n_words=n_words, n_dev=n_dev),
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=tuple([P(AXIS)] * (n_words + 3)),
+    )
+    return fn(packed, positions, cap_len, is_pad)
+
+
+def distributed_sort_positions(
+    packed: jax.Array,
+    positions: jax.Array,
+    cap_len: jax.Array,
+    max_kmer_len: int,
+    mesh: Mesh,
+) -> jax.Array:
+    """Globally sort k-mer start positions over the mesh.
+
+    Requires a bounded ``max_kmer_len`` <= 32 bases for the distributed path
+    (the BASELINE.json configs use k in {21, 31}; longer k falls back to the
+    single-chip iterative-refinement sort). Returns the sorted uint32
+    positions, pads removed.
+    """
+    if max_kmer_len is None or max_kmer_len > 32:
+        raise NotImplementedError(
+            "distributed sort currently requires max_kmer_len <= 32 bases"
+        )
+    n = positions.shape[0]
+    n_dev = mesh.shape[AXIS]
+    n_words = _cdiv(max_kmer_len, 8)
+
+    positions_p = _pad_to_multiple(positions, n_dev, _PAD_POS)
+    cap_p = _pad_to_multiple(cap_len, n_dev, jnp.uint32(0))
+    is_pad = jnp.zeros(n, dtype=jnp.uint32)
+    is_pad = _pad_to_multiple(is_pad, n_dev, jnp.uint32(1))
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    positions_p = jax.device_put(positions_p, sharding)
+    cap_p = jax.device_put(cap_p, sharding)
+    is_pad = jax.device_put(is_pad, sharding)
+    packed = jax.device_put(packed, NamedSharding(mesh, P()))
+
+    res = _distributed_sort_jit(packed, positions_p, cap_p, is_pad, n_words, mesh)
+    sorted_pos = res[-2]
+    return sorted_pos[:n]
+
+
+# --------------------------------------------------------------------------- #
+# distributed group statistics
+# --------------------------------------------------------------------------- #
+
+
+def _boundary_local(packed, positions, cap_len, n_words):
+    """Local adjacent-compare boundary mask + halo exchange of edge keys.
+
+    boundary[i] (local) = key[i] != key[i-1], where element -1 of shard s is
+    the last element of shard s-1 (shard 0's first element is always a
+    boundary). Implemented with a ppermute halo of the first key words.
+    """
+    words = build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
+    n_dev = jax.lax.axis_size(AXIS)
+    my = jax.lax.axis_index(AXIS)
+
+    eq = jnp.ones(positions.shape[0], dtype=bool)
+    # intra-shard adjacency
+    for w in words:
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eq = eq & (w == prev)
+    # halo: previous shard's LAST word values replace element 0's comparison
+    halo_perm = [(i, i + 1) for i in range(n_dev - 1)]
+    eq0 = jnp.ones((), dtype=bool)
+    for w in words:
+        last = w[-1]
+        prev_last = jax.lax.ppermute(last, AXIS, halo_perm)
+        eq0 = eq0 & (w[0] == prev_last)
+    eq0 = jnp.where(my == 0, False, eq0)
+    eq = eq.at[0].set(eq0)
+    return ~eq, words
+
+
+def _dist_group_stats_local(
+    packed, positions, cap_len, is_pad, min_gs, max_gs, n_words, max_counts_bin
+):
+    """shard_map body for the distributed group-size histogram.
+
+    Strategy (SURVEY.md §5.7 boundary stitching): compute the boundary mask
+    with a halo compare, then derive *global* run lengths for every group via
+    a cross-shard exclusive scan of element counts: each group's size is
+    (index of next boundary) - (index of this boundary) in GLOBAL coordinates.
+    We get global coordinates by adding the shard offset (psum-scan) to local
+    indices; next-boundary positions propagate backward across shards via a
+    reverse cummin + all_gather of each shard's first-boundary position.
+    """
+    n_local = positions.shape[0]
+    n_dev = jax.lax.axis_size(AXIS)
+    my = jax.lax.axis_index(AXIS)
+    offset = (my * n_local).astype(jnp.uint32)
+
+    boundary, _ = _boundary_local(packed, positions, cap_len, n_words)
+    # padding rows never start a group and never count
+    valid = is_pad == jnp.uint32(0)
+    boundary = boundary & valid
+
+    idx = jnp.arange(n_local, dtype=jnp.uint32) + offset
+    total_n = (n_dev * n_local)
+
+    # global position of the next boundary at or after each element
+    marked = jnp.where(boundary, idx, jnp.uint32(total_n))
+    next_b_local = jax.lax.cummin(marked, reverse=True)  # within shard
+    # first boundary position of each shard (or total_n if none)
+    my_first = next_b_local[0]
+    all_firsts = jax.lax.all_gather(my_first, AXIS)  # (n_dev,)
+    # suffix-min of firsts over shards strictly after mine
+    suffix = jax.lax.associative_scan(jnp.minimum, all_firsts[::-1])[::-1]
+    after_mine = jnp.where(my + 1 < n_dev, suffix[jnp.minimum(my + 1, n_dev - 1)],
+                           jnp.uint32(total_n))
+    next_b = jnp.minimum(next_b_local, jnp.uint32(total_n))
+    # elements after the last local boundary look into later shards
+    next_b_shifted = jnp.concatenate([next_b[1:], jnp.array([total_n], dtype=next_b.dtype)])
+    next_after = jnp.minimum(next_b_shifted, after_mine)
+
+    # number of trailing padding rows globally (they sort to the very end)
+    n_pad_total = jax.lax.psum(jnp.sum((~valid).astype(jnp.uint32)), AXIS)
+    end_of_data = jnp.uint32(total_n) - n_pad_total
+
+    # group size for boundary elements = next boundary (or end of data) - my idx
+    size = jnp.where(boundary, jnp.minimum(next_after, end_of_data) - idx, jnp.uint32(0))
+
+    qualifies = boundary & (size >= min_gs) & (size <= max_gs)
+    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin)).astype(jnp.int32)
+    counts = jnp.zeros(max_counts_bin + 1, dtype=jnp.uint32)
+    counts = counts.at[clipped].add(qualifies.astype(jnp.uint32))
+    total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
+
+    counts = jax.lax.psum(counts, AXIS)
+    total = jax.lax.psum(total, AXIS)
+    return counts, total
+
+
+@partial(jax.jit, static_argnames=("n_words", "max_counts_bin", "mesh"))
+def _distributed_group_hist_jit(
+    packed, positions, cap_len, is_pad, min_gs, max_gs, n_words, max_counts_bin, mesh
+):
+    fn = shard_map(
+        partial(
+            _dist_group_stats_local,
+            n_words=n_words,
+            max_counts_bin=max_counts_bin,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(), P()),
+    )
+    return fn(packed, positions, cap_len, is_pad, min_gs, max_gs)
+
+
+def distributed_group_size_histogram(
+    packed: jax.Array,
+    sorted_positions: jax.Array,
+    cap_len: jax.Array,
+    kmer_len: int,
+    mesh: Mesh,
+    min_group_size: int = 1,
+    max_group_size: int | None = None,
+    max_counts_bin: int = 1000000,
+):
+    """Group-size histogram + total count over a globally sorted, sharded
+    position array. Output matches the single-chip
+    ``ops.groups.group_size_histogram`` exactly."""
+    if kmer_len is None or kmer_len > 32:
+        raise NotImplementedError("distributed stats currently require kmer_len <= 32")
+    n = sorted_positions.shape[0]
+    n_dev = mesh.shape[AXIS]
+    n_words = _cdiv(kmer_len, 8)
+
+    positions_p = _pad_to_multiple(sorted_positions, n_dev, _PAD_POS)
+    cap_p = _pad_to_multiple(cap_len, n_dev, jnp.uint32(0))
+    is_pad = _pad_to_multiple(jnp.zeros(n, dtype=jnp.uint32), n_dev, jnp.uint32(1))
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    positions_p = jax.device_put(positions_p, sharding)
+    cap_p = jax.device_put(cap_p, sharding)
+    is_pad = jax.device_put(is_pad, sharding)
+    packed = jax.device_put(packed, NamedSharding(mesh, P()))
+
+    max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.uint32(0xFFFFFFF0)
+    counts, total = _distributed_group_hist_jit(
+        packed,
+        positions_p,
+        cap_p,
+        is_pad,
+        jnp.uint32(min_group_size),
+        max_gs,
+        n_words,
+        max_counts_bin,
+        mesh,
+    )
+    return counts, total

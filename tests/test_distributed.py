@@ -1,0 +1,152 @@
+"""Multi-chip engine tests on a virtual 8-device CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8, set in conftest.py).
+
+The reference has no distributed tier at all (SURVEY.md §2); these tests pin
+the new distributed sort/stats to exact parity with the single-chip engine
+and the string oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from genome_kmers_tpu import Kmers, SequenceCollection
+from genome_kmers_tpu.ops.keys import cap_lengths, compute_valid_len
+from genome_kmers_tpu.ops.groups import group_size_histogram
+from genome_kmers_tpu.ops.sort import adjacent_boundaries, sort_positions
+from genome_kmers_tpu.parallel import (
+    distributed_group_size_histogram,
+    distributed_sort_positions,
+    make_mesh,
+)
+
+
+def random_seq(n, seed, alphabet="ACGT"):
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(list(alphabet), size=n))
+
+
+def setup_engine(seq_list, min_k, max_k):
+    sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=min_k, max_kmer_len=max_k)
+    dc = sc.device_cache("forward")
+    positions = jnp.asarray(km.kmer_sba_start_indices)
+    valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
+    cap = cap_lengths(valid_len, max_k)
+    return km, dc, positions, cap
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+class TestDistributedSort:
+    @pytest.mark.parametrize("n_bp,k", [(200, 8), (503, 16), (1000, 31)])
+    def test_matches_single_chip(self, mesh8, n_bp, k):
+        seq_list = [("chr1", random_seq(n_bp, seed=n_bp))]
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh8))
+        assert np.array_equal(got, expected)
+
+    def test_multi_record(self, mesh8):
+        seq_list = [
+            ("chr1", random_seq(150, 1)),
+            ("chr2", random_seq(97, 2)),
+            ("chr3", random_seq(211, 3)),
+        ]
+        k = 12
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh8))
+        assert np.array_equal(got, expected)
+
+    def test_repetitive_genome(self, mesh8):
+        # heavy ties: position tie-break must stay deterministic across shards
+        seq_list = [("chr1", "ACGT" * 100)]
+        k = 8
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh8))
+        assert np.array_equal(got, expected)
+
+    def test_oracle_strings(self, mesh8):
+        seq_list = [("chr1", random_seq(300, 9))]
+        k = 5
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh8))
+        seq = seq_list[0][1]
+        exp = sorted(seq[i : i + k] for i in range(len(seq) - k + 1))
+        got_strs = [seq[p : p + k] for p in got]
+        assert got_strs == exp
+
+    def test_unsupported_k_raises(self, mesh8):
+        seq_list = [("chr1", random_seq(100, 4))]
+        km, dc, positions, cap = setup_engine(seq_list, 1, None)
+        with pytest.raises(NotImplementedError):
+            distributed_sort_positions(dc.packed, positions, cap, None, mesh8)
+
+    @pytest.mark.parametrize("n_dev", [2, 4])
+    def test_smaller_meshes(self, n_dev):
+        mesh = make_mesh(n_dev)
+        seq_list = [("chr1", random_seq(137, n_dev))]
+        k = 8
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh))
+        assert np.array_equal(got, expected)
+
+
+class TestDistributedGroupStats:
+    @pytest.mark.parametrize("n_bp,k", [(200, 4), (513, 8), (300, 2)])
+    def test_histogram_matches_single_chip(self, mesh8, n_bp, k):
+        seq_list = [("chr1", random_seq(n_bp, seed=77 + n_bp))]
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        sorted_pos = sort_positions(dc.packed, positions, cap, k)
+        boundary = adjacent_boundaries(dc.packed, sorted_pos, cap, k)
+        from genome_kmers_tpu.ops.groups import group_geometry
+
+        _, _, size, _ = group_geometry(boundary)
+        exp_counts, exp_total = group_size_histogram(
+            boundary, size, jnp.uint32(1), jnp.uint32(0xFFFFFFF0), max_counts_bin=50
+        )
+        got_counts, got_total = distributed_group_size_histogram(
+            dc.packed, sorted_pos, cap, k, mesh8, max_counts_bin=50
+        )
+        assert int(got_total) == int(exp_total)
+        assert np.array_equal(np.asarray(got_counts), np.asarray(exp_counts))
+
+    def test_group_spanning_many_shards(self, mesh8):
+        # one giant group spanning every shard: 'A'*500, k=1
+        seq_list = [("chr1", "A" * 500)]
+        k = 1
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        sorted_pos = sort_positions(dc.packed, positions, cap, k)
+        counts, total = distributed_group_size_histogram(
+            dc.packed, sorted_pos, cap, k, mesh8, max_counts_bin=600
+        )
+        assert int(total) == 500
+        assert int(np.asarray(counts)[500]) == 1
+
+    def test_bounds_filtering(self, mesh8):
+        seq_list = [("chr1", random_seq(400, 55))]
+        k = 3
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        sorted_pos = sort_positions(dc.packed, positions, cap, k)
+        boundary = adjacent_boundaries(dc.packed, sorted_pos, cap, k)
+        from genome_kmers_tpu.ops.groups import group_geometry
+
+        _, _, size, _ = group_geometry(boundary)
+        exp_counts, exp_total = group_size_histogram(
+            boundary, size, jnp.uint32(2), jnp.uint32(9), max_counts_bin=20
+        )
+        got_counts, got_total = distributed_group_size_histogram(
+            dc.packed, sorted_pos, cap, k, mesh8,
+            min_group_size=2, max_group_size=9, max_counts_bin=20,
+        )
+        assert int(got_total) == int(exp_total)
+        assert np.array_equal(np.asarray(got_counts), np.asarray(exp_counts))

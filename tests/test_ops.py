@@ -1,0 +1,120 @@
+"""Device-kernel unit tests: encodings, key packing, segment math, and
+segmented group ops — exercised directly against NumPy references (the analog
+of the reference's low-level @jit kernel tests,
+tests/test_sequence_collection.py:1322-1405).
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from genome_kmers_tpu.ops.encoding import (
+    ALLOWED_CHARS,
+    RANK_TABLE,
+    pack_rank_words_np,
+    reverse_complement_bytes,
+)
+from genome_kmers_tpu.ops.groups import group_geometry, group_size_histogram, selection_masks
+from genome_kmers_tpu.ops.keys import (
+    compute_seg_ends,
+    compute_valid_len,
+    pack_rank_words,
+    segment_ids_for_positions,
+)
+
+
+def _sba(s):
+    return np.frombuffer(s.encode(), dtype=np.uint8).copy()
+
+
+class TestEncoding:
+    def test_rank_order_matches_ascii_order(self):
+        """Rank order == ASCII order == reference byte-compare order."""
+        assert ALLOWED_CHARS == "".join(sorted(ALLOWED_CHARS))
+        ranks = [RANK_TABLE[ord(c)] for c in ALLOWED_CHARS]
+        assert ranks == sorted(ranks)
+        assert RANK_TABLE[ord("$")] == 0
+
+    def test_pack_device_equals_host(self):
+        rng = np.random.default_rng(3)
+        chars = np.frombuffer(b"ACGTN$RY", dtype=np.uint8)
+        sba = rng.choice(chars, size=100)
+        host = pack_rank_words_np(sba)
+        dev = np.asarray(pack_rank_words(jnp.asarray(sba)))
+        assert np.array_equal(host, dev)
+
+    def test_packed_word_comparison_equals_string_comparison(self):
+        """uint32 compare of packed words == lexicographic byte compare for
+        8-base windows, including '$'-pad-low semantics."""
+        strings = ["ACGTACGT", "ACGTACGA", "ACG", "ACGT", "TTTTTTTT", "A", "N", "AN"]
+        for a in strings:
+            for b in strings:
+                pa = pack_rank_words_np(_sba(a))[0]
+                pb = pack_rank_words_np(_sba(b))[0]
+                # 8-base-window compare: shorter-prefix-equal => smaller
+                exp = (a < b) if not (a.startswith(b) or b.startswith(a)) else (len(a) < len(b))
+                got = pa < pb
+                assert bool(got) == exp, (a, b)
+
+    def test_reverse_complement_bytes(self):
+        assert bytearray(reverse_complement_bytes(_sba("ACGT$N"))).decode() == "N$ACGT"
+
+
+class TestSegmentMath:
+    def test_seg_ends(self):
+        starts = jnp.asarray(np.array([0, 11, 24], dtype=np.uint32))
+        ends = np.asarray(compute_seg_ends(starts, 37))
+        assert list(ends) == [9, 22, 36]
+
+    def test_segment_ids(self):
+        starts = jnp.asarray(np.array([0, 11, 24], dtype=np.uint32))
+        pos = jnp.asarray(np.array([0, 9, 10, 11, 23, 24, 36], dtype=np.uint32))
+        ids = np.asarray(segment_ids_for_positions(pos, starts))
+        assert list(ids) == [0, 0, 0, 1, 1, 2, 2]
+
+    def test_valid_len(self):
+        starts = jnp.asarray(np.array([0, 11, 24], dtype=np.uint32))
+        ends = compute_seg_ends(starts, 37)
+        pos = jnp.asarray(np.array([0, 9, 11, 22, 24, 36], dtype=np.uint32))
+        vl = np.asarray(compute_valid_len(pos, starts, ends))
+        assert list(vl) == [10, 1, 12, 1, 13, 1]
+
+
+class TestGroupOps:
+    def test_group_geometry(self):
+        boundary = jnp.asarray(np.array([1, 0, 0, 1, 1, 0], dtype=bool))
+        start, end, size, rank = (np.asarray(x) for x in group_geometry(boundary))
+        assert list(start) == [0, 0, 0, 3, 4, 4]
+        assert list(end) == [3, 3, 3, 4, 6, 6]
+        assert list(size) == [3, 3, 3, 1, 2, 2]
+        assert list(rank) == [0, 1, 2, 0, 0, 1]
+
+    def test_histogram(self):
+        boundary = jnp.asarray(np.array([1, 0, 0, 1, 1, 0], dtype=bool))
+        _, _, size, _ = group_geometry(boundary)
+        counts, total = group_size_histogram(
+            boundary, size, jnp.uint32(1), jnp.uint32(0xFFFFFFF0), max_counts_bin=5
+        )
+        counts = np.asarray(counts)
+        assert counts[3] == 1 and counts[1] == 1 and counts[2] == 1
+        assert int(total) == 6
+
+    def test_histogram_bounds(self):
+        boundary = jnp.asarray(np.array([1, 0, 0, 1, 1, 0], dtype=bool))
+        _, _, size, _ = group_geometry(boundary)
+        counts, total = group_size_histogram(
+            boundary, size, jnp.uint32(2), jnp.uint32(2), max_counts_bin=5
+        )
+        assert int(total) == 2
+        assert np.asarray(counts)[2] == 1
+
+    def test_selection_masks(self):
+        boundary = jnp.asarray(np.array([1, 0, 0, 1, 1, 0], dtype=bool))
+        _, _, size, rank = group_geometry(boundary)
+        yielded, gsy = selection_masks(
+            boundary, size, rank, jnp.uint32(2), jnp.uint32(0xFFFFFFF0), jnp.uint32(2)
+        )
+        # group of 3: first 2 yielded; group of 1: excluded; group of 2: both
+        assert list(np.asarray(yielded)) == [True, True, False, False, True, True]
+        assert list(np.asarray(gsy)[[0, 4]]) == [2, 2]
