@@ -95,13 +95,30 @@ def parse_fasta_bytes(data: bytes) -> tuple[np.ndarray, np.ndarray, list[str]]:
 def parse_fasta_file(fasta_file_path) -> tuple[np.ndarray, np.ndarray, list[str]]:
     data = Path(fasta_file_path).read_bytes()
     try:
-        return parse_fasta_bytes(data)
+        return _parse_fasta_dispatch(data)
     except ValueError as e:
         if "empty sequence" in str(e):
             raise ValueError(
                 f"At least one empty sequence was found in the input file ({fasta_file_path})"
             ) from None
         raise
+
+
+def _parse_fasta_dispatch(data: bytes) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Native C++ single-scan parser when available (native/fasta_parser.cpp),
+    NumPy whole-buffer pipeline otherwise — byte-identical outputs."""
+    from ..native import parse_fasta_bytes_native
+
+    result = parse_fasta_bytes_native(data)
+    if result is None:
+        return parse_fasta_bytes(data)
+    sba, seg_starts, header_spans = result
+    if sba.size == 0:
+        raise AssertionError("After parsing the fasta file, we expect sba to be full")
+    record_names = [
+        _get_fasta_record_name(data[int(s) : int(e)].decode()) for s, e in header_spans
+    ]
+    return sba, seg_starts, record_names
 
 
 def _get_fasta_record_name(line: str) -> str:

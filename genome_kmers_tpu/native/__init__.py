@@ -89,7 +89,10 @@ def parse_fasta_bytes_native(data: bytes):
         return None
     seq_lens = seq_lens[:num_records]
 
-    if num_records > 0 and (seq_lens == 0).any():
+    # the reference's empty-sequence detection is a seg-start diff check that
+    # misses a trailing empty record (sequence_collection.py:562-566); match
+    # that quirk exactly by only rejecting non-trailing empties
+    if num_records > 1 and (seq_lens[:-1] == 0).any():
         raise ValueError("At least one empty sequence was found in the input file")
 
     sba_len = int(seq_lens.sum()) + max(num_records - 1, 0)

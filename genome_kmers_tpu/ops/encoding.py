@@ -60,8 +60,15 @@ def reverse_complement_bytes(sba: np.ndarray) -> np.ndarray:
     """Vectorized reverse complement of an ASCII SBA.
 
     Replaces the reference's scalar Numba loop
-    (sequence_collection.py:42-73) with a table gather + flip.
+    (sequence_collection.py:42-73) with a table gather + flip (NumPy), or a
+    single fused native scan for large arrays (native/fasta_parser.cpp).
     """
+    if sba.size >= (1 << 16):
+        from ..native import reverse_complement_native
+
+        out = reverse_complement_native(sba, COMPLEMENT_TABLE)
+        if out is not None:
+            return out
     return COMPLEMENT_TABLE[sba][::-1].copy()
 
 

@@ -317,13 +317,20 @@ class SequenceCollection:
     def _get_fasta_record_name(line: str) -> str:
         return _get_fasta_record_name(line)
 
+    def _validate_alphabet(self, sba: np.ndarray) -> None:
+        """Reject bytes outside IUPAC + '$' (reference
+        sequence_collection.py:571-574), via an O(N) bincount instead of
+        np.unique's sort."""
+        counts = np.bincount(sba, minlength=256)
+        values_not_allowed = {int(v) for v in np.flatnonzero(counts)} - self._allowed_uint8
+        if values_not_allowed != set():
+            raise ValueError(f"Sequence contains non-allowed characters! ({values_not_allowed})")
+
     def _load_forward_sba_from_fasta(self, fasta_file_path, num_records=None, total_seq_len=None):
         """Vectorized equivalent of reference sequence_collection.py:517-576."""
         sba, sba_seg_starts, record_names = parse_fasta_file(fasta_file_path)
         SequenceCollection._verify_record_names_are_unique(record_names)
-        values_not_allowed = set(np.unique(sba)) - self._allowed_uint8
-        if values_not_allowed != set():
-            raise ValueError(f"Sequence contains non-allowed characters! ({values_not_allowed})")
+        self._validate_alphabet(sba)
         return sba, sba_seg_starts, record_names
 
     def _initialize_from_fasta(self, fasta_file_path, strands_to_load: str) -> None:
@@ -383,9 +390,7 @@ class SequenceCollection:
         sba = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
         if len(sba) != sba_length:
             raise AssertionError("logic error building sba from sequence_list")
-        values_not_allowed = set(np.unique(sba)) - self._allowed_uint8
-        if values_not_allowed != set():
-            raise ValueError(f"Sequence contains non-allowed characters! ({values_not_allowed})")
+        self._validate_alphabet(sba)
         return sba
 
     @staticmethod
