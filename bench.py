@@ -34,6 +34,7 @@ def main():
         cap_lengths,
         compute_seg_ends,
         compute_valid_len,
+        pack_rank2_words,
         pack_rank_words,
     )
     from genome_kmers_tpu.ops.sort import sort_positions
@@ -42,7 +43,9 @@ def main():
     sba = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n_bp)
 
     sba_dev = jnp.asarray(sba)
-    packed = pack_rank_words(sba_dev)
+    use2 = k <= 32
+    packed2 = pack_rank2_words(sba_dev) if use2 else None
+    packed = None if use2 else pack_rank_words(sba_dev)
     seg_starts = jnp.zeros(1, dtype=jnp.uint32)
     seg_ends = compute_seg_ends(seg_starts, n_bp)
     n_kmers = n_bp - k + 1
@@ -54,7 +57,7 @@ def main():
         # A scalar-digest transfer forces real device completion; on remote
         # backends block_until_ready can return before execution finishes
         # (measured: 2.8 ms "sorts" of 16M keys), so never time against it.
-        r = sort_positions(packed, positions, cap, k)
+        r = sort_positions(packed, positions, cap, k, packed2=packed2)
         return float(jnp.sum(r))
 
     # discard first run (XLA compile), same hygiene as the reference's

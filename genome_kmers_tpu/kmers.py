@@ -509,7 +509,10 @@ class Kmers:
 
         if self._is_sorted:
             cap = cap_lengths(surv_vl, kmer_len)
-            boundary = adjacent_boundaries(dc.packed, surv_pos, cap, kmer_len)
+            use2 = kmer_len is not None and kmer_len <= 32
+            packed2 = dc.packed2 if use2 else None
+            packed = dc.packed if packed2 is None else None
+            boundary = adjacent_boundaries(packed, surv_pos, cap, kmer_len, packed2=packed2)
         else:
             boundary = jnp.ones(m, dtype=bool)
 
@@ -942,7 +945,10 @@ class Kmers:
                 )
 
         cap = cap_lengths(valid_len, self.max_kmer_len)
-        sorted_pos = sort_positions(dc.packed, positions, cap, self.max_kmer_len)
+        use2 = self.max_kmer_len is not None and self.max_kmer_len <= 32
+        packed2 = dc.packed2 if use2 else None
+        packed = dc.packed if packed2 is None else None
+        sorted_pos = sort_positions(packed, positions, cap, self.max_kmer_len, packed2=packed2)
         self._pos_dev = sorted_pos
         self.kmer_sba_start_indices = np.asarray(sorted_pos)
         self._is_sorted = True

@@ -50,6 +50,29 @@ for _k, _v in COMPLEMENT_PAIRS.items():
 
 BASES_PER_WORD = 8  # 8 nibbles per uint32
 
+# --------------------------------------------------------------------------- #
+# 2-bit fast path (ACGT-only genomes: A=0 C=1 G=2 T=3, 16 bases per uint32)
+#
+# With rank(A) = 0, zero-padding past a segment end is indistinguishable from
+# a run of As, so the 2-bit sort carries the compare-cap as an explicit extra
+# key lane: equal masked words + smaller cap == the reference's
+# "shorter-prefix-equal => smaller" rule (kmers.py:372-377), and group
+# identity compares (masked words, capped length) pairs. Valid only when the
+# SBA alphabet is a subset of {A,C,G,T,$} — SequenceCollection tracks that
+# during alphabet validation.
+# --------------------------------------------------------------------------- #
+
+RANK2_TABLE = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate("ACGT"):
+    RANK2_TABLE[ord(_c)] = _i
+
+BASES_PER_WORD2 = 16  # 16 2-bit fields per uint32
+
+# MASKS2[r] keeps the top r 2-bit fields of a packed word (r in [0, 16]).
+DIBIT_MASKS = np.zeros(17, dtype=np.uint32)
+for _r in range(17):
+    DIBIT_MASKS[_r] = (0xFFFFFFFF << (2 * (16 - _r))) & 0xFFFFFFFF if _r else 0
+
 # MASKS[r] keeps the top r nibbles of a packed word (r in [0, 8]).
 NIBBLE_MASKS = np.zeros(9, dtype=np.uint32)
 for _r in range(9):

@@ -15,7 +15,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .encoding import BASES_PER_WORD, NIBBLE_MASKS, RANK_TABLE
+from .encoding import (
+    BASES_PER_WORD,
+    BASES_PER_WORD2,
+    DIBIT_MASKS,
+    NIBBLE_MASKS,
+    RANK2_TABLE,
+    RANK_TABLE,
+)
 
 # Sentinel "infinite" cap used when max_kmer_len is None. Must exceed any
 # possible segment length while staying < 2**32 (uint32 arithmetic).
@@ -118,3 +125,45 @@ def cap_lengths(valid_len: jax.Array, max_kmer_len) -> jax.Array:
     if max_kmer_len is None:
         return valid_len
     return jnp.minimum(valid_len, jnp.uint32(max_kmer_len))
+
+
+# --------------------------------------------------------------------------- #
+# 2-bit fast path (see encoding.py: requires alphabet subset of {A,C,G,T,$}
+# and an explicit cap key lane alongside the words)
+# --------------------------------------------------------------------------- #
+
+
+@jax.jit
+def pack_rank2_words(sba_u8: jax.Array) -> jax.Array:
+    """P2[i] = 2-bit ranks of bytes i..i+15, packed big-endian into uint32."""
+    n = sba_u8.shape[0]
+    ranks = jnp.take(jnp.asarray(RANK2_TABLE), sba_u8.astype(jnp.int32)).astype(jnp.uint32)
+    padded = jnp.zeros(n + BASES_PER_WORD2 - 1, dtype=jnp.uint32).at[:n].set(ranks)
+    out = jnp.zeros(n, dtype=jnp.uint32)
+    for j in range(BASES_PER_WORD2):
+        out = out | (jax.lax.dynamic_slice(padded, (j,), (n,)) << (2 * (15 - j)))
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def build_key2_words(
+    packed2: jax.Array,
+    positions: jax.Array,
+    cap_len: jax.Array,
+    n_words: int,
+    offset=jnp.uint32(0),
+) -> tuple[jax.Array, ...]:
+    """``n_words`` uint32 2-bit-packed key words per position; word w covers
+    bases [offset + 16w, offset + 16w + 16). Fields at or beyond cap_len are
+    zeroed (the cap itself must ride as a separate key lane)."""
+    masks = jnp.asarray(DIBIT_MASKS)
+    offset = jnp.uint32(offset)
+    words = []
+    for w in range(n_words):
+        off = offset + jnp.uint32(BASES_PER_WORD2 * w)
+        word = jnp.take(packed2, (positions + off).astype(jnp.int32), mode="clip")
+        beyond = cap_len > off
+        r = jnp.where(beyond, jnp.minimum(cap_len - off, jnp.uint32(16)), jnp.uint32(0))
+        word = word & jnp.take(masks, r.astype(jnp.int32))
+        words.append(word)
+    return tuple(words)

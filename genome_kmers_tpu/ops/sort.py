@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .keys import build_key_words
+from .keys import build_key2_words, build_key_words
 
 WINDOW_WORDS = 4  # 32 bases per refinement round
 WINDOW_BASES = WINDOW_WORDS * 8
@@ -53,6 +53,26 @@ def _pad_to(arr, n_pad: int, fill):
     if n == n_pad:
         return arr
     return jnp.concatenate([arr, jnp.full((n_pad - n,), fill, dtype=arr.dtype)])
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def _sort_one_window2(packed2, positions, cap_len, n_words):
+    """2-bit fast path: half the key lanes of the 4-bit path for the same k.
+
+    Padding rows are recognized by cap_len == 0 (every real k-mer start has at
+    least one base) and folded into the lanes as all-ones words + max cap, so
+    no separate is_pad lane is needed. The cap rides as an explicit key after
+    the words — with rank(A) = 0, equal masked words + smaller cap is exactly
+    the reference's shorter-prefix-equal => smaller rule (kmers.py:372-377).
+    """
+    words = build_key2_words(packed2, positions, cap_len, n_words, jnp.uint32(0))
+    pad = cap_len == jnp.uint32(0)
+    ones = jnp.uint32(0xFFFFFFFF)
+    words = tuple(jnp.where(pad, ones, w) for w in words)
+    cap_key = jnp.where(pad, ones, cap_len)
+    ops = words + (cap_key, positions)
+    res = jax.lax.sort(ops, num_keys=len(ops))
+    return res[-1]
 
 
 @partial(jax.jit, static_argnames=("n_words",))
@@ -110,7 +130,7 @@ def _sort_round(packed, positions, cap_len, group_id, offset, n_words, first):
     return s_pos, s_cap, new_gid, jnp.any(unresolved)
 
 
-def sort_positions(packed, positions, cap_len, max_kmer_len) -> jax.Array:
+def sort_positions(packed, positions, cap_len, max_kmer_len, packed2=None) -> jax.Array:
     """Sort k-mer start positions lexicographically by their (capped) suffix.
 
     Args:
@@ -118,6 +138,9 @@ def sort_positions(packed, positions, cap_len, max_kmer_len) -> jax.Array:
         positions: uint32 k-mer start positions
         cap_len: uint32 per-position compare length = min(valid_len, max_kmer_len)
         max_kmer_len: static compare cap (None = to segment end)
+        packed2: optional 2-bit packed words (keys.pack_rank2_words) — the
+            ACGT-only fast path with half the key lanes; caller must ensure
+            the SBA alphabet is a subset of {A,C,G,T,$}
 
     Returns:
         uint32 sorted positions (ties broken by position — deterministic).
@@ -130,9 +153,14 @@ def sort_positions(packed, positions, cap_len, max_kmer_len) -> jax.Array:
     if n <= 1:
         return positions
     n_pad = _bucket(n)
-    is_pad = _pad_to(jnp.zeros(n, dtype=jnp.uint32), n_pad, jnp.uint32(1))
     positions = _pad_to(positions, n_pad, _PAD_POS)
     cap_len = _pad_to(cap_len, n_pad, jnp.uint32(0))
+
+    if packed2 is not None and max_kmer_len is not None and max_kmer_len <= 32:
+        out = _sort_one_window2(packed2, positions, cap_len, _cdiv(max_kmer_len, 16))
+        return out[:n]
+
+    is_pad = _pad_to(jnp.zeros(n, dtype=jnp.uint32), n_pad, jnp.uint32(1))
 
     if max_kmer_len is not None and max_kmer_len <= WINDOW_BASES:
         out = _sort_one_window(packed, positions, cap_len, is_pad, _cdiv(max_kmer_len, 8))
@@ -162,7 +190,21 @@ def _adj_eq_round(packed, positions, cap_len, eq, offset, n_words):
     return eq, jnp.any(unresolved)
 
 
-def adjacent_boundaries(packed, sorted_positions, cap_len, kmer_len) -> jax.Array:
+@partial(jax.jit, static_argnames=("n_words",))
+def _adjacent_eq2(packed2, sorted_positions, cap_len, n_words):
+    """2-bit adjacent equality: equal masked words AND equal caps (with
+    rank(A)=0 the truncation point is not encoded in the words, so cap
+    equality is part of group identity — see encoding.py)."""
+    words = build_key2_words(packed2, sorted_positions, cap_len, n_words, jnp.uint32(0))
+    n = sorted_positions.shape[0]
+    eq = jnp.ones(n, dtype=bool)
+    for w in words + (cap_len,):
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eq = eq & (w == prev)
+    return eq.at[0].set(False)
+
+
+def adjacent_boundaries(packed, sorted_positions, cap_len, kmer_len, packed2=None) -> jax.Array:
     """Group-boundary mask over a sorted position array.
 
     boundary[i] = True iff kmer(sorted_positions[i]) != kmer(sorted_positions[i-1])
@@ -176,6 +218,10 @@ def adjacent_boundaries(packed, sorted_positions, cap_len, kmer_len) -> jax.Arra
     n_pad = _bucket(n)
     sorted_positions = _pad_to(sorted_positions, n_pad, _PAD_POS)
     cap_len = _pad_to(cap_len, n_pad, jnp.uint32(0))
+
+    if packed2 is not None and kmer_len is not None and kmer_len <= 32:
+        eq = _adjacent_eq2(packed2, sorted_positions, cap_len, _cdiv(kmer_len, 16))
+        return (~eq)[:n]
 
     if kmer_len is not None and kmer_len <= WINDOW_BASES:
         words = build_key_words(

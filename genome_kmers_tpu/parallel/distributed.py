@@ -37,8 +37,16 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.keys import build_key_words
+from ..ops.keys import build_key2_words, build_key_words, cap_lengths, compute_valid_len
 from ..ops.sort import _PAD_POS, _cdiv
+
+
+def _words_for(packed, positions, cap_len, n_words, two_bit):
+    """Key words at offset 0: 2-bit (16 bases/word, needs cap as an extra key
+    lane) or 4-bit (8 bases/word, truncation encoded in the words)."""
+    if two_bit:
+        return build_key2_words(packed, positions, cap_len, n_words, jnp.uint32(0))
+    return build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
 
 AXIS = "kmers"  # mesh axis name: position-sharded data parallelism
 
@@ -94,22 +102,28 @@ def _oddeven_phase(ops, n_keys, n_dev, phase):
     return tuple(jnp.where(paired, p, o) for p, o in zip(picked, ops))
 
 
-def _dist_sort_local(packed, positions, cap_len, is_pad, n_words, n_dev):
-    """shard_map body: local key build + sort, then n_dev odd-even phases."""
-    words = build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
-    ops = (is_pad,) + words + (positions, cap_len)
-    n_keys = n_words + 2
+def _dist_sort_local(packed, positions, cap_len, is_pad, n_words, n_dev, two_bit):
+    """shard_map body: local key build + sort, then n_dev odd-even phases.
+
+    Key lane order: (is_pad, words..., cap, position) — all lanes are keys.
+    The cap lane implements shorter-prefix-equal => smaller on the 2-bit path
+    and is redundant-but-harmless on the 4-bit path (equal 4-bit words imply
+    equal caps).
+    """
+    words = _words_for(packed, positions, cap_len, n_words, two_bit)
+    ops = (is_pad,) + words + (cap_len, positions)
+    n_keys = len(ops)
     ops = jax.lax.sort(ops, num_keys=n_keys)
     for phase in range(n_dev):
         ops = _oddeven_phase(ops, n_keys, n_dev, phase)
     return ops
 
 
-@partial(jax.jit, static_argnames=("n_words", "mesh"))
-def _distributed_sort_jit(packed, positions, cap_len, is_pad, n_words, mesh):
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "mesh"))
+def _distributed_sort_jit(packed, positions, cap_len, is_pad, n_words, two_bit, mesh):
     n_dev = mesh.shape[AXIS]
     fn = shard_map(
-        partial(_dist_sort_local, n_words=n_words, n_dev=n_dev),
+        partial(_dist_sort_local, n_words=n_words, n_dev=n_dev, two_bit=two_bit),
         mesh=mesh,
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=tuple([P(AXIS)] * (n_words + 3)),
@@ -120,24 +134,34 @@ def _distributed_sort_jit(packed, positions, cap_len, is_pad, n_words, mesh):
 def distributed_sort_positions(
     packed: jax.Array,
     positions: jax.Array,
-    cap_len: jax.Array,
+    seg_starts: jax.Array,
+    seg_ends: jax.Array,
     max_kmer_len: int,
     mesh: Mesh,
+    packed2: jax.Array | None = None,
 ) -> jax.Array:
     """Globally sort k-mer start positions over the mesh.
 
-    Requires a bounded ``max_kmer_len`` <= 32 bases for the distributed path
-    (the BASELINE.json configs use k in {21, 31}; longer k falls back to the
-    single-chip iterative-refinement sort). Returns the sorted uint32
-    positions, pads removed.
+    Per-position compare caps are derived internally from the segment extents
+    (caps must always be aligned with the position array they accompany — an
+    easy footgun if passed separately). Requires a bounded ``max_kmer_len``
+    <= 32 bases for the distributed path (the BASELINE.json configs use k in
+    {21, 31}; longer k falls back to the single-chip iterative-refinement
+    sort). Pass ``packed2`` (keys.pack_rank2_words) for ACGT-only genomes to
+    halve the key lanes. Returns the sorted uint32 positions, pads removed.
     """
     if max_kmer_len is None or max_kmer_len > 32:
         raise NotImplementedError(
             "distributed sort currently requires max_kmer_len <= 32 bases"
         )
+    cap_len = cap_lengths(
+        compute_valid_len(positions, seg_starts, seg_ends), max_kmer_len
+    )
+    two_bit = packed2 is not None
+    genome = packed2 if two_bit else packed
     n = positions.shape[0]
     n_dev = mesh.shape[AXIS]
-    n_words = _cdiv(max_kmer_len, 8)
+    n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
 
     positions_p = _pad_to_multiple(positions, n_dev, _PAD_POS)
     cap_p = _pad_to_multiple(cap_len, n_dev, jnp.uint32(0))
@@ -148,10 +172,10 @@ def distributed_sort_positions(
     positions_p = jax.device_put(positions_p, sharding)
     cap_p = jax.device_put(cap_p, sharding)
     is_pad = jax.device_put(is_pad, sharding)
-    packed = jax.device_put(packed, NamedSharding(mesh, P()))
+    genome = jax.device_put(genome, NamedSharding(mesh, P()))
 
-    res = _distributed_sort_jit(packed, positions_p, cap_p, is_pad, n_words, mesh)
-    sorted_pos = res[-2]
+    res = _distributed_sort_jit(genome, positions_p, cap_p, is_pad, n_words, two_bit, mesh)
+    sorted_pos = res[-1]
     return sorted_pos[:n]
 
 
@@ -160,26 +184,29 @@ def distributed_sort_positions(
 # --------------------------------------------------------------------------- #
 
 
-def _boundary_local(packed, positions, cap_len, n_words):
+def _boundary_local(packed, positions, cap_len, n_words, two_bit):
     """Local adjacent-compare boundary mask + halo exchange of edge keys.
 
     boundary[i] (local) = key[i] != key[i-1], where element -1 of shard s is
     the last element of shard s-1 (shard 0's first element is always a
-    boundary). Implemented with a ppermute halo of the first key words.
+    boundary). Implemented with a ppermute halo of the first key words. On
+    the 2-bit path the cap participates in group identity (see ops/sort.py
+    _adjacent_eq2), so it is compared as one more lane.
     """
-    words = build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
+    words = _words_for(packed, positions, cap_len, n_words, two_bit)
+    lanes = words + ((cap_len,) if two_bit else ())
     n_dev = jax.lax.axis_size(AXIS)
     my = jax.lax.axis_index(AXIS)
 
     eq = jnp.ones(positions.shape[0], dtype=bool)
     # intra-shard adjacency
-    for w in words:
+    for w in lanes:
         prev = jnp.concatenate([w[:1], w[:-1]])
         eq = eq & (w == prev)
-    # halo: previous shard's LAST word values replace element 0's comparison
+    # halo: previous shard's LAST lane values replace element 0's comparison
     halo_perm = [(i, i + 1) for i in range(n_dev - 1)]
     eq0 = jnp.ones((), dtype=bool)
-    for w in words:
+    for w in lanes:
         last = w[-1]
         prev_last = jax.lax.ppermute(last, AXIS, halo_perm)
         eq0 = eq0 & (w[0] == prev_last)
@@ -189,7 +216,7 @@ def _boundary_local(packed, positions, cap_len, n_words):
 
 
 def _dist_group_stats_local(
-    packed, positions, cap_len, is_pad, min_gs, max_gs, n_words, max_counts_bin
+    packed, positions, cap_len, is_pad, min_gs, max_gs, n_words, max_counts_bin, two_bit
 ):
     """shard_map body for the distributed group-size histogram.
 
@@ -206,7 +233,7 @@ def _dist_group_stats_local(
     my = jax.lax.axis_index(AXIS)
     offset = (my * n_local).astype(jnp.uint32)
 
-    boundary, _ = _boundary_local(packed, positions, cap_len, n_words)
+    boundary, _ = _boundary_local(packed, positions, cap_len, n_words, two_bit)
     # padding rows never start a group and never count
     valid = is_pad == jnp.uint32(0)
     boundary = boundary & valid
@@ -247,15 +274,16 @@ def _dist_group_stats_local(
     return counts, total
 
 
-@partial(jax.jit, static_argnames=("n_words", "max_counts_bin", "mesh"))
+@partial(jax.jit, static_argnames=("n_words", "max_counts_bin", "two_bit", "mesh"))
 def _distributed_group_hist_jit(
-    packed, positions, cap_len, is_pad, min_gs, max_gs, n_words, max_counts_bin, mesh
+    packed, positions, cap_len, is_pad, min_gs, max_gs, n_words, max_counts_bin, two_bit, mesh
 ):
     fn = shard_map(
         partial(
             _dist_group_stats_local,
             n_words=n_words,
             max_counts_bin=max_counts_bin,
+            two_bit=two_bit,
         ),
         mesh=mesh,
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
@@ -267,21 +295,30 @@ def _distributed_group_hist_jit(
 def distributed_group_size_histogram(
     packed: jax.Array,
     sorted_positions: jax.Array,
-    cap_len: jax.Array,
+    seg_starts: jax.Array,
+    seg_ends: jax.Array,
     kmer_len: int,
     mesh: Mesh,
     min_group_size: int = 1,
     max_group_size: int | None = None,
     max_counts_bin: int = 1000000,
+    packed2: jax.Array | None = None,
 ):
     """Group-size histogram + total count over a globally sorted, sharded
-    position array. Output matches the single-chip
-    ``ops.groups.group_size_histogram`` exactly."""
+    position array. Per-position caps are derived internally from the segment
+    extents so they are always aligned with the (sorted) position order.
+    Output matches the single-chip ``ops.groups.group_size_histogram``
+    exactly."""
     if kmer_len is None or kmer_len > 32:
         raise NotImplementedError("distributed stats currently require kmer_len <= 32")
+    cap_len = cap_lengths(
+        compute_valid_len(sorted_positions, seg_starts, seg_ends), kmer_len
+    )
+    two_bit = packed2 is not None
+    genome = packed2 if two_bit else packed
     n = sorted_positions.shape[0]
     n_dev = mesh.shape[AXIS]
-    n_words = _cdiv(kmer_len, 8)
+    n_words = _cdiv(kmer_len, 16 if two_bit else 8)
 
     positions_p = _pad_to_multiple(sorted_positions, n_dev, _PAD_POS)
     cap_p = _pad_to_multiple(cap_len, n_dev, jnp.uint32(0))
@@ -291,11 +328,11 @@ def distributed_group_size_histogram(
     positions_p = jax.device_put(positions_p, sharding)
     cap_p = jax.device_put(cap_p, sharding)
     is_pad = jax.device_put(is_pad, sharding)
-    packed = jax.device_put(packed, NamedSharding(mesh, P()))
+    genome = jax.device_put(genome, NamedSharding(mesh, P()))
 
     max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.uint32(0xFFFFFFF0)
     counts, total = _distributed_group_hist_jit(
-        packed,
+        genome,
         positions_p,
         cap_p,
         is_pad,
@@ -303,6 +340,7 @@ def distributed_group_size_histogram(
         max_gs,
         n_words,
         max_counts_bin,
+        two_bit,
         mesh,
     )
     return counts, total

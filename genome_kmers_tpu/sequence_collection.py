@@ -118,6 +118,8 @@ class _DeviceCache:
         self._sba_np = sba
         self._seg_starts_np = seg_starts
         self._packed = None
+        self._packed2 = None
+        self._is_acgt_only = None
         self._sba_dev = None
         self._seg_starts_dev = None
         self._seg_ends_dev = None
@@ -137,6 +139,27 @@ class _DeviceCache:
         if self._packed is None:
             self._packed = pack_rank_words(self.sba)
         return self._packed
+
+    @property
+    def is_acgt_only(self) -> bool:
+        """True when the SBA alphabet is a subset of {A,C,G,T,$} — unlocks
+        the 2-bit key fast path (ops/encoding.py)."""
+        if self._is_acgt_only is None:
+            counts = np.bincount(self._sba_np, minlength=256)
+            present = set(np.flatnonzero(counts))
+            self._is_acgt_only = present <= {ord(c) for c in "ACGT$"}
+        return self._is_acgt_only
+
+    @property
+    def packed2(self):
+        """2-bit packed words, or None when the alphabet rules them out."""
+        from .ops.keys import pack_rank2_words
+
+        if not self.is_acgt_only:
+            return None
+        if self._packed2 is None:
+            self._packed2 = pack_rank2_words(self.sba)
+        return self._packed2
 
     @property
     def seg_starts(self):

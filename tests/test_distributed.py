@@ -38,6 +38,11 @@ def setup_engine(seq_list, min_k, max_k):
     return km, dc, positions, cap
 
 
+def caps_for(dc, positions, k):
+    """Caps aligned with the given (possibly sorted) position order."""
+    return cap_lengths(compute_valid_len(positions, dc.seg_starts, dc.seg_ends), k)
+
+
 @pytest.fixture(scope="module")
 def mesh8():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
@@ -50,7 +55,7 @@ class TestDistributedSort:
         seq_list = [("chr1", random_seq(n_bp, seed=n_bp))]
         km, dc, positions, cap = setup_engine(seq_list, k, k)
         expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
-        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh8))
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8))
         assert np.array_equal(got, expected)
 
     def test_multi_record(self, mesh8):
@@ -62,7 +67,7 @@ class TestDistributedSort:
         k = 12
         km, dc, positions, cap = setup_engine(seq_list, k, k)
         expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
-        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh8))
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8))
         assert np.array_equal(got, expected)
 
     def test_repetitive_genome(self, mesh8):
@@ -71,14 +76,14 @@ class TestDistributedSort:
         k = 8
         km, dc, positions, cap = setup_engine(seq_list, k, k)
         expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
-        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh8))
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8))
         assert np.array_equal(got, expected)
 
     def test_oracle_strings(self, mesh8):
         seq_list = [("chr1", random_seq(300, 9))]
         k = 5
         km, dc, positions, cap = setup_engine(seq_list, k, k)
-        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh8))
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8))
         seq = seq_list[0][1]
         exp = sorted(seq[i : i + k] for i in range(len(seq) - k + 1))
         got_strs = [seq[p : p + k] for p in got]
@@ -88,7 +93,34 @@ class TestDistributedSort:
         seq_list = [("chr1", random_seq(100, 4))]
         km, dc, positions, cap = setup_engine(seq_list, 1, None)
         with pytest.raises(NotImplementedError):
-            distributed_sort_positions(dc.packed, positions, cap, None, mesh8)
+            distributed_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, None, mesh8)
+
+    @pytest.mark.parametrize("n_bp,k", [(300, 8), (777, 31)])
+    def test_two_bit_path_matches(self, mesh8, n_bp, k):
+        """ACGT-only genomes ride the 2-bit half-lane keys; output must stay
+        identical to the 4-bit distributed path and the single-chip sort."""
+        seq_list = [("chr1", random_seq(n_bp, seed=500 + n_bp))]
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        assert dc.packed2 is not None
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got4 = np.asarray(distributed_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8))
+        got2 = np.asarray(
+            distributed_sort_positions(None, positions, dc.seg_starts, dc.seg_ends, k, mesh8, packed2=dc.packed2)
+        )
+        assert np.array_equal(got4, expected)
+        assert np.array_equal(got2, expected)
+
+    def test_two_bit_short_records_cap_ties(self, mesh8):
+        """Records shorter than k force truncated k-mers: the 2-bit cap lane
+        must order shorter-prefix-equal k-mers first, matching 4-bit."""
+        seq_list = [("r%d" % i, "A" * (3 + i % 5)) for i in range(40)]
+        k = 8
+        km, dc, positions, cap = setup_engine(seq_list, 2, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got2 = np.asarray(
+            distributed_sort_positions(None, positions, dc.seg_starts, dc.seg_ends, k, mesh8, packed2=dc.packed2)
+        )
+        assert np.array_equal(got2, expected)
 
     @pytest.mark.parametrize("n_dev", [2, 4])
     def test_smaller_meshes(self, n_dev):
@@ -97,7 +129,7 @@ class TestDistributedSort:
         k = 8
         km, dc, positions, cap = setup_engine(seq_list, k, k)
         expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
-        got = np.asarray(distributed_sort_positions(dc.packed, positions, cap, k, mesh))
+        got = np.asarray(distributed_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh))
         assert np.array_equal(got, expected)
 
 
@@ -107,7 +139,7 @@ class TestDistributedGroupStats:
         seq_list = [("chr1", random_seq(n_bp, seed=77 + n_bp))]
         km, dc, positions, cap = setup_engine(seq_list, k, k)
         sorted_pos = sort_positions(dc.packed, positions, cap, k)
-        boundary = adjacent_boundaries(dc.packed, sorted_pos, cap, k)
+        boundary = adjacent_boundaries(dc.packed, sorted_pos, caps_for(dc, sorted_pos, k), k)
         from genome_kmers_tpu.ops.groups import group_geometry
 
         _, _, size, _ = group_geometry(boundary)
@@ -115,7 +147,7 @@ class TestDistributedGroupStats:
             boundary, size, jnp.uint32(1), jnp.uint32(0xFFFFFFF0), max_counts_bin=50
         )
         got_counts, got_total = distributed_group_size_histogram(
-            dc.packed, sorted_pos, cap, k, mesh8, max_counts_bin=50
+            dc.packed, sorted_pos, dc.seg_starts, dc.seg_ends, k, mesh8, max_counts_bin=50
         )
         assert int(got_total) == int(exp_total)
         assert np.array_equal(np.asarray(got_counts), np.asarray(exp_counts))
@@ -127,17 +159,31 @@ class TestDistributedGroupStats:
         km, dc, positions, cap = setup_engine(seq_list, k, k)
         sorted_pos = sort_positions(dc.packed, positions, cap, k)
         counts, total = distributed_group_size_histogram(
-            dc.packed, sorted_pos, cap, k, mesh8, max_counts_bin=600
+            dc.packed, sorted_pos, dc.seg_starts, dc.seg_ends, k, mesh8, max_counts_bin=600
         )
         assert int(total) == 500
         assert int(np.asarray(counts)[500]) == 1
+
+    def test_two_bit_histogram_matches(self, mesh8):
+        seq_list = [("chr1", random_seq(400, 31))] + [("s%d" % i, "AC" * 3) for i in range(5)]
+        k = 4
+        km, dc, positions, cap = setup_engine(seq_list, 2, k)
+        sorted_pos = sort_positions(dc.packed, positions, cap, k)
+        exp_counts, exp_total = distributed_group_size_histogram(
+            dc.packed, sorted_pos, dc.seg_starts, dc.seg_ends, k, mesh8, max_counts_bin=40
+        )
+        got_counts, got_total = distributed_group_size_histogram(
+            None, sorted_pos, dc.seg_starts, dc.seg_ends, k, mesh8, max_counts_bin=40, packed2=dc.packed2
+        )
+        assert int(got_total) == int(exp_total)
+        assert np.array_equal(np.asarray(got_counts), np.asarray(exp_counts))
 
     def test_bounds_filtering(self, mesh8):
         seq_list = [("chr1", random_seq(400, 55))]
         k = 3
         km, dc, positions, cap = setup_engine(seq_list, k, k)
         sorted_pos = sort_positions(dc.packed, positions, cap, k)
-        boundary = adjacent_boundaries(dc.packed, sorted_pos, cap, k)
+        boundary = adjacent_boundaries(dc.packed, sorted_pos, caps_for(dc, sorted_pos, k), k)
         from genome_kmers_tpu.ops.groups import group_geometry
 
         _, _, size, _ = group_geometry(boundary)
@@ -145,7 +191,7 @@ class TestDistributedGroupStats:
             boundary, size, jnp.uint32(2), jnp.uint32(9), max_counts_bin=20
         )
         got_counts, got_total = distributed_group_size_histogram(
-            dc.packed, sorted_pos, cap, k, mesh8,
+            dc.packed, sorted_pos, dc.seg_starts, dc.seg_ends, k, mesh8,
             min_group_size=2, max_group_size=9, max_counts_bin=20,
         )
         assert int(got_total) == int(exp_total)

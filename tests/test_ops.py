@@ -60,6 +60,29 @@ class TestEncoding:
     def test_reverse_complement_bytes(self):
         assert bytearray(reverse_complement_bytes(_sba("ACGT$N"))).decode() == "N$ACGT"
 
+    def test_pack_rank2_words(self):
+        from genome_kmers_tpu.ops.keys import pack_rank2_words
+
+        sba = _sba("ACGT" * 5)
+        dev = np.asarray(pack_rank2_words(jnp.asarray(sba)))
+        # P2[0] packs A,C,G,T x 4 = 0b00011011 x 4 = 0x1B1B1B1B
+        assert dev[0] == 0x1B1B1B1B
+        # near the end, missing bases pack as 0
+        assert dev[16] == np.uint32(0x1B000000)
+
+    def test_2bit_sort_cap_lane_rule(self):
+        """'AA' (to segment end) must sort before 'AAA' on the 2-bit path —
+        the rank(A)=0 ambiguity the cap lane exists to resolve."""
+        from genome_kmers_tpu.ops.keys import pack_rank2_words
+        from genome_kmers_tpu.ops.sort import sort_positions
+
+        sba = _sba("AAA$AA")
+        packed2 = pack_rank2_words(jnp.asarray(sba))
+        positions = jnp.asarray(np.array([0, 4], dtype=np.uint32))
+        cap = jnp.asarray(np.array([3, 2], dtype=np.uint32))
+        out = np.asarray(sort_positions(None, positions, cap, 32, packed2=packed2))
+        assert list(out) == [4, 0]
+
 
 class TestSegmentMath:
     def test_seg_ends(self):
