@@ -28,6 +28,17 @@ def main():
     reps = int(os.environ.get("GKT_BENCH_REPS", 3))
 
     import jax
+
+    # Persistent compilation cache: remote TPU compiles of the sort pipeline
+    # run ~2.5-8 min per shape; caching them makes repeat benchmark runs
+    # (including the driver's) start in seconds.
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from genome_kmers_tpu.ops.keys import (

@@ -991,6 +991,89 @@ class Kmers:
 
         return is_less_than
 
+    # ------------------------------------------------------------------ #
+    # extensions beyond the reference (flagged; no reference analog)
+    # ------------------------------------------------------------------ #
+
+    def count_queries(self, queries: list, kmer_len: Union[int, None] = None) -> np.ndarray:
+        """EXTENSION: streaming occurrence counts for query k-mer strings via
+        vectorized binary search over the sorted index (ops/query.py). The
+        reference can only count by walking groups (kmers.py:994-1083).
+
+        Query identity matches ``get_kmers(kmer_len=L)`` group identity.
+        Requires a sorted index.
+        """
+        if not self._is_sorted:
+            raise ValueError("count_queries requires a sorted index. Run sort() first.")
+        self._check_forward_only()
+        if not queries:
+            return np.zeros(0, dtype=np.uint32)
+        if kmer_len is None:
+            kmer_len = len(queries[0])
+        if kmer_len < 1:
+            raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
+
+        from .ops.keys import cap_lengths, compute_valid_len
+        from .ops.query import count_queries as _count_queries
+        from .ops.query import encode_query_words
+
+        dc = self.seq_coll.device_cache("forward")
+        positions = self._device_positions()
+        cap = cap_lengths(
+            compute_valid_len(positions, dc.seg_starts, dc.seg_ends), kmer_len
+        )
+        q_words = encode_query_words(queries, kmer_len)
+        return np.asarray(_count_queries(dc.packed, positions, cap, q_words, kmer_len))
+
+    def get_canonical_kmer_group_counts(
+        self,
+        kmer_len: int,
+        max_counts_bin: int = 1000000,
+    ) -> tuple[np.ndarray, int]:
+        """EXTENSION: group-size histogram over CANONICAL (strand-collapsed)
+        k-mers — each k-mer identified with min(kmer, revcomp(kmer))
+        (ops/canonical.py). The reference declares both-strand handling but
+        raises NotImplementedError (kmers.py:689-696).
+
+        Requires an ACGT-only genome and kmer_len <= 32; only full-length
+        k-mers participate (truncated k-mers have no canonical form).
+        """
+        self._check_forward_only()
+        if kmer_len is None or kmer_len < 1 or kmer_len > 32:
+            raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 32]")
+        if max_counts_bin <= 0:
+            raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
+
+        import jax.numpy as jnp
+
+        from .ops.canonical import canonical_boundaries, canonical_sort
+        from .ops.groups import group_geometry, group_size_histogram
+        from .ops.keys import compute_valid_len
+
+        dc = self.seq_coll.device_cache("forward")
+        if dc.packed2 is None:
+            raise NotImplementedError(
+                "canonical k-mer statistics require an ACGT-only genome"
+            )
+        positions = self._device_positions()
+        valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
+        keep = np.flatnonzero(np.asarray(valid_len) >= kmer_len)
+        full = jnp.take(positions, jnp.asarray(keep.astype(np.int32)))
+        if full.shape[0] == 0:
+            return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
+
+        _, sorted_words = canonical_sort(dc.packed2, full, kmer_len)
+        boundary = canonical_boundaries(sorted_words)
+        _, _, size, _ = group_geometry(boundary)
+        counts, total = group_size_histogram(
+            boundary,
+            size,
+            jnp.uint32(1),
+            jnp.asarray(_UINT32_SENTINEL),
+            max_counts_bin=max_counts_bin,
+        )
+        return np.asarray(counts).astype(np.int64), int(total)
+
     def to_csv(self, kmer_len, output_file_path, fields=["kmer"]):
         """Write k-mers to CSV.
 

@@ -1,0 +1,181 @@
+"""Extension tests: canonical k-mers and streaming count queries — features
+the reference declares but does not implement (kmers.py:689-696) or has no
+analog for. Verified against pure-Python brute force.
+"""
+
+import numpy as np
+import pytest
+
+from genome_kmers_tpu import Kmers, SequenceCollection
+
+COMP = str.maketrans("ACGT", "TGCA")
+
+
+def revcomp(s: str) -> str:
+    return s.translate(COMP)[::-1]
+
+
+def random_seq(n, seed):
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def make_sorted(seq_list, min_k, max_k):
+    sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=min_k, max_kmer_len=max_k)
+    km.sort()
+    return km
+
+
+class TestCountQueries:
+    @pytest.mark.parametrize("k", [3, 8, 11, 31])
+    def test_counts_match_brute_force(self, k):
+        seq = random_seq(500, seed=k)
+        km = make_sorted([("chr1", seq)], k, k)
+        rng = np.random.default_rng(99)
+        # half real k-mers from the genome, half random (possibly absent)
+        queries = [seq[i : i + k] for i in rng.integers(0, len(seq) - k, size=8)]
+        queries += [random_seq(k, seed=1000 + j) for j in range(8)]
+        got = km.count_queries(queries)
+        for q, c in zip(queries, got):
+            expected = sum(
+                1 for i in range(len(seq) - k + 1) if seq[i : i + k] == q
+            )
+            assert int(c) == expected, q
+
+    def test_multi_record(self):
+        seq_list = [("a", random_seq(200, 1)), ("b", random_seq(133, 2))]
+        k = 6
+        km = make_sorted(seq_list, k, k)
+        queries = [seq_list[0][1][:k], seq_list[1][1][:k], "A" * k]
+        got = km.count_queries(queries)
+        for q, c in zip(queries, got):
+            expected = sum(
+                seq[i : i + k] == q
+                for _, seq in seq_list
+                for i in range(len(seq) - k + 1)
+            )
+            assert int(c) == expected
+
+    def test_repetitive(self):
+        km = make_sorted([("chr1", "ACGT" * 50)], 4, 4)
+        got = km.count_queries(["ACGT", "CGTA", "GTAC", "TACG", "AAAA"])
+        assert list(got) == [50, 49, 49, 49, 0]
+
+    def test_iupac_genome_supported(self):
+        # 4-bit key space: queries against genomes with ambiguous bases work
+        km = make_sorted([("chr1", "ACGTNACGTNACGT")], 4, 4)
+        got = km.count_queries(["ACGT", "GTNA"])
+        assert list(got) == [3, 2]
+
+    def test_requires_sorted(self):
+        sc = SequenceCollection(sequence_list=[("c", "ACGTACGT")], strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=4, max_kmer_len=4)
+        with pytest.raises(ValueError):
+            km.count_queries(["ACGT"])
+
+    def test_bad_query_length(self):
+        km = make_sorted([("c", "ACGTACGT")], 4, 4)
+        with pytest.raises(ValueError):
+            km.count_queries(["ACG"], kmer_len=4)
+
+    def test_empty_queries(self):
+        km = make_sorted([("c", "ACGTACGT")], 4, 4)
+        assert len(km.count_queries([])) == 0
+
+
+class TestCanonicalGroupCounts:
+    def brute_hist(self, seq_list, k, max_bin):
+        from collections import Counter
+
+        counts = Counter()
+        for _, seq in seq_list:
+            for i in range(len(seq) - k + 1):
+                s = seq[i : i + k]
+                counts[min(s, revcomp(s))] += 1
+        hist = np.zeros(max_bin + 1, dtype=np.int64)
+        total = 0
+        for c in counts.values():
+            hist[min(c, max_bin)] += 1
+            total += c
+        return hist, total
+
+    @pytest.mark.parametrize("k", [1, 4, 7, 16, 17, 31, 32])
+    def test_matches_brute_force(self, k):
+        seq_list = [("chr1", random_seq(300, seed=k)), ("chr2", random_seq(77, seed=k + 1))]
+        km = make_sorted(seq_list, min(k, 77), k)
+        exp_hist, exp_total = self.brute_hist(seq_list, k, 30)
+        got_hist, got_total = km.get_canonical_kmer_group_counts(k, max_counts_bin=30)
+        assert got_total == exp_total
+        assert np.array_equal(got_hist, exp_hist), k
+
+    def test_palindromes(self):
+        # ACGT is its own revcomp; palindromic k-mers must not double-collapse
+        km = make_sorted([("c", "ACGTACGTACGT")], 4, 4)
+        exp_hist, exp_total = self.brute_hist([("c", "ACGTACGTACGT")], 4, 10)
+        got_hist, got_total = km.get_canonical_kmer_group_counts(4, max_counts_bin=10)
+        assert got_total == exp_total
+        assert np.array_equal(got_hist, exp_hist)
+
+    def test_strand_collapse(self):
+        # "AAAA" and "TTTT" collapse into one canonical group of 2
+        km = make_sorted([("a", "AAAA"), ("b", "TTTT")], 4, 4)
+        hist, total = km.get_canonical_kmer_group_counts(4, max_counts_bin=10)
+        assert total == 2
+        assert hist[2] == 1 and hist.sum() == 1
+
+    def test_unsorted_allowed(self):
+        # canonical stats sort internally; Kmers.sort() not required
+        sc = SequenceCollection(sequence_list=[("c", "ACGTACGT")], strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=4, max_kmer_len=4)
+        hist, total = km.get_canonical_kmer_group_counts(4, max_counts_bin=10)
+        assert total == 5
+
+    def test_non_acgt_rejected(self):
+        km_sc = SequenceCollection(sequence_list=[("c", "ACGTN")], strands_to_load="forward")
+        km = Kmers(km_sc, min_kmer_len=2, max_kmer_len=4)
+        with pytest.raises(NotImplementedError):
+            km.get_canonical_kmer_group_counts(4)
+
+    def test_bad_k(self):
+        km = make_sorted([("c", "ACGTACGT")], 4, 4)
+        with pytest.raises(ValueError):
+            km.get_canonical_kmer_group_counts(33)
+        with pytest.raises(ValueError):
+            km.get_canonical_kmer_group_counts(0)
+
+
+class TestRevcompKeyWords:
+    @pytest.mark.parametrize("k", [1, 5, 16, 17, 24, 32])
+    def test_revcomp_key_round_trip(self, k):
+        """rc(rc(key)) == key and rc key decodes to the string revcomp."""
+        import jax.numpy as jnp
+
+        from genome_kmers_tpu.ops.canonical import revcomp_key_words
+        from genome_kmers_tpu.ops.keys import pack_rank2_words
+
+        seq = random_seq(64, seed=k)
+        sba = np.frombuffer(seq.encode(), dtype=np.uint8)
+        packed2 = pack_rank2_words(jnp.asarray(sba))
+        from genome_kmers_tpu.ops.keys import build_key2_words
+
+        positions = jnp.asarray(np.arange(10, dtype=np.uint32))
+        cap = jnp.full(10, k, dtype=jnp.uint32)
+        n_words = -(-k // 16)
+        fwd = build_key2_words(packed2, positions, cap, n_words, jnp.uint32(0))
+        rc = revcomp_key_words(fwd, k)
+        back = revcomp_key_words(rc, k)
+        for a, b in zip(fwd, back):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+        # decode rc words and compare against the string revcomp
+        def decode(words, i):
+            bases = []
+            for w in range(n_words):
+                v = int(np.asarray(words[w])[i])
+                for f in range(16):
+                    bases.append("ACGT"[(v >> (2 * (15 - f))) & 3])
+            return "".join(bases[:k])
+
+        for i in range(10):
+            assert decode(rc, i) == revcomp(seq[i : i + k])
