@@ -919,13 +919,19 @@ class Kmers:
     # sort
     # ------------------------------------------------------------------ #
 
-    def sort(self):
+    def sort(self, mesh=None):
         """Sort kmer_sba_start_indices lexicographically by the k-mers they
         define (reference kmers.py:1624-1652), on the accelerator.
 
         Equal k-mers end up ordered by start index (the reference's
         break_ties=True mode) — deterministic, and string-identical to the
         reference's default unstable order.
+
+        Args:
+            mesh: optional ``jax.sharding.Mesh`` — run the splitter-based
+                sample sort over the mesh instead of single-chip (requires a
+                bounded max_kmer_len <= 32). EXTENSION; the reference is
+                single-process only.
         """
         self._check_forward_only()
 
@@ -944,11 +950,22 @@ class Kmers:
                     f"kmers compared were less than min_kmer_len ({self.min_kmer_len}).  Was kmer_sba_start_indices initialized correctly?"
                 )
 
-        cap = cap_lengths(valid_len, self.max_kmer_len)
         use2 = self.max_kmer_len is not None and self.max_kmer_len <= 32
         packed2 = dc.packed2 if use2 else None
         packed = dc.packed if packed2 is None else None
-        sorted_pos = sort_positions(packed, positions, cap, self.max_kmer_len, packed2=packed2)
+
+        if mesh is not None:
+            from .parallel import sample_sort_positions
+
+            sorted_pos = sample_sort_positions(
+                packed, positions, dc.seg_starts, dc.seg_ends, self.max_kmer_len,
+                mesh, packed2=packed2,
+            )
+        else:
+            cap = cap_lengths(valid_len, self.max_kmer_len)
+            sorted_pos = sort_positions(
+                packed, positions, cap, self.max_kmer_len, packed2=packed2
+            )
         self._pos_dev = sorted_pos
         self.kmer_sba_start_indices = np.asarray(sorted_pos)
         self._is_sorted = True
@@ -1000,7 +1017,10 @@ class Kmers:
         vectorized binary search over the sorted index (ops/query.py). The
         reference can only count by walking groups (kmers.py:994-1083).
 
-        Query identity matches ``get_kmers(kmer_len=L)`` group identity.
+        Query identity matches ``get_kmers(kmer_len=L)`` group identity, with
+        L defaulting to the first query's length — so queries shorter than
+        the index's max_kmer_len count PREFIX occurrences (the sorted order
+        is a refinement of any shorter-prefix order, so this is exact).
         Requires a sorted index.
         """
         if not self._is_sorted:

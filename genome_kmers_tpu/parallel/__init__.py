@@ -8,10 +8,13 @@ from .distributed import (
     distributed_sort_positions,
     make_mesh,
 )
+from .sample_sort import sample_sort_positions, sample_sort_positions_ragged
 
 __all__ = [
     "AXIS",
     "distributed_group_size_histogram",
     "distributed_sort_positions",
     "make_mesh",
+    "sample_sort_positions",
+    "sample_sort_positions_ragged",
 ]

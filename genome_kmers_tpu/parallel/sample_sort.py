@@ -1,0 +1,248 @@
+"""Splitter-based sample sort over the mesh — the bandwidth-optimal
+distributed k-mer sort (BASELINE.json north star: "splitter-based all-to-all
+redistribution").
+
+Pipeline (one shard_map, all static shapes):
+
+  1. local sort of (key words, cap, position) — position as final key makes
+     every row globally unique, so splitters partition EXACTLY even under
+     fully degenerate key distributions (an all-'A' genome included).
+  2. regular-stride sample of s rows per shard -> all_gather -> P*s samples
+     replicated -> sort -> P-1 splitters at stride s.
+  3. destination shard per row = searchsorted(splitters, row) on the full
+     (words, cap, pos) tuple. Rows are locally sorted, so destinations are a
+     non-decreasing run; bucket b occupies one contiguous slice.
+  4. fixed-capacity exchange: each shard packs bucket b into slot b of a
+     (P, C) send buffer (C = per-destination capacity, padded rows flagged),
+     then one ``jax.lax.all_to_all`` moves slot b of every shard to shard b —
+     ~1x the data over ICI, vs the odd-even merge's P phases.
+  5. local merge sort of the received (P*C) rows with an is_pad lead key:
+     shard b now holds the globally b-th key range, valid rows first.
+
+The result is globally sorted but *ragged*: shard b holds n_b real rows
+(n_b ~= N/P by step 1's uniqueness) followed by pads. ``capacity_factor``
+bounds the imbalance the exchange can absorb; an overflow indicator is
+returned so callers can retry with a larger factor (sampling error for
+s samples/shard is O(m/s), so the default is conservative).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.keys import cap_lengths, compute_valid_len
+from ..ops.sort import _PAD_POS, _cdiv
+from .distributed import AXIS, Mesh, _pad_to_multiple, _words_for
+
+_ONES = 0xFFFFFFFF
+
+
+def _lex_less_tuple(a: tuple, b: tuple):
+    """a < b, lexicographic over aligned uint32 lane tuples (broadcasts)."""
+    lt = None
+    eq = None
+    for wa, wb in zip(a, b):
+        l = wa < wb
+        e = wa == wb
+        if lt is None:
+            lt, eq = l, e
+        else:
+            lt = lt | (eq & l)
+            eq = eq & e
+    return lt
+
+
+def _searchsorted_rows(splitters: tuple, rows: tuple, n_split: int):
+    """dest[i] = number of splitters <= rows[i] (lex over lanes) — a binary
+    search unrolled over log2 rounds on the replicated splitter table."""
+    nq = rows[0].shape[0]
+    lo = jnp.zeros(nq, dtype=jnp.int32)
+    hi = jnp.full(nq, n_split, dtype=jnp.int32)
+    rounds = max(1, int(np.ceil(np.log2(max(n_split, 2)))) + 1)
+    for _ in range(rounds):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        sp = tuple(jnp.take(w, mid, mode="clip") for w in splitters)
+        # advance while splitter[mid] <= row  <=>  not (row < splitter[mid])
+        go_right = ~_lex_less_tuple(rows, sp)
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return lo
+
+
+def _sample_sort_local(genome, positions, cap_len, is_pad, n_words, n_dev, two_bit,
+                       n_samples, capacity):
+    m = positions.shape[0]
+    words = _words_for(genome, positions, cap_len, n_words, two_bit)
+    # fold pads into the lanes so they sort last everywhere
+    padm = is_pad != jnp.uint32(0)
+    ones = jnp.uint32(_ONES)
+    words = tuple(jnp.where(padm, ones, w) for w in words)
+    cap_k = jnp.where(padm, ones, cap_len)
+    pos_k = jnp.where(padm, jnp.uint32(_ONES), positions)
+
+    # 1. local sort
+    lanes = words + (cap_k, pos_k)
+    lanes = jax.lax.sort(lanes, num_keys=len(lanes))
+
+    # 2. regular-stride samples -> all_gather -> splitters
+    stride = max(m // n_samples, 1)
+    samp_idx = (jnp.arange(n_samples, dtype=jnp.int32) * stride + stride // 2) % m
+    local_samples = tuple(jnp.take(w, samp_idx) for w in lanes)
+    gathered = tuple(
+        jax.lax.all_gather(w, AXIS).reshape(-1) for w in local_samples
+    )  # (n_dev * n_samples,)
+    gsorted = jax.lax.sort(gathered, num_keys=len(gathered))
+    split_idx = (jnp.arange(n_dev - 1, dtype=jnp.int32) + 1) * n_samples
+    splitters = tuple(jnp.take(w, split_idx, mode="clip") for w in gsorted)
+
+    # 3. destination shard per row (non-decreasing since rows are sorted)
+    dest = _searchsorted_rows(splitters, lanes, n_dev - 1)
+
+    # bucket run boundaries: start[b] = first row with dest >= b. Original
+    # pad rows (all-ones lanes) sort to the local tail — clamp runs to the
+    # real-row count so they are never exchanged.
+    n_real = (m - jnp.sum(padm.astype(jnp.int32))).astype(jnp.int32)
+    b_range = jnp.arange(n_dev, dtype=jnp.int32)
+    starts = jnp.minimum(jnp.searchsorted(dest, b_range, side="left").astype(jnp.int32), n_real)
+    ends = jnp.minimum(jnp.searchsorted(dest, b_range, side="right").astype(jnp.int32), n_real)
+    counts = ends - starts
+    overflow = jnp.max(counts) > capacity
+
+    # 4. pack (n_dev, capacity) send buffers and exchange
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n_dev, capacity), 1)
+    row = starts[:, None] + slot
+    valid = slot < counts[:, None]
+    row = jnp.where(valid, row, 0)
+
+    def pack(w, fill):
+        out = jnp.take(w, row.reshape(-1), mode="clip").reshape(n_dev, capacity)
+        return jnp.where(valid, out, fill)
+
+    send = [pack(w, jnp.uint32(_ONES)) for w in lanes]
+    send_valid = valid.astype(jnp.uint32)
+
+    recv = [
+        jax.lax.all_to_all(w, AXIS, split_axis=0, concat_axis=0, tiled=False)
+        for w in send + [send_valid]
+    ]
+    recv, recv_valid = recv[:-1], recv[-1]
+    flat = [w.reshape(-1) for w in recv]
+    flat_valid = recv_valid.reshape(-1)
+
+    # 5. local merge: is_pad leads so valid rows come first, in global order
+    out_pad = (flat_valid == 0).astype(jnp.uint32)
+    merged = jax.lax.sort((out_pad,) + tuple(flat), num_keys=len(flat) + 1)
+    out_is_pad = merged[0]
+    out_pos = merged[-1]
+    out_cap = merged[-2]
+    return out_pos, out_cap, out_is_pad, jax.lax.psum(overflow.astype(jnp.uint32), AXIS)
+
+
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity", "mesh"))
+def _sample_sort_jit(genome, positions, cap_len, is_pad, n_words, two_bit,
+                     n_samples, capacity, mesh):
+    n_dev = mesh.shape[AXIS]
+    fn = shard_map(
+        partial(
+            _sample_sort_local,
+            n_words=n_words,
+            n_dev=n_dev,
+            two_bit=two_bit,
+            n_samples=n_samples,
+            capacity=capacity,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+    )
+    return fn(genome, positions, cap_len, is_pad)
+
+
+def sample_sort_positions(
+    packed: jax.Array,
+    positions: jax.Array,
+    seg_starts: jax.Array,
+    seg_ends: jax.Array,
+    max_kmer_len: int,
+    mesh: Mesh,
+    packed2: jax.Array | None = None,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+) -> jax.Array:
+    """Globally sort k-mer start positions via splitter-based sample sort.
+
+    Returns the sorted uint32 positions (compacted on host — the device-side
+    result is ragged-per-shard; use ``sample_sort_positions_ragged`` to keep
+    it on device for distributed statistics). Falls back to a larger exchange
+    capacity automatically if the splitter sample under-estimated a bucket.
+    """
+    if max_kmer_len is None or max_kmer_len > 32:
+        raise NotImplementedError("sample sort requires max_kmer_len <= 32 bases")
+    out_pos, out_is_pad = sample_sort_positions_ragged(
+        packed, positions, seg_starts, seg_ends, max_kmer_len, mesh,
+        packed2=packed2, n_samples=n_samples, capacity_factor=capacity_factor,
+    )
+    pos_np = np.asarray(out_pos)
+    pad_np = np.asarray(out_is_pad)
+    return jnp.asarray(pos_np[pad_np == 0])
+
+
+def sample_sort_positions_ragged(
+    packed,
+    positions,
+    seg_starts,
+    seg_ends,
+    max_kmer_len,
+    mesh,
+    packed2=None,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+):
+    """Device-resident variant: returns (positions, is_pad) of length
+    n_dev * capacity, globally sorted with per-shard trailing pads."""
+    if max_kmer_len is None or max_kmer_len > 32:
+        raise NotImplementedError("sample sort requires max_kmer_len <= 32 bases")
+    cap_len = cap_lengths(
+        compute_valid_len(positions, seg_starts, seg_ends), max_kmer_len
+    )
+    two_bit = packed2 is not None
+    genome = packed2 if two_bit else packed
+    n = positions.shape[0]
+    n_dev = mesh.shape[AXIS]
+    n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
+
+    positions_p = _pad_to_multiple(positions, n_dev, _PAD_POS)
+    cap_p = _pad_to_multiple(cap_len, n_dev, jnp.uint32(0))
+    is_pad = _pad_to_multiple(jnp.zeros(n, dtype=jnp.uint32), n_dev, jnp.uint32(1))
+    m = positions_p.shape[0] // n_dev
+    n_samples = min(n_samples, m)
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    positions_p = jax.device_put(positions_p, sharding)
+    cap_p = jax.device_put(cap_p, sharding)
+    is_pad = jax.device_put(is_pad, sharding)
+    genome = jax.device_put(genome, NamedSharding(mesh, P()))
+
+    factor = capacity_factor
+    while True:
+        capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
+        out_pos, out_cap, out_is_pad, overflow = _sample_sort_jit(
+            genome, positions_p, cap_p, is_pad, n_words, two_bit, n_samples,
+            capacity, mesh,
+        )
+        if int(overflow) == 0:
+            return out_pos, out_is_pad
+        if capacity >= m:
+            raise AssertionError("sample sort overflow at full capacity (bug)")
+        factor *= 2.0

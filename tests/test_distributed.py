@@ -20,6 +20,7 @@ from genome_kmers_tpu.parallel import (
     distributed_group_size_histogram,
     distributed_sort_positions,
     make_mesh,
+    sample_sort_positions,
 )
 
 
@@ -131,6 +132,103 @@ class TestDistributedSort:
         expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
         got = np.asarray(distributed_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh))
         assert np.array_equal(got, expected)
+
+
+class TestSampleSort:
+    """Splitter-based all-to-all sample sort (parallel/sample_sort.py) —
+    exact parity with the single-chip sort, including fully degenerate key
+    distributions (splitters partition on unique (key, position) rows)."""
+
+    @pytest.mark.parametrize("n_bp,k", [(200, 8), (503, 16), (1000, 31), (4096, 31)])
+    def test_matches_single_chip(self, mesh8, n_bp, k):
+        seq_list = [("chr1", random_seq(n_bp, seed=3000 + n_bp))]
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(
+            sample_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8)
+        )
+        assert np.array_equal(got, expected)
+
+    def test_all_equal_keys_balanced(self, mesh8):
+        # all-'A' genome: every key identical — position uniqueness must keep
+        # the partition exact (no overflow, no loss)
+        seq_list = [("chr1", "A" * 700)]
+        k = 4
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(
+            sample_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8)
+        )
+        assert np.array_equal(got, expected)
+
+    def test_two_bit(self, mesh8):
+        seq_list = [("chr1", random_seq(900, 41)), ("chr2", random_seq(333, 42))]
+        k = 21
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(
+            sample_sort_positions(
+                None, positions, dc.seg_starts, dc.seg_ends, k, mesh8, packed2=dc.packed2
+            )
+        )
+        assert np.array_equal(got, expected)
+
+    def test_short_records_cap_ties(self, mesh8):
+        seq_list = [("r%d" % i, "AC" * (2 + i % 4)) for i in range(30)]
+        k = 8
+        km, dc, positions, cap = setup_engine(seq_list, 2, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(
+            sample_sort_positions(
+                None, positions, dc.seg_starts, dc.seg_ends, k, mesh8, packed2=dc.packed2
+            )
+        )
+        assert np.array_equal(got, expected)
+
+    def test_overflow_retry(self, mesh8):
+        # absurdly small capacity factor forces the retry-with-larger-capacity
+        # path; result must still be exact
+        seq_list = [("chr1", random_seq(512, 77))]
+        k = 8
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(
+            sample_sort_positions(
+                dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8,
+                n_samples=4, capacity_factor=0.05,
+            )
+        )
+        assert np.array_equal(got, expected)
+
+    @pytest.mark.parametrize("n_dev", [2, 4])
+    def test_smaller_meshes(self, n_dev):
+        mesh = make_mesh(n_dev)
+        seq_list = [("chr1", random_seq(241, 60 + n_dev))]
+        k = 8
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(
+            sample_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh)
+        )
+        assert np.array_equal(got, expected)
+
+
+class TestKmersMeshSort:
+    def test_sort_with_mesh_end_to_end(self, mesh8):
+        """Kmers.sort(mesh=...) must produce the identical index and support
+        the full downstream query surface."""
+        seq_list = [("chr1", random_seq(400, 123)), ("chr2", random_seq(177, 124))]
+        sc1 = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+        km1 = Kmers(sc1, min_kmer_len=8, max_kmer_len=8)
+        km1.sort()
+        sc2 = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+        km2 = Kmers(sc2, min_kmer_len=8, max_kmer_len=8)
+        km2.sort(mesh=mesh8)
+        assert np.array_equal(km1.kmer_sba_start_indices, km2.kmer_sba_start_indices)
+        assert km2.get_kmer_count(8) == km1.get_kmer_count(8)
+        h1, t1 = km1.get_kmer_group_counts(8, max_counts_bin=10)
+        h2, t2 = km2.get_kmer_group_counts(8, max_counts_bin=10)
+        assert t1 == t2 and np.array_equal(h1, h2)
 
 
 class TestDistributedGroupStats:
