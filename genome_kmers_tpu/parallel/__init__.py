@@ -2,6 +2,12 @@
 statistics over a ``jax.sharding.Mesh`` (new TPU-native design; the reference
 has no distributed code — SURVEY.md §2)."""
 
+from .checkpoint import (
+    load_kmers_sharded,
+    load_sharded_index,
+    save_kmers_sharded,
+    save_sharded_index,
+)
 from .distributed import (
     AXIS,
     distributed_group_size_histogram,
@@ -14,7 +20,11 @@ __all__ = [
     "AXIS",
     "distributed_group_size_histogram",
     "distributed_sort_positions",
+    "load_kmers_sharded",
+    "load_sharded_index",
     "make_mesh",
     "sample_sort_positions",
     "sample_sort_positions_ragged",
+    "save_kmers_sharded",
+    "save_sharded_index",
 ]

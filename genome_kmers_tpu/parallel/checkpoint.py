@@ -1,0 +1,147 @@
+"""Sharded checkpointing of device-resident k-mer indexes — the TPU-scale
+counterpart of the reference's HDF5/shelve persistence (SURVEY.md §5.4).
+
+The reference serializes everything through host memory
+(sequence_collection.py:1293-1446, kmers.py:1306-1531); that stays the
+compatibility path. At multi-host scale the sorted position array lives
+sharded across the mesh, so checkpoints go through orbax (tensorstore under
+the hood): every host writes its own shards in parallel and restore places
+shards directly onto the target mesh without a host gather.
+
+Schema: a pytree {"sorted_positions", "packed_genome"(optional)} plus a JSON
+metadata blob (kmer params, strand, flags) — the same logical content as the
+reference's HDF5 "kmers" group.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .distributed import AXIS, Mesh
+
+_META_NAME = "gkt_meta.json"
+
+
+def save_sharded_index(
+    path,
+    sorted_positions: jax.Array,
+    meta: dict,
+    packed_genome: jax.Array | None = None,
+) -> None:
+    """Write a (possibly sharded) sorted index + metadata to ``path``.
+
+    Works for single-device and mesh-sharded arrays alike — orbax records
+    the sharding and writes each shard from its owning host.
+    """
+    import orbax.checkpoint as ocp
+
+    import jax.numpy as jnp
+
+    path = Path(path).absolute()
+    n_real = int(sorted_positions.shape[0])
+    # pad to a generous multiple so any mesh size up to 1024 devices can
+    # restore the array sharded (uneven splits are not shardable)
+    mult = 1024
+    n_pad = max(-(-n_real // mult) * mult, mult)
+    if n_pad != n_real:
+        sorted_positions = jnp.concatenate(
+            [
+                sorted_positions,
+                jnp.full((n_pad - n_real,), 0xFFFFFFF0, dtype=sorted_positions.dtype),
+            ]
+        )
+    tree = {"sorted_positions": sorted_positions}
+    if packed_genome is not None:
+        tree["packed_genome"] = packed_genome
+    meta = dict(meta)
+    meta["__n_real__"] = n_real
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "arrays", tree, force=True)
+    meta["__arrays__"] = {
+        name: {"shape": list(a.shape), "dtype": str(a.dtype)} for name, a in tree.items()
+    }
+    (path / _META_NAME).write_text(json.dumps(meta))
+
+
+def load_sharded_index(path, mesh: Mesh | None = None):
+    """Restore (sorted_positions, packed_genome_or_None, meta).
+
+    With ``mesh``, the position array is restored sharded along the k-mer
+    axis and the genome replicated; without, everything restores to the
+    default device layout.
+    """
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    meta = json.loads((path / _META_NAME).read_text())
+    arrays_info = meta.pop("__arrays__", {"sorted_positions": None})
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if mesh is not None:
+            target = {}
+            for name, info in arrays_info.items():
+                spec = P(AXIS) if name == "sorted_positions" else P()
+                target[name] = jax.ShapeDtypeStruct(
+                    tuple(info["shape"]),
+                    np.dtype(info["dtype"]),
+                    sharding=NamedSharding(mesh, spec),
+                )
+            tree = ckptr.restore(path / "arrays", target)
+        else:
+            tree = ckptr.restore(path / "arrays")
+
+    meta["__n_real__"] = meta.get("__n_real__", tree["sorted_positions"].shape[0])
+    return tree["sorted_positions"], tree.get("packed_genome"), meta
+
+
+def save_kmers_sharded(kmers, path, include_genome: bool = False) -> None:
+    """Checkpoint a sorted Kmers object's device state (EXTENSION).
+
+    Metadata mirrors the reference's HDF5 "kmers" group fields
+    (kmers.py:1400-1433) so the logical schema is recognizable.
+    """
+    if not kmers._is_sorted:
+        raise ValueError("save_kmers_sharded requires a sorted index")
+    meta = {
+        "min_kmer_len": kmers.min_kmer_len,
+        "max_kmer_len": kmers.max_kmer_len,
+        "kmer_source_strand": kmers.kmer_source_strand,
+        "track_strands_separately": kmers.track_strands_separately,
+        "_is_initialized": kmers._is_initialized,
+        "_is_set": kmers._is_set,
+        "_is_sorted": kmers._is_sorted,
+        "num_kmers": int(len(kmers)),
+    }
+    genome = None
+    if include_genome:
+        genome = kmers.seq_coll.device_cache("forward").packed
+    save_sharded_index(path, kmers._device_positions(), meta, packed_genome=genome)
+
+
+def load_kmers_sharded(kmers, path, mesh: Mesh | None = None) -> dict:
+    """Restore a checkpoint into an initialized Kmers object (EXTENSION).
+
+    The caller provides a Kmers built over the same SequenceCollection
+    (matching the reference's external-seq_coll load path, kmers.py:1466-1470);
+    metadata is validated against it. Returns the metadata dict.
+    """
+    sorted_pos, _, meta = load_sharded_index(path, mesh=mesh)
+    if meta["min_kmer_len"] != kmers.min_kmer_len or meta["max_kmer_len"] != kmers.max_kmer_len:
+        raise ValueError(
+            f"checkpoint kmer params (min={meta['min_kmer_len']}, max={meta['max_kmer_len']}) "
+            f"do not match this Kmers (min={kmers.min_kmer_len}, max={kmers.max_kmer_len})"
+        )
+    if meta["num_kmers"] != len(kmers):
+        raise ValueError(
+            f"checkpoint has {meta['num_kmers']} kmers, this Kmers has {len(kmers)}"
+        )
+    n_real = int(meta["__n_real__"])
+    kmers.kmer_sba_start_indices = np.asarray(sorted_pos)[:n_real]
+    kmers._pos_dev = None  # lazily re-uploaded at the trimmed length
+    kmers._is_sorted = bool(meta["_is_sorted"])
+    return meta
