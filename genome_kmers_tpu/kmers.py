@@ -371,8 +371,10 @@ class Kmers:
 
     def _initialize_single_pass(self, kmer_filters=[]):
         """Vectorized equivalent of the reference's per-record np.arange fill
-        (kmers.py:789-835): one repeat/cumsum pass builds every k-mer start
-        position in [seg_start, seg_end - min_kmer_len + 1] per record."""
+        (kmers.py:789-835): per record, every k-mer start position in
+        [seg_start, seg_end - min_kmer_len + 1] fills a preallocated uint32
+        array directly — peak extra memory is O(records), not O(kmers), so a
+        3.1-Gbp genome needs just the 12.4 GB output array."""
         if kmer_filters != []:
             raise NotImplementedError("kmer_filters have not been implemented")
 
@@ -381,19 +383,15 @@ class Kmers:
             msg = "the size of the required kmers array exceeds the limit set by a uint32"
             raise NotImplementedError(msg)
 
-        seg_starts = []
-        counts = []
+        out = np.empty(num_kmers, dtype=np.uint32)
+        write = 0
         for _, s, e in self.seq_coll.iter_records():
-            seg_starts.append(s)
-            counts.append((e - s + 1) - self.min_kmer_len + 1)
-        seg_starts = np.asarray(seg_starts, dtype=np.int64)
-        counts = np.asarray(counts, dtype=np.int64)
-
-        starts_rep = np.repeat(seg_starts, counts)
-        cum_excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        base_rep = np.repeat(cum_excl, counts)
-        offsets = np.arange(num_kmers, dtype=np.int64) - base_rep
-        self.kmer_sba_start_indices = (starts_rep + offsets).astype(np.uint32)
+            count = (e - s + 1) - self.min_kmer_len + 1
+            out[write : write + count] = np.arange(s, s + count, dtype=np.uint32)
+            write += count
+        if write != num_kmers:
+            raise AssertionError("logic error filling kmer_sba_start_indices")
+        self.kmer_sba_start_indices = out
         self._pos_dev = None
 
     def _get_unfiltered_kmer_count(self) -> int:
