@@ -68,7 +68,8 @@ def main():
         # A scalar-digest transfer forces real device completion; on remote
         # backends block_until_ready can return before execution finishes
         # (measured: 2.8 ms "sorts" of 16M keys), so never time against it.
-        r = sort_positions(packed, positions, cap, k, packed2=packed2)
+        # single segment, positions end k-1 early => every cap == k exactly
+        r = sort_positions(packed, positions, cap, k, packed2=packed2, uniform_cap=use2)
         return float(jnp.sum(r))
 
     # discard first run (XLA compile), same hygiene as the reference's

@@ -510,7 +510,10 @@ class Kmers:
             use2 = kmer_len is not None and kmer_len <= 32
             packed2 = dc.packed2 if use2 else None
             packed = dc.packed if packed2 is None else None
-            boundary = adjacent_boundaries(packed, surv_pos, cap, kmer_len, packed2=packed2)
+            uniform = kmer_len is not None and self.min_kmer_len >= kmer_len
+            boundary = adjacent_boundaries(
+                packed, surv_pos, cap, kmer_len, packed2=packed2, uniform_cap=uniform
+            )
         else:
             boundary = jnp.ones(m, dtype=bool)
 
@@ -961,8 +964,12 @@ class Kmers:
             )
         else:
             cap = cap_lengths(valid_len, self.max_kmer_len)
+            uniform = (
+                self.max_kmer_len is not None and self.min_kmer_len == self.max_kmer_len
+            )
             sorted_pos = sort_positions(
-                packed, positions, cap, self.max_kmer_len, packed2=packed2
+                packed, positions, cap, self.max_kmer_len, packed2=packed2,
+                uniform_cap=uniform,
             )
         self._pos_dev = sorted_pos
         self.kmer_sba_start_indices = np.asarray(sorted_pos)

@@ -55,8 +55,8 @@ def _pad_to(arr, n_pad: int, fill):
     return jnp.concatenate([arr, jnp.full((n_pad - n,), fill, dtype=arr.dtype)])
 
 
-@partial(jax.jit, static_argnames=("n_words",))
-def _sort_one_window2(packed2, positions, cap_len, n_words):
+@partial(jax.jit, static_argnames=("n_words", "uniform_cap"))
+def _sort_one_window2(packed2, positions, cap_len, n_words, uniform_cap=False):
     """2-bit fast path: half the key lanes of the 4-bit path for the same k.
 
     Padding rows are recognized by cap_len == 0 (every real k-mer start has at
@@ -64,13 +64,22 @@ def _sort_one_window2(packed2, positions, cap_len, n_words):
     no separate is_pad lane is needed. The cap rides as an explicit key after
     the words — with rank(A) = 0, equal masked words + smaller cap is exactly
     the reference's shorter-prefix-equal => smaller rule (kmers.py:372-377).
+
+    ``uniform_cap=True`` asserts every real row's cap equals the same k
+    (min_kmer_len == max_kmer_len, the flagship counting configs): the cap
+    lane is then constant and dropped — one less lane to sort. Pads still
+    order last because their all-ones words tie only with all-'T' k-mers,
+    which the position lane (real < sentinel) resolves.
     """
     words = build_key2_words(packed2, positions, cap_len, n_words, jnp.uint32(0))
     pad = cap_len == jnp.uint32(0)
     ones = jnp.uint32(0xFFFFFFFF)
     words = tuple(jnp.where(pad, ones, w) for w in words)
-    cap_key = jnp.where(pad, ones, cap_len)
-    ops = words + (cap_key, positions)
+    if uniform_cap:
+        ops = words + (positions,)
+    else:
+        cap_key = jnp.where(pad, ones, cap_len)
+        ops = words + (cap_key, positions)
     res = jax.lax.sort(ops, num_keys=len(ops))
     return res[-1]
 
@@ -130,7 +139,9 @@ def _sort_round(packed, positions, cap_len, group_id, offset, n_words, first):
     return s_pos, s_cap, new_gid, jnp.any(unresolved)
 
 
-def sort_positions(packed, positions, cap_len, max_kmer_len, packed2=None) -> jax.Array:
+def sort_positions(
+    packed, positions, cap_len, max_kmer_len, packed2=None, uniform_cap=False
+) -> jax.Array:
     """Sort k-mer start positions lexicographically by their (capped) suffix.
 
     Args:
@@ -157,7 +168,9 @@ def sort_positions(packed, positions, cap_len, max_kmer_len, packed2=None) -> ja
     cap_len = _pad_to(cap_len, n_pad, jnp.uint32(0))
 
     if packed2 is not None and max_kmer_len is not None and max_kmer_len <= 32:
-        out = _sort_one_window2(packed2, positions, cap_len, _cdiv(max_kmer_len, 16))
+        out = _sort_one_window2(
+            packed2, positions, cap_len, _cdiv(max_kmer_len, 16), uniform_cap
+        )
         return out[:n]
 
     is_pad = _pad_to(jnp.zeros(n, dtype=jnp.uint32), n_pad, jnp.uint32(1))
@@ -190,21 +203,25 @@ def _adj_eq_round(packed, positions, cap_len, eq, offset, n_words):
     return eq, jnp.any(unresolved)
 
 
-@partial(jax.jit, static_argnames=("n_words",))
-def _adjacent_eq2(packed2, sorted_positions, cap_len, n_words):
+@partial(jax.jit, static_argnames=("n_words", "uniform_cap"))
+def _adjacent_eq2(packed2, sorted_positions, cap_len, n_words, uniform_cap=False):
     """2-bit adjacent equality: equal masked words AND equal caps (with
     rank(A)=0 the truncation point is not encoded in the words, so cap
-    equality is part of group identity — see encoding.py)."""
+    equality is part of group identity — see encoding.py). With uniform caps
+    the cap compare is a constant and skipped."""
     words = build_key2_words(packed2, sorted_positions, cap_len, n_words, jnp.uint32(0))
     n = sorted_positions.shape[0]
     eq = jnp.ones(n, dtype=bool)
-    for w in words + (cap_len,):
+    lanes = words if uniform_cap else words + (cap_len,)
+    for w in lanes:
         prev = jnp.concatenate([w[:1], w[:-1]])
         eq = eq & (w == prev)
     return eq.at[0].set(False)
 
 
-def adjacent_boundaries(packed, sorted_positions, cap_len, kmer_len, packed2=None) -> jax.Array:
+def adjacent_boundaries(
+    packed, sorted_positions, cap_len, kmer_len, packed2=None, uniform_cap=False
+) -> jax.Array:
     """Group-boundary mask over a sorted position array.
 
     boundary[i] = True iff kmer(sorted_positions[i]) != kmer(sorted_positions[i-1])
@@ -220,7 +237,9 @@ def adjacent_boundaries(packed, sorted_positions, cap_len, kmer_len, packed2=Non
     cap_len = _pad_to(cap_len, n_pad, jnp.uint32(0))
 
     if packed2 is not None and kmer_len is not None and kmer_len <= 32:
-        eq = _adjacent_eq2(packed2, sorted_positions, cap_len, _cdiv(kmer_len, 16))
+        eq = _adjacent_eq2(
+            packed2, sorted_positions, cap_len, _cdiv(kmer_len, 16), uniform_cap
+        )
         return (~eq)[:n]
 
     if kmer_len is not None and kmer_len <= WINDOW_BASES:
