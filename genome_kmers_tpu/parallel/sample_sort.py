@@ -81,18 +81,21 @@ def _searchsorted_rows(splitters: tuple, rows: tuple, n_split: int):
 
 
 def _sample_sort_local(genome, positions, cap_len, is_pad, n_words, n_dev, two_bit,
-                       n_samples, capacity):
+                       n_samples, capacity, uniform_cap):
     m = positions.shape[0]
     words = _words_for(genome, positions, cap_len, n_words, two_bit)
     # fold pads into the lanes so they sort last everywhere
     padm = is_pad != jnp.uint32(0)
     ones = jnp.uint32(_ONES)
     words = tuple(jnp.where(padm, ones, w) for w in words)
-    cap_k = jnp.where(padm, ones, cap_len)
     pos_k = jnp.where(padm, jnp.uint32(_ONES), positions)
 
-    # 1. local sort
-    lanes = words + (cap_k, pos_k)
+    # 1. local sort (cap lane dropped when every real cap equals the same k)
+    if uniform_cap:
+        lanes = words + (pos_k,)
+    else:
+        cap_k = jnp.where(padm, ones, cap_len)
+        lanes = words + (cap_k, pos_k)
     lanes = jax.lax.sort(lanes, num_keys=len(lanes))
 
     # 2. regular-stride samples -> all_gather -> splitters
@@ -145,13 +148,13 @@ def _sample_sort_local(genome, positions, cap_len, is_pad, n_words, n_dev, two_b
     merged = jax.lax.sort((out_pad,) + tuple(flat), num_keys=len(flat) + 1)
     out_is_pad = merged[0]
     out_pos = merged[-1]
-    out_cap = merged[-2]
-    return out_pos, out_cap, out_is_pad, jax.lax.psum(overflow.astype(jnp.uint32), AXIS)
+    return out_pos, out_is_pad, jax.lax.psum(overflow.astype(jnp.uint32), AXIS)
 
 
-@partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity", "mesh"))
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity",
+                                   "uniform_cap", "mesh"))
 def _sample_sort_jit(genome, positions, cap_len, is_pad, n_words, two_bit,
-                     n_samples, capacity, mesh):
+                     n_samples, capacity, uniform_cap, mesh):
     n_dev = mesh.shape[AXIS]
     fn = shard_map(
         partial(
@@ -161,10 +164,11 @@ def _sample_sort_jit(genome, positions, cap_len, is_pad, n_words, two_bit,
             two_bit=two_bit,
             n_samples=n_samples,
             capacity=capacity,
+            uniform_cap=uniform_cap,
         ),
         mesh=mesh,
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P()),
     )
     return fn(genome, positions, cap_len, is_pad)
 
@@ -179,6 +183,7 @@ def sample_sort_positions(
     packed2: jax.Array | None = None,
     n_samples: int = 256,
     capacity_factor: float = 1.5,
+    uniform_cap: bool = False,
 ) -> jax.Array:
     """Globally sort k-mer start positions via splitter-based sample sort.
 
@@ -186,12 +191,15 @@ def sample_sort_positions(
     result is ragged-per-shard; use ``sample_sort_positions_ragged`` to keep
     it on device for distributed statistics). Falls back to a larger exchange
     capacity automatically if the splitter sample under-estimated a bucket.
+    ``uniform_cap=True`` asserts every position has >= max_kmer_len valid
+    bases (min_kmer_len == max_kmer_len), dropping the cap key lane.
     """
     if max_kmer_len is None or max_kmer_len > 32:
         raise NotImplementedError("sample sort requires max_kmer_len <= 32 bases")
     out_pos, out_is_pad = sample_sort_positions_ragged(
         packed, positions, seg_starts, seg_ends, max_kmer_len, mesh,
         packed2=packed2, n_samples=n_samples, capacity_factor=capacity_factor,
+        uniform_cap=uniform_cap,
     )
     pos_np = np.asarray(out_pos)
     pad_np = np.asarray(out_is_pad)
@@ -208,6 +216,7 @@ def sample_sort_positions_ragged(
     packed2=None,
     n_samples: int = 256,
     capacity_factor: float = 1.5,
+    uniform_cap: bool = False,
 ):
     """Device-resident variant: returns (positions, is_pad) of length
     n_dev * capacity, globally sorted with per-shard trailing pads."""
@@ -237,9 +246,9 @@ def sample_sort_positions_ragged(
     factor = capacity_factor
     while True:
         capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
-        out_pos, out_cap, out_is_pad, overflow = _sample_sort_jit(
+        out_pos, out_is_pad, overflow = _sample_sort_jit(
             genome, positions_p, cap_p, is_pad, n_words, two_bit, n_samples,
-            capacity, mesh,
+            capacity, uniform_cap, mesh,
         )
         if int(overflow) == 0:
             return out_pos, out_is_pad

@@ -185,6 +185,21 @@ class TestSampleSort:
         )
         assert np.array_equal(got, expected)
 
+    def test_uniform_cap_lane_drop(self, mesh8):
+        """min_kmer_len == max_kmer_len drops the cap key lane; output must
+        stay identical."""
+        seq_list = [("chr1", random_seq(600, 91)), ("chr2", random_seq(201, 92))]
+        k = 16
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(
+            sample_sort_positions(
+                None, positions, dc.seg_starts, dc.seg_ends, k, mesh8,
+                packed2=dc.packed2, uniform_cap=True,
+            )
+        )
+        assert np.array_equal(got, expected)
+
     def test_overflow_retry(self, mesh8):
         # absurdly small capacity factor forces the retry-with-larger-capacity
         # path; result must still be exact
