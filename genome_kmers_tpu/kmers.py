@@ -620,6 +620,36 @@ class Kmers:
                     int(gst[j]),
                 )
 
+    def get_kmers_arrays(
+        self,
+        kmer_len: Union[int, None],
+        kmer_filter_func: Callable = kmer_filter_keep_all,
+        min_group_size: int = 1,
+        max_group_size: Union[int, None] = None,
+        yield_first_n: Union[int, None] = None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """EXTENSION: bulk array version of ``get_kmers(kmer_info_to_yield=
+        "minimum")`` — returns (kmer_nums, sba_start_indices,
+        group_size_yielded, group_size_total) as NumPy arrays in yield order,
+        skipping the per-k-mer Python generator (the reference's throughput
+        ceiling at scale, kmers.py:989-990).
+        """
+        self._check_forward_only()
+        if kmer_len is not None and kmer_len < 1:
+            raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
+        self._check_group_params_unsorted(min_group_size, max_group_size, yield_first_n)
+
+        surv_nums, surv_pos, yielded, gsy, gst = self._group_arrays(
+            kmer_len, kmer_filter_func, min_group_size, max_group_size, yield_first_n
+        )
+        sel = np.flatnonzero(yielded)
+        return (
+            surv_nums[sel].astype(np.int64),
+            surv_pos[sel].astype(np.uint32),
+            gsy[sel].astype(np.int64),
+            gst[sel].astype(np.int64),
+        )
+
     def get_kmer_count(
         self,
         kmer_len: Union[int, None],

@@ -179,3 +179,23 @@ class TestRevcompKeyWords:
 
         for i in range(10):
             assert decode(rc, i) == revcomp(seq[i : i + k])
+
+
+class TestGetKmersArrays:
+    @pytest.mark.parametrize("mgs,xgs,yfn", [(1, None, None), (2, None, 1), (1, 2, None)])
+    def test_matches_generator(self, mgs, xgs, yfn):
+        km = make_sorted([("chr1", random_seq(200, 17))], 4, 4)
+        gen = list(
+            km.get_kmers(4, min_group_size=mgs, max_group_size=xgs, yield_first_n=yfn)
+        )
+        nums, pos, gsy, gst = km.get_kmers_arrays(
+            4, min_group_size=mgs, max_group_size=xgs, yield_first_n=yfn
+        )
+        assert [(int(a), int(b), int(c)) for a, b, c in zip(nums, gsy, gst)] == gen
+        assert np.array_equal(pos, km.kmer_sba_start_indices[nums])
+
+    def test_rejected_unsorted_group_params(self):
+        sc = SequenceCollection(sequence_list=[("c", "ACGTACGT")], strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=4, max_kmer_len=4)
+        with pytest.raises(ValueError):
+            km.get_kmers_arrays(4, min_group_size=2)
