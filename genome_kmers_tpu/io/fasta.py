@@ -66,8 +66,10 @@ def parse_fasta_bytes(data: bytes) -> tuple[np.ndarray, np.ndarray, list[str]]:
     body = _UPPER_TABLE[arr[keep]]
     total_seq_len = int(body.size)
 
-    # per-record sequence lengths from cumulative kept-byte counts at header starts
-    kept_cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+    # per-record sequence lengths from cumulative kept-byte counts at header
+    # starts (cast before cumsum: numpy's dtype-converting bool cumsum is a
+    # ~50x slower scalar path)
+    kept_cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
     kept_before_header = kept_cum[line_starts[header_idx]]
     seq_lens = np.diff(np.concatenate([kept_before_header, [total_seq_len]]))
 
