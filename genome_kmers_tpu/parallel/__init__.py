@@ -11,6 +11,7 @@ from .checkpoint import (
 from .distributed import (
     AXIS,
     distributed_group_size_histogram,
+    distributed_group_size_histogram_ragged,
     distributed_sort_positions,
     make_mesh,
 )
@@ -19,6 +20,7 @@ from .sample_sort import sample_sort_positions, sample_sort_positions_ragged
 __all__ = [
     "AXIS",
     "distributed_group_size_histogram",
+    "distributed_group_size_histogram_ragged",
     "distributed_sort_positions",
     "load_kmers_sharded",
     "load_sharded_index",

@@ -184,84 +184,81 @@ def distributed_sort_positions(
 # --------------------------------------------------------------------------- #
 
 
-def _boundary_local(packed, positions, cap_len, n_words, two_bit):
-    """Local adjacent-compare boundary mask + halo exchange of edge keys.
-
-    boundary[i] (local) = key[i] != key[i-1], where element -1 of shard s is
-    the last element of shard s-1 (shard 0's first element is always a
-    boundary). Implemented with a ppermute halo of the first key words. On
-    the 2-bit path the cap participates in group identity (see ops/sort.py
-    _adjacent_eq2), so it is compared as one more lane.
-    """
-    words = _words_for(packed, positions, cap_len, n_words, two_bit)
-    lanes = words + ((cap_len,) if two_bit else ())
-    n_dev = jax.lax.axis_size(AXIS)
-    my = jax.lax.axis_index(AXIS)
-
-    eq = jnp.ones(positions.shape[0], dtype=bool)
-    # intra-shard adjacency
-    for w in lanes:
-        prev = jnp.concatenate([w[:1], w[:-1]])
-        eq = eq & (w == prev)
-    # halo: previous shard's LAST lane values replace element 0's comparison
-    halo_perm = [(i, i + 1) for i in range(n_dev - 1)]
-    eq0 = jnp.ones((), dtype=bool)
-    for w in lanes:
-        last = w[-1]
-        prev_last = jax.lax.ppermute(last, AXIS, halo_perm)
-        eq0 = eq0 & (w[0] == prev_last)
-    eq0 = jnp.where(my == 0, False, eq0)
-    eq = eq.at[0].set(eq0)
-    return ~eq, words
-
-
 def _dist_group_stats_local(
     packed, positions, cap_len, is_pad, min_gs, max_gs, n_words, max_counts_bin, two_bit
 ):
     """shard_map body for the distributed group-size histogram.
 
     Strategy (SURVEY.md §5.7 boundary stitching): compute the boundary mask
-    with a halo compare, then derive *global* run lengths for every group via
-    a cross-shard exclusive scan of element counts: each group's size is
-    (index of next boundary) - (index of this boundary) in GLOBAL coordinates.
-    We get global coordinates by adding the shard offset (psum-scan) to local
-    indices; next-boundary positions propagate backward across shards via a
-    reverse cummin + all_gather of each shard's first-boundary position.
+    with a halo compare, then derive *global* run lengths for every group in
+    VALID-row coordinates — vidx[i] = number of valid rows before i across
+    all shards — so padding may sit at the tail of EVERY shard (the ragged
+    layout the sample sort produces), not just globally last. Each group's
+    size is (vidx of next boundary, or total valid) - (vidx of this
+    boundary); next-boundary vidx propagates backward across shards via a
+    reverse cummin + all_gather of each shard's first-boundary vidx.
+
+    The halo compare at shard edges uses the LAST VALID row of the nearest
+    previous non-empty shard (empty shards are skipped via a replicated
+    prefix max over all_gather'd lane values).
     """
     n_local = positions.shape[0]
     n_dev = jax.lax.axis_size(AXIS)
     my = jax.lax.axis_index(AXIS)
-    offset = (my * n_local).astype(jnp.uint32)
 
-    boundary, _ = _boundary_local(packed, positions, cap_len, n_words, two_bit)
-    # padding rows never start a group and never count
     valid = is_pad == jnp.uint32(0)
-    boundary = boundary & valid
+    cap_len = jnp.where(valid, cap_len, jnp.uint32(0))
+    n_valid = jnp.sum(valid.astype(jnp.uint32))
+    all_n_valid = jax.lax.all_gather(n_valid, AXIS)  # (n_dev,)
+    offset = jnp.sum(jnp.where(jnp.arange(n_dev) < my, all_n_valid, 0)).astype(jnp.uint32)
+    total_valid = jnp.sum(all_n_valid).astype(jnp.uint32)
+    BIG = jnp.uint32(0xFFFFFFF0)
 
-    idx = jnp.arange(n_local, dtype=jnp.uint32) + offset
-    total_n = (n_dev * n_local)
+    # valid-row coordinates: vidx[i] = offset + (# valid rows before i locally)
+    local_excl = jnp.cumsum(valid.astype(jnp.uint32)) - valid.astype(jnp.uint32)
+    vidx = offset + local_excl
 
-    # global position of the next boundary at or after each element
-    marked = jnp.where(boundary, idx, jnp.uint32(total_n))
-    next_b_local = jax.lax.cummin(marked, reverse=True)  # within shard
-    # first boundary position of each shard (or total_n if none)
+    # intra-shard adjacency (valid rows form a prefix, so row i-1 of a valid
+    # row i>0 is its true predecessor)
+    words = _words_for(packed, positions, cap_len, n_words, two_bit)
+    lanes = words + ((cap_len,) if two_bit else ())
+    eq = jnp.ones(n_local, dtype=bool)
+    for w in lanes:
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eq = eq & (w == prev)
+
+    # halo: compare row 0 against the last valid row of the nearest previous
+    # non-empty shard
+    last_i = jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)
+    my_last = jnp.stack([jnp.take(w, last_i.astype(jnp.int32)) for w in lanes])
+    all_last = jax.lax.all_gather(my_last, AXIS)  # (n_dev, n_lanes)
+    has_data = all_n_valid > 0
+    # pred[p] = nearest q < p with data (replicated prefix max); -1 if none
+    cand = jnp.where(has_data, jnp.arange(n_dev), -1)
+    pred_idx = jax.lax.associative_scan(jnp.maximum, cand)  # inclusive
+    pred_of_mine = jnp.where(my > 0, jnp.take(pred_idx, jnp.maximum(my - 1, 0)), -1)
+    pred_lanes = jnp.take(all_last, jnp.maximum(pred_of_mine, 0), axis=0)
+    eq0 = jnp.ones((), dtype=bool)
+    for li, w in enumerate(lanes):
+        eq0 = eq0 & (w[0] == pred_lanes[li])
+    eq0 = jnp.where(pred_of_mine < 0, False, eq0)
+    eq = eq.at[0].set(eq0)
+
+    boundary = (~eq) & valid
+
+    # vidx of the next boundary at or after each row, propagated across shards
+    marked = jnp.where(boundary, vidx, BIG)
+    next_b_local = jax.lax.cummin(marked, reverse=True)
     my_first = next_b_local[0]
-    all_firsts = jax.lax.all_gather(my_first, AXIS)  # (n_dev,)
-    # suffix-min of firsts over shards strictly after mine
+    all_firsts = jax.lax.all_gather(my_first, AXIS)
     suffix = jax.lax.associative_scan(jnp.minimum, all_firsts[::-1])[::-1]
-    after_mine = jnp.where(my + 1 < n_dev, suffix[jnp.minimum(my + 1, n_dev - 1)],
-                           jnp.uint32(total_n))
-    next_b = jnp.minimum(next_b_local, jnp.uint32(total_n))
-    # elements after the last local boundary look into later shards
-    next_b_shifted = jnp.concatenate([next_b[1:], jnp.array([total_n], dtype=next_b.dtype)])
+    after_mine = jnp.where(
+        my + 1 < n_dev, jnp.take(suffix, jnp.minimum(my + 1, n_dev - 1)), BIG
+    )
+    next_b_shifted = jnp.concatenate([next_b_local[1:], jnp.array([BIG], dtype=jnp.uint32)])
     next_after = jnp.minimum(next_b_shifted, after_mine)
 
-    # number of trailing padding rows globally (they sort to the very end)
-    n_pad_total = jax.lax.psum(jnp.sum((~valid).astype(jnp.uint32)), AXIS)
-    end_of_data = jnp.uint32(total_n) - n_pad_total
-
-    # group size for boundary elements = next boundary (or end of data) - my idx
-    size = jnp.where(boundary, jnp.minimum(next_after, end_of_data) - idx, jnp.uint32(0))
+    size = jnp.where(boundary, jnp.minimum(next_after, total_valid) - vidx, jnp.uint32(0))
 
     qualifies = boundary & (size >= min_gs) & (size <= max_gs)
     clipped = jnp.minimum(size, jnp.uint32(max_counts_bin)).astype(jnp.int32)
@@ -344,3 +341,47 @@ def distributed_group_size_histogram(
         mesh,
     )
     return counts, total
+
+
+def distributed_group_size_histogram_ragged(
+    packed: jax.Array,
+    sorted_positions: jax.Array,
+    is_pad: jax.Array,
+    seg_starts: jax.Array,
+    seg_ends: jax.Array,
+    kmer_len: int,
+    mesh: Mesh,
+    min_group_size: int = 1,
+    max_group_size: int | None = None,
+    max_counts_bin: int = 1000000,
+    packed2: jax.Array | None = None,
+):
+    """Device-resident variant of ``distributed_group_size_histogram`` for
+    the ragged per-shard-padded layout that
+    ``sample_sort_positions_ragged`` returns — the full distributed pipeline
+    (sort -> stats) then never leaves the mesh. Group sizes are computed in
+    valid-row coordinates, so padding rows may sit at the tail of every
+    shard."""
+    if kmer_len is None or kmer_len > 32:
+        raise NotImplementedError("distributed stats currently require kmer_len <= 32")
+    cap_len = cap_lengths(
+        compute_valid_len(sorted_positions, seg_starts, seg_ends), kmer_len
+    )
+    two_bit = packed2 is not None
+    genome = packed2 if two_bit else packed
+    n_words = _cdiv(kmer_len, 16 if two_bit else 8)
+
+    genome = jax.device_put(genome, NamedSharding(mesh, P()))
+    max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.uint32(0xFFFFFFF0)
+    return _distributed_group_hist_jit(
+        genome,
+        sorted_positions,
+        cap_len,
+        is_pad,
+        jnp.uint32(min_group_size),
+        max_gs,
+        n_words,
+        max_counts_bin,
+        two_bit,
+        mesh,
+    )

@@ -18,9 +18,11 @@ from genome_kmers_tpu.ops.groups import group_size_histogram
 from genome_kmers_tpu.ops.sort import adjacent_boundaries, sort_positions
 from genome_kmers_tpu.parallel import (
     distributed_group_size_histogram,
+    distributed_group_size_histogram_ragged,
     distributed_sort_positions,
     make_mesh,
     sample_sort_positions,
+    sample_sort_positions_ragged,
 )
 
 
@@ -276,6 +278,47 @@ class TestDistributedGroupStats:
         )
         assert int(total) == 500
         assert int(np.asarray(counts)[500]) == 1
+
+    @pytest.mark.parametrize("n_bp,k,mgs,xgs", [(333, 4, 1, None), (801, 8, 2, 6)])
+    def test_full_device_pipeline_ragged(self, mesh8, n_bp, k, mgs, xgs):
+        """sample sort (ragged device output) -> ragged stats, never leaving
+        the mesh; must equal the single-chip histogram exactly."""
+        seq_list = [("chr1", random_seq(n_bp, seed=n_bp * 3))]
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        # single-chip truth
+        sorted_pos = sort_positions(dc.packed, positions, cap, k)
+        boundary = adjacent_boundaries(dc.packed, sorted_pos, caps_for(dc, sorted_pos, k), k)
+        from genome_kmers_tpu.ops.groups import group_geometry
+
+        _, _, size, _ = group_geometry(boundary)
+        exp_counts, exp_total = group_size_histogram(
+            boundary, size, jnp.uint32(mgs),
+            jnp.uint32(xgs) if xgs else jnp.uint32(0xFFFFFFF0), max_counts_bin=40,
+        )
+        # device pipeline
+        rag_pos, rag_pad = sample_sort_positions_ragged(
+            dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8
+        )
+        got_counts, got_total = distributed_group_size_histogram_ragged(
+            dc.packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, k, mesh8,
+            min_group_size=mgs, max_group_size=xgs, max_counts_bin=40,
+        )
+        assert int(got_total) == int(exp_total)
+        assert np.array_equal(np.asarray(got_counts), np.asarray(exp_counts))
+
+    def test_ragged_giant_group_spans_shards(self, mesh8):
+        seq_list = [("chr1", "A" * 431)]
+        k = 2
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        rag_pos, rag_pad = sample_sort_positions_ragged(
+            dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8
+        )
+        counts, total = distributed_group_size_histogram_ragged(
+            dc.packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, k, mesh8,
+            max_counts_bin=600,
+        )
+        assert int(total) == 430
+        assert int(np.asarray(counts)[430]) == 1
 
     def test_two_bit_histogram_matches(self, mesh8):
         seq_list = [("chr1", random_seq(400, 31))] + [("s%d" % i, "AC" * 3) for i in range(5)]
