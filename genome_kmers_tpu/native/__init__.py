@@ -26,7 +26,10 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)],
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+                str(_SRC), "-o", str(_LIB),
+            ],
             check=True,
             capture_output=True,
             timeout=120,
@@ -62,6 +65,17 @@ def get_lib():
     lib.gk_validate_alphabet.argtypes = [u8p, ctypes.c_int64, u8p]
     lib.gk_reverse_complement.restype = None
     lib.gk_reverse_complement.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+    lib.gk_chunk_bounds.restype = None
+    lib.gk_chunk_bounds.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.gk_fasta_stats_mt.restype = ctypes.c_int64
+    lib.gk_fasta_stats_mt.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p,
+        ctypes.c_int64,
+    ]
+    lib.gk_fasta_fill_mt.restype = None
+    lib.gk_fasta_fill_mt.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, u8p, i64p, i64p,
+    ]
     _lib = lib
     return _lib
 
@@ -74,12 +88,18 @@ def _i64(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+_MT_THRESHOLD = 8 << 20  # parse buffers above 8 MB with threads
+
+
 def parse_fasta_bytes_native(data: bytes):
-    """Native two-pass parse. Returns (sba, seg_starts, header_spans) or None
-    if the native library is unavailable or limits are exceeded."""
+    """Native parse (multithreaded above 8 MB). Returns (sba, seg_starts,
+    header_spans) or None if the native library is unavailable or limits are
+    exceeded."""
     lib = get_lib()
     if lib is None:
         return None
+    if len(data) >= _MT_THRESHOLD:
+        return _parse_fasta_bytes_mt(data, lib)
     arr = np.frombuffer(data, dtype=np.uint8)
     n = arr.size
     max_records = max(1024, n // 8)
@@ -104,6 +124,68 @@ def parse_fasta_bytes_native(data: bytes):
     )
     if written != sba_len:
         raise AssertionError("After parsing the fasta file, we expect sba to be full")
+    sba = sba[:sba_len]
+
+    seg_starts = np.zeros(num_records, dtype=np.uint32)
+    if num_records > 1:
+        seg_starts[1:] = (np.cumsum(seq_lens[:-1] + 1)).astype(np.uint32)
+    header_spans = list(zip(header_starts[:num_records], header_ends[:num_records]))
+    return sba, seg_starts, header_spans
+
+
+def _parse_fasta_bytes_mt(data: bytes, lib):
+    """Multithreaded parse: line-aligned chunks, two-phase parallel stats
+    (per-chunk byte/header counts + global header slabs), Python-side merge
+    of cross-chunk record continuations, then a parallel fill at precomputed
+    per-chunk output offsets."""
+    import os
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    n_chunks = max(1, min(os.cpu_count() or 4, 16))
+    bounds = np.zeros(n_chunks + 1, dtype=np.int64)
+    lib.gk_chunk_bounds(_u8(arr), n, n_chunks, _i64(bounds))
+
+    max_records = max(1024, n // 8)
+    seq_bytes = np.zeros(n_chunks, dtype=np.int64)
+    lead = np.zeros(n_chunks, dtype=np.int64)
+    nheaders = np.zeros(n_chunks, dtype=np.int64)
+    hdr_offsets = np.zeros(max_records, dtype=np.int64)
+    hdr_counts = np.zeros(max_records, dtype=np.int64)
+    num_records = lib.gk_fasta_stats_mt(
+        _u8(arr), n, n_chunks, _i64(bounds), _i64(seq_bytes), _i64(lead),
+        _i64(nheaders), _i64(hdr_offsets), _i64(hdr_counts), max_records,
+    )
+    if num_records < 0:
+        return None
+    seq_lens = hdr_counts[:num_records].copy()
+
+    # cross-chunk continuation: a chunk's leading sequence bytes belong to the
+    # last record opened in an earlier chunk
+    headers_before = np.concatenate([[0], np.cumsum(nheaders)[:-1]])
+    last_open = -1
+    for c in range(n_chunks):
+        if lead[c] > 0 and last_open >= 0:
+            seq_lens[last_open] += lead[c]
+        if nheaders[c] > 0:
+            last_open = int(headers_before[c] + nheaders[c] - 1)
+
+    if num_records > 1 and (seq_lens[:-1] == 0).any():
+        raise ValueError("At least one empty sequence was found in the input file")
+
+    total_seq = int(seq_bytes.sum())
+    sba_len = total_seq + max(num_records - 1, 0)
+    sba = np.empty(max(sba_len, 1), dtype=np.uint8)
+
+    seqb_before = np.concatenate([[0], np.cumsum(seq_bytes)[:-1]])
+    out_offsets = seqb_before + headers_before - (headers_before > 0)
+    header_starts = np.zeros(max(num_records, 1), dtype=np.int64)
+    header_ends = np.zeros(max(num_records, 1), dtype=np.int64)
+    lib.gk_fasta_fill_mt(
+        _u8(arr), n, n_chunks, _i64(bounds), _i64(out_offsets),
+        _i64(np.ascontiguousarray(headers_before)), _u8(sba),
+        _i64(header_starts), _i64(header_ends),
+    )
     sba = sba[:sba_len]
 
     seg_starts = np.zeros(num_records, dtype=np.uint32)

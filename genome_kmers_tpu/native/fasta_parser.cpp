@@ -15,11 +15,22 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
 inline uint8_t upper(uint8_t c) {
     return (c >= 'a' && c <= 'z') ? static_cast<uint8_t>(c - 32) : c;
+}
+
+// Align a nominal chunk boundary to the start of the next line so every
+// chunk begins in at_line_start state.
+inline int64_t align_to_line(const uint8_t* data, int64_t n, int64_t pos) {
+    if (pos <= 0) return 0;
+    if (pos >= n) return n;
+    while (pos < n && data[pos - 1] != '\n') pos++;
+    return pos;
 }
 
 }  // namespace
@@ -101,6 +112,169 @@ int64_t gk_fasta_fill(const uint8_t* data, int64_t n, uint8_t* sba_out,
         header_ends_out[record - 1] = n;
     }
     return out;
+}
+
+// ---------------------------------------------------------------------------
+// Multithreaded variants: the buffer is split into line-aligned chunks; a
+// two-phase parallel stats scan gathers per-chunk header/byte counts (merged
+// in Python, which knows nothing of threads), and a parallel fill writes each
+// chunk at its precomputed output offset with its precomputed record base.
+// ---------------------------------------------------------------------------
+
+// Compute line-aligned chunk bounds. bounds_out has n_chunks+1 entries.
+void gk_chunk_bounds(const uint8_t* data, int64_t n, int64_t n_chunks,
+                     int64_t* bounds_out) {
+    for (int64_t c = 0; c <= n_chunks; c++) {
+        int64_t nominal = (n * c) / n_chunks;
+        bounds_out[c] = align_to_line(data, n, nominal);
+    }
+    bounds_out[0] = 0;
+    bounds_out[n_chunks] = n;
+}
+
+namespace {
+
+struct ChunkStats {
+    int64_t seq_bytes = 0;   // total sequence bytes in chunk
+    int64_t lead_bytes = 0;  // sequence bytes before the first header
+    int64_t n_headers = 0;
+};
+
+void stats_scan_chunk(const uint8_t* data, int64_t a, int64_t b, ChunkStats* st,
+                      int64_t* hdr_offsets, int64_t* hdr_counts) {
+    // hdr_offsets/hdr_counts may be null (phase A) or sized st->n_headers
+    // (phase B). Counting logic mirrors gk_fasta_stats.
+    int64_t i = a;
+    bool at_line_start = true;
+    bool in_header = false;
+    int64_t n_headers = 0;
+    int64_t seq_bytes = 0;
+    int64_t lead = 0;
+    int64_t cur_count = 0;
+    bool seen_header = false;
+    while (i < b) {
+        uint8_t c = data[i];
+        if (at_line_start) {
+            in_header = (c == '>');
+            if (in_header) {
+                if (seen_header && hdr_counts) hdr_counts[n_headers - 1] = cur_count;
+                if (hdr_offsets) hdr_offsets[n_headers] = i;
+                n_headers++;
+                seen_header = true;
+                cur_count = 0;
+            }
+            at_line_start = false;
+        }
+        if (c == '\n') {
+            at_line_start = true;
+        } else if (!in_header && c != '\r') {
+            seq_bytes++;
+            if (seen_header) cur_count++; else lead++;
+        }
+        i++;
+    }
+    if (seen_header && hdr_counts) hdr_counts[n_headers - 1] = cur_count;
+    if (st) {
+        st->seq_bytes = seq_bytes;
+        st->lead_bytes = lead;
+        st->n_headers = n_headers;
+    }
+}
+
+}  // namespace
+
+// Phase A+B parallel stats over precomputed bounds.
+//   seq_bytes_out/lead_out/nheaders_out: per chunk (n_chunks)
+//   hdr_offsets_out/hdr_counts_out: global, chunk-major (capacity max_records)
+// Returns total headers, or -1 on overflow.
+int64_t gk_fasta_stats_mt(const uint8_t* data, int64_t n, int64_t n_chunks,
+                          const int64_t* bounds, int64_t* seq_bytes_out,
+                          int64_t* lead_out, int64_t* nheaders_out,
+                          int64_t* hdr_offsets_out, int64_t* hdr_counts_out,
+                          int64_t max_records) {
+    std::vector<ChunkStats> stats(n_chunks);
+    {
+        std::vector<std::thread> ts;
+        for (int64_t c = 0; c < n_chunks; c++) {
+            ts.emplace_back(stats_scan_chunk, data, bounds[c], bounds[c + 1],
+                            &stats[c], nullptr, nullptr);
+        }
+        for (auto& t : ts) t.join();
+    }
+    int64_t total = 0;
+    std::vector<int64_t> slab(n_chunks);
+    for (int64_t c = 0; c < n_chunks; c++) {
+        slab[c] = total;
+        total += stats[c].n_headers;
+        seq_bytes_out[c] = stats[c].seq_bytes;
+        lead_out[c] = stats[c].lead_bytes;
+        nheaders_out[c] = stats[c].n_headers;
+    }
+    if (total > max_records) return -1;
+    {
+        std::vector<std::thread> ts;
+        for (int64_t c = 0; c < n_chunks; c++) {
+            ts.emplace_back(stats_scan_chunk, data, bounds[c], bounds[c + 1],
+                            nullptr, hdr_offsets_out + slab[c],
+                            hdr_counts_out + slab[c]);
+        }
+        for (auto& t : ts) t.join();
+    }
+    return total;
+}
+
+namespace {
+
+void fill_chunk(const uint8_t* data, int64_t a, int64_t b, uint8_t* sba_out,
+                int64_t out_offset, int64_t record_base,
+                int64_t* header_starts_out, int64_t* header_ends_out) {
+    int64_t out = out_offset;
+    int64_t i = a;
+    int64_t record = record_base;
+    bool at_line_start = true;
+    bool in_header = false;
+    while (i < b) {
+        uint8_t c = data[i];
+        if (at_line_start) {
+            in_header = (c == '>');
+            if (in_header) {
+                if (record > 0) sba_out[out++] = '$';
+                header_starts_out[record] = i;
+                record++;
+            }
+            at_line_start = false;
+        }
+        if (c == '\n') {
+            if (in_header) {
+                int64_t e = i;
+                if (e > 0 && data[e - 1] == '\r') e--;
+                header_ends_out[record - 1] = e;
+            }
+            at_line_start = true;
+            in_header = false;
+        } else if (!in_header && c != '\r') {
+            sba_out[out++] = upper(c);
+        }
+        i++;
+    }
+    if (in_header) header_ends_out[record - 1] = b;
+}
+
+}  // namespace
+
+// Parallel fill. out_offsets/record_bases: per chunk (n_chunks), computed by
+// the caller from the merged stats. sba_out must be fully preallocated.
+void gk_fasta_fill_mt(const uint8_t* data, int64_t n, int64_t n_chunks,
+                      const int64_t* bounds, const int64_t* out_offsets,
+                      const int64_t* record_bases, uint8_t* sba_out,
+                      int64_t* header_starts_out, int64_t* header_ends_out) {
+    std::vector<std::thread> ts;
+    for (int64_t c = 0; c < n_chunks; c++) {
+        ts.emplace_back(fill_chunk, data, bounds[c], bounds[c + 1], sba_out,
+                        out_offsets[c], record_bases[c], header_starts_out,
+                        header_ends_out);
+    }
+    for (auto& t : ts) t.join();
 }
 
 // Validate alphabet against an allowed-bytes table (256 entries, 1 = ok).

@@ -65,3 +65,46 @@ def test_end_to_end_fasta_init_uses_native(tmp_path):
         sequence_list=[("c1", "ATCGAATTAG"), ("c2", "GGATCTTGCATT")], strands_to_load="both"
     )
     assert a == b
+
+
+class TestMultithreadedParse:
+    @pytest.mark.parametrize("data", FASTAS)
+    def test_small_inputs_parity(self, data):
+        """Force the MT path on tiny inputs; must match the NumPy parser."""
+        from genome_kmers_tpu.native import _parse_fasta_bytes_mt
+
+        lib = get_lib()
+        sba_np, starts_np, names_np = parse_fasta_bytes(data)
+        res = _parse_fasta_bytes_mt(data, lib)
+        assert res is not None
+        sba_mt, starts_mt, header_spans = res
+        assert np.array_equal(sba_mt, sba_np)
+        assert np.array_equal(starts_mt, starts_np)
+
+    def test_large_input_parity(self):
+        """Multi-record 20 MB input through the real >8MB MT path."""
+        rng = np.random.default_rng(12)
+        parts = []
+        for i in range(7):
+            n = int(rng.integers(1, 4 * 10**6))
+            seq = rng.choice(np.frombuffer(b"ACGTacgtN", dtype=np.uint8), size=n)
+            body = bytes(seq)
+            # wrap lines at 61 chars with some CRLF records
+            nl = b"\r\n" if i % 3 == 0 else b"\n"
+            wrapped = nl.join(body[j : j + 61] for j in range(0, n, 61))
+            parts.append(b">rec" + str(i).encode() + b" desc\n" + wrapped + nl)
+        data = b"".join(parts)
+        assert len(data) > 8 << 20
+        from genome_kmers_tpu.native import parse_fasta_bytes_native
+
+        sba_np, starts_np, names_np = parse_fasta_bytes(data)
+        sba_nat, starts_nat, header_spans = parse_fasta_bytes_native(data)
+        assert np.array_equal(sba_nat, sba_np)
+        assert np.array_equal(starts_nat, starts_np)
+
+    def test_mt_empty_sequence_error(self):
+        from genome_kmers_tpu.native import _parse_fasta_bytes_mt
+
+        lib = get_lib()
+        with pytest.raises(ValueError):
+            _parse_fasta_bytes_mt(b">a\nACGT\n>b\n>c\nGG\n", lib)
