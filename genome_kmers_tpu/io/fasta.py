@@ -66,11 +66,18 @@ def parse_fasta_bytes(data: bytes) -> tuple[np.ndarray, np.ndarray, list[str]]:
     body = _UPPER_TABLE[arr[keep]]
     total_seq_len = int(body.size)
 
-    # per-record sequence lengths from cumulative kept-byte counts at header
-    # starts (cast before cumsum: numpy's dtype-converting bool cumsum is a
-    # ~50x slower scalar path)
-    kept_cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
-    kept_before_header = kept_cum[line_starts[header_idx]]
+    # per-record sequence lengths via per-LINE kept-byte counts (~70x smaller
+    # than a per-byte prefix sum, whose first-touch page cost dominates on
+    # large inputs): kept(line) = line length minus a trailing '\r', zeroed
+    # for header lines; cumulate and read off at each header's line index.
+    line_kept = (line_ends - line_starts).astype(np.int64)
+    nonempty = line_ends > line_starts
+    has_cr = np.zeros(len(line_starts), dtype=np.int64)
+    has_cr[nonempty] = (arr[line_ends[nonempty] - 1] == ord("\r")).astype(np.int64)
+    line_kept -= has_cr
+    line_kept[header_idx] = 0
+    kept_before_line = np.concatenate([[0], np.cumsum(line_kept)])
+    kept_before_header = kept_before_line[header_idx]
     seq_lens = np.diff(np.concatenate([kept_before_header, [total_seq_len]]))
 
     sba_len = total_seq_len + num_records - 1
