@@ -109,6 +109,9 @@ def count_queries(
     n = sorted_positions.shape[0]
     if n == 0:
         return jnp.zeros(q_words[0].shape[0], dtype=jnp.uint32)
+    if n >= 2**31:
+        # int32 search bounds; indexes past 2^31 would overflow
+        raise NotImplementedError("count_queries supports indexes up to 2^31 entries")
     n_words = -(-kmer_len // 8)
     n_rounds = max(1, int(np.ceil(np.log2(n))) + 1)
     q_words = tuple(jnp.asarray(w) for w in q_words)

@@ -66,6 +66,8 @@ def _searchsorted_rows(splitters: tuple, rows: tuple, n_split: int):
     """dest[i] = number of splitters <= rows[i] (lex over lanes) — a binary
     search unrolled over log2 rounds on the replicated splitter table."""
     nq = rows[0].shape[0]
+    if n_split == 0:  # single-shard mesh: everything stays local
+        return jnp.zeros(nq, dtype=jnp.int32)
     lo = jnp.zeros(nq, dtype=jnp.int32)
     hi = jnp.full(nq, n_split, dtype=jnp.int32)
     rounds = max(1, int(np.ceil(np.log2(max(n_split, 2)))) + 1)

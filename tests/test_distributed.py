@@ -217,7 +217,7 @@ class TestSampleSort:
         )
         assert np.array_equal(got, expected)
 
-    @pytest.mark.parametrize("n_dev", [2, 4])
+    @pytest.mark.parametrize("n_dev", [1, 2, 4])
     def test_smaller_meshes(self, n_dev):
         mesh = make_mesh(n_dev)
         seq_list = [("chr1", random_seq(241, 60 + n_dev))]
@@ -226,6 +226,16 @@ class TestSampleSort:
         expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
         got = np.asarray(
             sample_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh)
+        )
+        assert np.array_equal(got, expected)
+
+    def test_fewer_kmers_than_devices(self, mesh8):
+        seq_list = [("c", "ACGTACG")]
+        k = 4
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        got = np.asarray(
+            sample_sort_positions(dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8)
         )
         assert np.array_equal(got, expected)
 
