@@ -324,8 +324,12 @@ class Kmers:
         self._is_initialized = False
         self._is_set = False
         self._is_sorted = False
-        self.kmer_sba_start_indices = None
-        self._pos_dev = None  # cached device copy of kmer_sba_start_indices
+        # The index lives in two synchronized homes: a host uint32 array and
+        # a device array. Either may be materialized lazily from the other,
+        # so a sort -> device-stats pipeline never round-trips through host
+        # memory (kmer_sba_start_indices stays API-compatible via property).
+        self._pos_host = None
+        self._pos_dev = None
 
         if seq_coll is None:
             return
@@ -392,7 +396,6 @@ class Kmers:
         if write != num_kmers:
             raise AssertionError("logic error filling kmer_sba_start_indices")
         self.kmer_sba_start_indices = out
-        self._pos_dev = None
 
     def _get_unfiltered_kmer_count(self) -> int:
         """Reference kmers.py:837-861."""
@@ -405,8 +408,23 @@ class Kmers:
             raise ValueError("SequenceCollection does not have any records")
         return num_kmers
 
+    @property
+    def kmer_sba_start_indices(self):
+        """Host uint32 view of the k-mer index (reference member kmers.py:811),
+        materialized lazily from the device array when needed."""
+        if self._pos_host is None and self._pos_dev is not None:
+            self._pos_host = np.asarray(self._pos_dev)
+        return self._pos_host
+
+    @kmer_sba_start_indices.setter
+    def kmer_sba_start_indices(self, value):
+        self._pos_host = value
+        self._pos_dev = None
+
     def __len__(self):
-        return len(self.kmer_sba_start_indices)
+        if self._pos_dev is not None:
+            return int(self._pos_dev.shape[0])
+        return len(self._pos_host)
 
     def __getitem__(self):
         """Stub, matching the reference (kmers.py:866-867)."""
@@ -1004,8 +1022,10 @@ class Kmers:
                 packed, positions, cap, self.max_kmer_len, packed2=packed2,
                 uniform_cap=uniform,
             )
+        # keep the result device-resident; the host view materializes lazily
+        # (an eager transfer would cost a full index round-trip per sort)
         self._pos_dev = sorted_pos
-        self.kmer_sba_start_indices = np.asarray(sorted_pos)
+        self._pos_host = None
         self._is_sorted = True
 
     def get_is_less_than_func(
