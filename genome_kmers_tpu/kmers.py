@@ -330,6 +330,7 @@ class Kmers:
         # memory (kmer_sba_start_indices stays API-compatible via property).
         self._pos_host = None
         self._pos_dev = None
+        self._init_geometry = None
 
         if seq_coll is None:
             return
@@ -374,11 +375,14 @@ class Kmers:
         self._is_initialized = True
 
     def _initialize_single_pass(self, kmer_filters=[]):
-        """Vectorized equivalent of the reference's per-record np.arange fill
-        (kmers.py:789-835): per record, every k-mer start position in
-        [seg_start, seg_end - min_kmer_len + 1] fills a preallocated uint32
-        array directly — peak extra memory is O(records), not O(kmers), so a
-        3.1-Gbp genome needs just the 12.4 GB output array."""
+        """Equivalent of the reference's per-record np.arange fill
+        (kmers.py:789-835): every k-mer start position in
+        [seg_start, seg_end - min_kmer_len + 1] per record.
+
+        Only the O(records) geometry is stored here; the index array itself
+        is built lazily — directly ON DEVICE for the compute path (a
+        searchsorted + two gathers, no multi-GB host->device upload), or on
+        host when ``kmer_sba_start_indices`` is read."""
         if kmer_filters != []:
             raise NotImplementedError("kmer_filters have not been implemented")
 
@@ -387,15 +391,46 @@ class Kmers:
             msg = "the size of the required kmers array exceeds the limit set by a uint32"
             raise NotImplementedError(msg)
 
+        seg_starts = []
+        counts = []
+        for _, s, e in self.seq_coll.iter_records():
+            seg_starts.append(s)
+            counts.append((e - s + 1) - self.min_kmer_len + 1)
+        self._init_geometry = (
+            np.asarray(seg_starts, dtype=np.uint32),
+            np.asarray(counts, dtype=np.int64),
+            int(num_kmers),
+        )
+        self._pos_host = None
+        self._pos_dev = None
+
+    def _build_positions_host(self) -> np.ndarray:
+        seg_starts, counts, num_kmers = self._init_geometry
         out = np.empty(num_kmers, dtype=np.uint32)
         write = 0
-        for _, s, e in self.seq_coll.iter_records():
-            count = (e - s + 1) - self.min_kmer_len + 1
+        for s, count in zip(seg_starts, counts):
             out[write : write + count] = np.arange(s, s + count, dtype=np.uint32)
-            write += count
+            write += int(count)
         if write != num_kmers:
             raise AssertionError("logic error filling kmer_sba_start_indices")
-        self.kmer_sba_start_indices = out
+        return out
+
+    def _build_positions_device(self):
+        """Initial position array computed on device: record id per index via
+        searchsorted over cumulative counts, then start + offset gathers."""
+        import jax.numpy as jnp
+
+        seg_starts, counts, num_kmers = self._init_geometry
+        # cumulative counts fit uint32 exactly (num_kmers < 2^32)
+        cum_excl_dev = jnp.asarray(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.uint32)
+        )
+        starts_dev = jnp.asarray(seg_starts)
+        idx = jnp.arange(num_kmers, dtype=jnp.uint32)
+        rec = (
+            jnp.searchsorted(cum_excl_dev, idx, side="right").astype(jnp.int32) - 1
+        )
+        return jnp.take(starts_dev, rec) + (idx - jnp.take(cum_excl_dev, rec))
 
     def _get_unfiltered_kmer_count(self) -> int:
         """Reference kmers.py:837-861."""
@@ -411,20 +446,28 @@ class Kmers:
     @property
     def kmer_sba_start_indices(self):
         """Host uint32 view of the k-mer index (reference member kmers.py:811),
-        materialized lazily from the device array when needed."""
-        if self._pos_host is None and self._pos_dev is not None:
-            self._pos_host = np.asarray(self._pos_dev)
+        materialized lazily from the device array or init geometry."""
+        if self._pos_host is None:
+            if self._pos_dev is not None:
+                self._pos_host = np.asarray(self._pos_dev)
+            elif self._init_geometry is not None:
+                self._pos_host = self._build_positions_host()
         return self._pos_host
 
     @kmer_sba_start_indices.setter
     def kmer_sba_start_indices(self, value):
         self._pos_host = value
         self._pos_dev = None
+        self._init_geometry = None
 
     def __len__(self):
+        if self._pos_host is not None:
+            return len(self._pos_host)
         if self._pos_dev is not None:
             return int(self._pos_dev.shape[0])
-        return len(self._pos_host)
+        if self._init_geometry is not None:
+            return self._init_geometry[2]
+        raise TypeError("Kmers index is not initialized")
 
     def __getitem__(self):
         """Stub, matching the reference (kmers.py:866-867)."""
@@ -438,7 +481,10 @@ class Kmers:
         import jax.numpy as jnp
 
         if self._pos_dev is None:
-            self._pos_dev = jnp.asarray(self.kmer_sba_start_indices)
+            if self._pos_host is None and self._init_geometry is not None:
+                self._pos_dev = self._build_positions_device()
+            else:
+                self._pos_dev = jnp.asarray(self.kmer_sba_start_indices)
         return self._pos_dev
 
     def _check_forward_only(self):
@@ -1026,6 +1072,7 @@ class Kmers:
         # (an eager transfer would cost a full index round-trip per sort)
         self._pos_dev = sorted_pos
         self._pos_host = None
+        self._init_geometry = None  # no longer describes the (sorted) order
         self._is_sorted = True
 
     def get_is_less_than_func(

@@ -1,0 +1,88 @@
+"""Pallas TPU kernels for the hot preprocessing ops.
+
+The compute path's heavy lifting (the sort) is XLA's tuned variadic sort; the
+kernels here cover the ops *around* it where manual control of HBM traffic
+pays: the 2-bit rank packing reads the genome once through VMEM with
+double-buffered DMA and writes packed words in the same pass
+(`pack_rank2_words_pallas`), instead of relying on XLA to fuse 16 shifted
+slices of the rank array.
+
+Rank mapping is arithmetic, not a table gather (TPU Pallas has no efficient
+small-table lookup): for ACGT bytes, ``x = (b >> 1) & 3`` gives A0 C1 G3 T2
+and ``x ^ ((x >> 1) & 1)`` swaps 2<->3 into lexicographic A0 C1 G2 T3.
+Non-ACGT bytes ('$' separators) produce garbage ranks — harmless, because
+every consumer masks key fields beyond the per-position compare cap, and a
+'$' always lies at or beyond the cap (ops/keys.py). Parity with the jnp
+implementation is pinned by tests for ACGT+'$' content.
+
+Kernels fall back to the jnp implementations automatically when Pallas is
+unavailable (CPU test runs use interpret mode instead).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .encoding import BASES_PER_WORD2
+
+BLOCK = 1 << 16  # bytes of genome per grid step
+
+
+def _rank2_arith(b):
+    """Arithmetic 2-bit rank for ACGT bytes (see module docstring)."""
+    x = (b >> 1) & 3
+    return x ^ ((x >> 1) & 1)
+
+
+def _pack2_kernel(hbm_ref, out_ref, scratch, sem):
+    """One grid step: DMA BLOCK+16 genome bytes to VMEM (15-byte halo for the
+    trailing positions), pack 16 ranks per uint32, write BLOCK words."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(i * BLOCK, BLOCK + 16)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+
+    # shifted windows read from the VMEM ref (Mosaic has no dynamic_slice on
+    # values; static ref slices lower fine)
+    acc = jnp.zeros((BLOCK,), dtype=jnp.uint32)
+    for j in range(BASES_PER_WORD2):
+        window = scratch[j : j + BLOCK].astype(jnp.int32)
+        ranks = _rank2_arith(window).astype(jnp.uint32)
+        acc = acc | (ranks << (2 * (15 - j)))
+    out_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pack_rank2_words_pallas(sba_u8: jax.Array, interpret: bool = False) -> jax.Array:
+    """2-bit packing as a single-pass Pallas kernel (TPU) — output identical
+    to ``keys.pack_rank2_words`` for ACGT/'$' content up to cap-masked
+    fields. The input is padded to a BLOCK multiple (+halo) with zeros, which
+    pack as garbage-but-masked fields exactly like '$'."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = sba_u8.shape[0]
+    n_blocks = -(-n // BLOCK)
+    padded = jnp.zeros(n_blocks * BLOCK + 16, dtype=jnp.uint8).at[:n].set(sba_u8)
+
+    out = pl.pallas_call(
+        _pack2_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK,), jnp.uint32),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,)),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK + 16,), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(padded)
+    return out[:n]

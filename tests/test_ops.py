@@ -141,3 +141,42 @@ class TestGroupOps:
         # group of 3: first 2 yielded; group of 1: excluded; group of 2: both
         assert list(np.asarray(yielded)) == [True, True, False, False, True, True]
         assert list(np.asarray(gsy)[[0, 4]]) == [2, 2]
+
+
+class TestPallasKernels:
+    def test_pack2_pallas_parity_interpret(self):
+        """Pallas 2-bit pack == jnp pack, bitwise, for ACGT content (the
+        '$'-garbage fields are cap-masked by every consumer)."""
+        from genome_kmers_tpu.ops.keys import pack_rank2_words
+        from genome_kmers_tpu.ops.pallas_kernels import pack_rank2_words_pallas
+
+        rng = np.random.default_rng(8)
+        for n in [64, 65536, 70001]:
+            sba = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n)
+            a = np.asarray(pack_rank2_words(jnp.asarray(sba)))
+            b = np.asarray(pack_rank2_words_pallas(jnp.asarray(sba), interpret=True))
+            assert np.array_equal(a, b), n
+
+    def test_pack2_pallas_functional_parity_with_separators(self):
+        """With '$' separators the raw words differ at separator-covering
+        fields (arithmetic vs table rank), but sorted output — which only
+        sees cap-masked fields — must be identical."""
+        from genome_kmers_tpu import Kmers, SequenceCollection
+        from genome_kmers_tpu.ops.keys import cap_lengths, compute_valid_len
+        from genome_kmers_tpu.ops.pallas_kernels import pack_rank2_words_pallas
+        from genome_kmers_tpu.ops.sort import sort_positions
+
+        rng = np.random.default_rng(9)
+        seq_list = [
+            ("a", "".join(rng.choice(list("ACGT"), size=200))),
+            ("b", "".join(rng.choice(list("ACGT"), size=90))),
+        ]
+        sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=2, max_kmer_len=8)
+        dc = sc.device_cache("forward")
+        positions = jnp.asarray(km.kmer_sba_start_indices)
+        cap = cap_lengths(compute_valid_len(positions, dc.seg_starts, dc.seg_ends), 8)
+        expected = np.asarray(sort_positions(None, positions, cap, 8, packed2=dc.packed2))
+        packed2_pallas = pack_rank2_words_pallas(dc.sba, interpret=True)
+        got = np.asarray(sort_positions(None, positions, cap, 8, packed2=packed2_pallas))
+        assert np.array_equal(got, expected)
