@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from .encoding import BASES_PER_WORD2
 
 BLOCK = 1 << 16  # bytes of genome per grid step
+_HALO = 1024  # Mosaic u8 VMEM slices must be 1024-aligned; 16 bytes needed
 
 
 def _rank2_arith(b):
@@ -37,50 +38,56 @@ def _rank2_arith(b):
     return x ^ ((x >> 1) & 1)
 
 
-def _pack2_kernel(hbm_ref, out_ref, scratch, sem):
-    """One grid step: DMA BLOCK+16 genome bytes to VMEM (15-byte halo for the
-    trailing positions), pack 16 ranks per uint32, write BLOCK words."""
+def _make_pack2_kernel(interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        hbm_ref.at[pl.ds(i * BLOCK, BLOCK + 16)], scratch, sem
-    )
-    dma.start()
-    dma.wait()
+    def _roll_back(x, j):
+        # shifted[i] = x[i + j]; wrap-around lands past BLOCK and is dropped
+        if j == 0:
+            return x
+        if interpret:
+            return jnp.roll(x, -j)
+        return pltpu.roll(x, x.shape[0] - j, 0)
 
-    # shifted windows read from the VMEM ref (Mosaic has no dynamic_slice on
-    # values; static ref slices lower fine)
-    acc = jnp.zeros((BLOCK,), dtype=jnp.uint32)
-    for j in range(BASES_PER_WORD2):
-        window = scratch[j : j + BLOCK].astype(jnp.int32)
-        ranks = _rank2_arith(window).astype(jnp.uint32)
-        acc = acc | (ranks << (2 * (15 - j)))
-    out_ref[:] = acc
+    def kernel(hbm_ref, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            hbm_ref.at[pl.ds(i * BLOCK, BLOCK + _HALO)], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+
+        ranks = _rank2_arith(scratch[:].astype(jnp.int32)).astype(jnp.uint32)
+        acc = jnp.zeros((BLOCK + _HALO,), dtype=jnp.uint32)
+        for j in range(BASES_PER_WORD2):
+            acc = acc | (_roll_back(ranks, j) << (2 * (15 - j)))
+        out_ref[:] = acc[:BLOCK]
+
+    return kernel
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def pack_rank2_words_pallas(sba_u8: jax.Array, interpret: bool = False) -> jax.Array:
     """2-bit packing as a single-pass Pallas kernel (TPU) — output identical
     to ``keys.pack_rank2_words`` for ACGT/'$' content up to cap-masked
-    fields. The input is padded to a BLOCK multiple (+halo) with zeros, which
-    pack as garbage-but-masked fields exactly like '$'."""
+    fields. The input is padded to a BLOCK multiple (+ an aligned halo) with
+    zeros, which pack as garbage-but-masked fields exactly like '$'."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = sba_u8.shape[0]
     n_blocks = -(-n // BLOCK)
-    padded = jnp.zeros(n_blocks * BLOCK + 16, dtype=jnp.uint8).at[:n].set(sba_u8)
+    padded = jnp.zeros(n_blocks * BLOCK + _HALO, dtype=jnp.uint8).at[:n].set(sba_u8)
 
     out = pl.pallas_call(
-        _pack2_kernel,
+        _make_pack2_kernel(interpret),
         out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK,), jnp.uint32),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,)),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK + 16,), jnp.uint8),
+            pltpu.VMEM((BLOCK + _HALO,), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
