@@ -571,7 +571,7 @@ class Kmers:
 
         if self._is_sorted:
             cap = cap_lengths(surv_vl, kmer_len)
-            use2 = kmer_len is not None and kmer_len <= 32
+            use2 = kmer_len is not None and kmer_len <= 64
             packed2 = dc.packed2 if use2 else None
             packed = dc.packed if packed2 is None else None
             uniform = kmer_len is not None and self.min_kmer_len >= kmer_len
@@ -1045,7 +1045,7 @@ class Kmers:
                     f"kmers compared were less than min_kmer_len ({self.min_kmer_len}).  Was kmer_sba_start_indices initialized correctly?"
                 )
 
-        use2 = self.max_kmer_len is not None and self.max_kmer_len <= 32
+        use2 = self.max_kmer_len is not None and self.max_kmer_len <= 64
         packed2 = dc.packed2 if use2 else None
         packed = dc.packed if packed2 is None else None
 

@@ -38,31 +38,47 @@ def _rank2_arith(b):
     return x ^ ((x >> 1) & 1)
 
 
+_LANES = 128
+_BROWS = BLOCK // _LANES  # data rows per grid step
+_HROWS = _HALO // _LANES  # halo rows (>= 1 needed; 8 keeps DMA 1024-aligned)
+
+
 def _make_pack2_kernel(interpret: bool):
+    """Mosaic supports rolls on 2D vectors only, so the kernel views the
+    genome as (rows, 128) and expresses the flat shift-by-j as a lane roll
+    plus a row-shifted copy selected by lane index."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def _roll_back(x, j):
-        # shifted[i] = x[i + j]; wrap-around lands past BLOCK and is dropped
-        if j == 0:
-            return x
+    R = _BROWS + _HROWS
+
+    def _roll(x, shift, axis):
         if interpret:
-            return jnp.roll(x, -j)
-        return pltpu.roll(x, x.shape[0] - j, 0)
+            return jnp.roll(x, shift, axis=axis)
+        return pltpu.roll(x, shift, axis)
 
     def kernel(hbm_ref, out_ref, scratch, sem):
         i = pl.program_id(0)
         dma = pltpu.make_async_copy(
-            hbm_ref.at[pl.ds(i * BLOCK, BLOCK + _HALO)], scratch, sem
+            hbm_ref.at[pl.ds(i * _BROWS, R), :], scratch, sem
         )
         dma.start()
         dma.wait()
 
         ranks = _rank2_arith(scratch[:].astype(jnp.int32)).astype(jnp.uint32)
-        acc = jnp.zeros((BLOCK + _HALO,), dtype=jnp.uint32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+        acc = jnp.zeros((R, _LANES), dtype=jnp.uint32)
         for j in range(BASES_PER_WORD2):
-            acc = acc | (_roll_back(ranks, j) << (2 * (15 - j)))
-        out_ref[:] = acc[:BLOCK]
+            if j == 0:
+                shifted = ranks
+            else:
+                # flat[i + j] laid out 2D: lane-roll left by j, and lanes that
+                # wrapped take the NEXT row's values
+                b = _roll(ranks, _LANES - j, 1)
+                b_down = _roll(b, R - 1, 0)
+                shifted = jnp.where(col < _LANES - j, b, b_down)
+            acc = acc | (shifted << (2 * (15 - j)))
+        out_ref[:, :] = acc[:_BROWS, :]
 
     return kernel
 
@@ -78,18 +94,24 @@ def pack_rank2_words_pallas(sba_u8: jax.Array, interpret: bool = False) -> jax.A
 
     n = sba_u8.shape[0]
     n_blocks = -(-n // BLOCK)
-    padded = jnp.zeros(n_blocks * BLOCK + _HALO, dtype=jnp.uint8).at[:n].set(sba_u8)
+    total_rows = n_blocks * _BROWS + _HROWS
+    padded = (
+        jnp.zeros(total_rows * _LANES, dtype=jnp.uint8)
+        .at[:n]
+        .set(sba_u8)
+        .reshape(total_rows, _LANES)
+    )
 
     out = pl.pallas_call(
         _make_pack2_kernel(interpret),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK,), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * _BROWS, _LANES), jnp.uint32),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,)),
+        out_specs=pl.BlockSpec((_BROWS, _LANES), lambda i: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK + _HALO,), jnp.uint8),
+            pltpu.VMEM((_BROWS + _HROWS, _LANES), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(padded)
-    return out[:n]
+    return out.reshape(-1)[:n]

@@ -167,7 +167,7 @@ def sort_positions(
     positions = _pad_to(positions, n_pad, _PAD_POS)
     cap_len = _pad_to(cap_len, n_pad, jnp.uint32(0))
 
-    if packed2 is not None and max_kmer_len is not None and max_kmer_len <= 32:
+    if packed2 is not None and max_kmer_len is not None and max_kmer_len <= 64:
         out = _sort_one_window2(
             packed2, positions, cap_len, _cdiv(max_kmer_len, 16), uniform_cap
         )
@@ -236,7 +236,7 @@ def adjacent_boundaries(
     sorted_positions = _pad_to(sorted_positions, n_pad, _PAD_POS)
     cap_len = _pad_to(cap_len, n_pad, jnp.uint32(0))
 
-    if packed2 is not None and kmer_len is not None and kmer_len <= 32:
+    if packed2 is not None and kmer_len is not None and kmer_len <= 64:
         eq = _adjacent_eq2(
             packed2, sorted_positions, cap_len, _cdiv(kmer_len, 16), uniform_cap
         )

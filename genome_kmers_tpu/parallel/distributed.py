@@ -150,9 +150,11 @@ def distributed_sort_positions(
     sort). Pass ``packed2`` (keys.pack_rank2_words) for ACGT-only genomes to
     halve the key lanes. Returns the sorted uint32 positions, pads removed.
     """
-    if max_kmer_len is None or max_kmer_len > 32:
+    limit = 64 if packed2 is not None else 32
+    if max_kmer_len is None or max_kmer_len > limit:
         raise NotImplementedError(
-            "distributed sort currently requires max_kmer_len <= 32 bases"
+            f"distributed sort requires max_kmer_len <= {limit} bases"
+            " (64 with the 2-bit ACGT fast path)"
         )
     cap_len = cap_lengths(
         compute_valid_len(positions, seg_starts, seg_ends), max_kmer_len
@@ -306,8 +308,9 @@ def distributed_group_size_histogram(
     extents so they are always aligned with the (sorted) position order.
     Output matches the single-chip ``ops.groups.group_size_histogram``
     exactly."""
-    if kmer_len is None or kmer_len > 32:
-        raise NotImplementedError("distributed stats currently require kmer_len <= 32")
+    limit = 64 if packed2 is not None else 32
+    if kmer_len is None or kmer_len > limit:
+        raise NotImplementedError(f"distributed stats require kmer_len <= {limit}")
     cap_len = cap_lengths(
         compute_valid_len(sorted_positions, seg_starts, seg_ends), kmer_len
     )
@@ -362,8 +365,9 @@ def distributed_group_size_histogram_ragged(
     (sort -> stats) then never leaves the mesh. Group sizes are computed in
     valid-row coordinates, so padding rows may sit at the tail of every
     shard."""
-    if kmer_len is None or kmer_len > 32:
-        raise NotImplementedError("distributed stats currently require kmer_len <= 32")
+    limit = 64 if packed2 is not None else 32
+    if kmer_len is None or kmer_len > limit:
+        raise NotImplementedError(f"distributed stats require kmer_len <= {limit}")
     cap_len = cap_lengths(
         compute_valid_len(sorted_positions, seg_starts, seg_ends), kmer_len
     )

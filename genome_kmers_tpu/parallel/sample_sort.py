@@ -196,8 +196,11 @@ def sample_sort_positions(
     ``uniform_cap=True`` asserts every position has >= max_kmer_len valid
     bases (min_kmer_len == max_kmer_len), dropping the cap key lane.
     """
-    if max_kmer_len is None or max_kmer_len > 32:
-        raise NotImplementedError("sample sort requires max_kmer_len <= 32 bases")
+    limit = 64 if packed2 is not None else 32
+    if max_kmer_len is None or max_kmer_len > limit:
+        raise NotImplementedError(
+            f"sample sort requires max_kmer_len <= {limit} bases"
+        )
     out_pos, out_is_pad = sample_sort_positions_ragged(
         packed, positions, seg_starts, seg_ends, max_kmer_len, mesh,
         packed2=packed2, n_samples=n_samples, capacity_factor=capacity_factor,
@@ -222,8 +225,11 @@ def sample_sort_positions_ragged(
 ):
     """Device-resident variant: returns (positions, is_pad) of length
     n_dev * capacity, globally sorted with per-shard trailing pads."""
-    if max_kmer_len is None or max_kmer_len > 32:
-        raise NotImplementedError("sample sort requires max_kmer_len <= 32 bases")
+    limit = 64 if packed2 is not None else 32
+    if max_kmer_len is None or max_kmer_len > limit:
+        raise NotImplementedError(
+            f"sample sort requires max_kmer_len <= {limit} bases"
+        )
     cap_len = cap_lengths(
         compute_valid_len(positions, seg_starts, seg_ends), max_kmer_len
     )

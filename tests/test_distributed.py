@@ -187,6 +187,22 @@ class TestSampleSort:
         )
         assert np.array_equal(got, expected)
 
+    def test_k55_two_bit(self, mesh8):
+        """BASELINE config 5's k=55 rides the extended (k<=64) 2-bit path."""
+        seq_list = [("chr1", random_seq(800, 550))]
+        k = 55
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        expected = np.asarray(sort_positions(dc.packed, positions, cap, k, packed2=dc.packed2))
+        # cross-check against the 4-bit refinement truth
+        truth = np.asarray(sort_positions(dc.packed, positions, cap, k))
+        assert np.array_equal(expected, truth)
+        got = np.asarray(
+            sample_sort_positions(
+                None, positions, dc.seg_starts, dc.seg_ends, k, mesh8, packed2=dc.packed2
+            )
+        )
+        assert np.array_equal(got, truth)
+
     def test_uniform_cap_lane_drop(self, mesh8):
         """min_kmer_len == max_kmer_len drops the cap key lane; output must
         stay identical."""
