@@ -144,11 +144,12 @@ def distributed_sort_positions(
 
     Per-position compare caps are derived internally from the segment extents
     (caps must always be aligned with the position array they accompany — an
-    easy footgun if passed separately). Requires a bounded ``max_kmer_len``
-    <= 32 bases for the distributed path (the BASELINE.json configs use k in
-    {21, 31}; longer k falls back to the single-chip iterative-refinement
-    sort). Pass ``packed2`` (keys.pack_rank2_words) for ACGT-only genomes to
-    halve the key lanes. Returns the sorted uint32 positions, pads removed.
+    easy footgun if passed separately). Requires a bounded ``max_kmer_len``:
+    <= 32 bases on the 4-bit path, <= 64 with ``packed2``
+    (keys.pack_rank2_words, ACGT-only genomes, half the key lanes) — covering
+    the BASELINE.json k in {21, 31, 55}; unbounded k falls back to the
+    single-chip iterative-refinement sort. Returns the sorted uint32
+    positions, pads removed.
     """
     limit = 64 if packed2 is not None else 32
     if max_kmer_len is None or max_kmer_len > limit:
