@@ -1150,6 +1150,27 @@ class Kmers:
         q_words = encode_query_words(queries, kmer_len)
         return np.asarray(_count_queries(dc.packed, positions, cap, q_words, kmer_len))
 
+    def count_queries_canonical(
+        self, queries: list, kmer_len: Union[int, None] = None
+    ) -> np.ndarray:
+        """EXTENSION: strand-collapsed occurrence counts — each query counts
+        its forward hits plus its reverse complement's hits (once, for
+        palindromes). Completes BASELINE config 5's canonical + streaming
+        query pairing; requires ACGT queries and a sorted index.
+        """
+        if not queries:
+            return np.zeros(0, dtype=np.uint32)
+        table = str.maketrans("ACGT", "TGCA")
+        rcs = []
+        for q in queries:
+            if set(q) - set("ACGT"):
+                raise ValueError(f"canonical queries must be ACGT-only: '{q}'")
+            rcs.append(q.translate(table)[::-1])
+        fwd = self.count_queries(queries, kmer_len)
+        rc = self.count_queries(rcs, kmer_len)
+        is_palindrome = np.array([q == r for q, r in zip(queries, rcs)])
+        return fwd + np.where(is_palindrome, 0, rc).astype(np.uint32)
+
     def get_canonical_kmer_group_counts(
         self,
         kmer_len: int,

@@ -199,3 +199,30 @@ class TestGetKmersArrays:
         km = Kmers(sc, min_kmer_len=4, max_kmer_len=4)
         with pytest.raises(ValueError):
             km.get_kmers_arrays(4, min_group_size=2)
+
+
+class TestCanonicalQueries:
+    def test_counts_match_brute_force(self):
+        seq = random_seq(400, seed=70)
+        k = 6
+        km = make_sorted([("chr1", seq)], k, k)
+        rng = np.random.default_rng(5)
+        queries = [seq[i : i + k] for i in rng.integers(0, len(seq) - k, size=6)]
+        queries += ["ACGCGT"]  # palindrome (revcomp == itself)
+        got = km.count_queries_canonical(queries)
+        for q, c in zip(queries, got):
+            r = revcomp(q)
+            expected = sum(seq[i : i + k] == q for i in range(len(seq) - k + 1))
+            if r != q:
+                expected += sum(seq[i : i + k] == r for i in range(len(seq) - k + 1))
+            assert int(c) == expected, q
+
+    def test_palindrome_not_double_counted(self):
+        km = make_sorted([("c", "ACGCGTACGCGT")], 6, 6)
+        got = km.count_queries_canonical(["ACGCGT"])
+        assert int(got[0]) == 2  # appears twice; its own revcomp
+
+    def test_non_acgt_rejected(self):
+        km = make_sorted([("c", "ACGTACGT")], 4, 4)
+        with pytest.raises(ValueError):
+            km.count_queries_canonical(["ACGN"])
