@@ -119,6 +119,8 @@ class _DeviceCache:
         self._seg_starts_np = seg_starts
         self._packed = None
         self._packed2 = None
+        self._packed2_any = None
+        self._next_amb = None
         self._is_acgt_only = None
         self._sba_dev = None
         self._seg_starts_dev = None
@@ -176,6 +178,28 @@ class _DeviceCache:
                 built = pack_rank2_words(self.sba)
             self._packed2 = built
         return self._packed2
+
+    @property
+    def packed2_any(self):
+        """2-bit packed words regardless of alphabet — for the hybrid sort,
+        whose majority stream never reads non-ACGT content within its capped
+        windows (garbage fields there are masked)."""
+        if self.is_acgt_only:
+            return self.packed2
+        from .ops.keys import pack_rank2_words
+
+        if self._packed2_any is None:
+            self._packed2_any = pack_rank2_words(self.sba)
+        return self._packed2_any
+
+    @property
+    def next_amb(self):
+        """next_amb[i] = smallest j >= i with a non-ACGT, non-'$' byte."""
+        from .ops.filters import _next_ambiguous
+
+        if self._next_amb is None:
+            self._next_amb = _next_ambiguous(self.sba)
+        return self._next_amb
 
     @property
     def seg_starts(self):
