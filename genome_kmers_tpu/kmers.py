@@ -551,14 +551,13 @@ class Kmers:
         idx_dev = jnp.asarray(surv_nums.astype(np.int32))
         return surv_nums, jnp.take(positions, idx_dev), jnp.take(valid_len, idx_dev)
 
-    def _group_device(self, kmer_len, kmer_filter_func):
-        """Survivor selection + group boundary/size/rank on device.
+    def _boundary_parts(self, kmer_len, kmer_filter_func):
+        """Survivor selection + group-boundary mask on device.
 
-        Returns (surv_nums or None, surv_pos, boundary, size, rank) — the
-        static-shape replacement for the reference's sequential walk."""
+        Returns (surv_nums or None, surv_pos, boundary) — the static-shape
+        replacement for the reference's sequential walk carry."""
         import jax.numpy as jnp
 
-        from .ops.groups import group_geometry
         from .ops.keys import cap_lengths
         from .ops.sort import adjacent_boundaries
 
@@ -566,8 +565,7 @@ class Kmers:
         surv_nums, surv_pos, surv_vl = self._survivors(kmer_filter_func)
         m = surv_pos.shape[0]
         if m == 0:
-            z = jnp.zeros(0, dtype=jnp.uint32)
-            return surv_nums, surv_pos, jnp.zeros(0, dtype=bool), z, z
+            return surv_nums, surv_pos, jnp.zeros(0, dtype=bool)
 
         if self._is_sorted:
             cap = cap_lengths(surv_vl, kmer_len)
@@ -580,7 +578,25 @@ class Kmers:
             )
         else:
             boundary = jnp.ones(m, dtype=bool)
+        return surv_nums, surv_pos, boundary
 
+    def _boundary_device(self, kmer_len, kmer_filter_func):
+        """Boundary mask only (lean path for count/histogram queries)."""
+        _, _, boundary = self._boundary_parts(kmer_len, kmer_filter_func)
+        return boundary
+
+    def _group_device(self, kmer_len, kmer_filter_func):
+        """Survivor selection + full group geometry on device.
+
+        Returns (surv_nums or None, surv_pos, boundary, size, rank)."""
+        import jax.numpy as jnp
+
+        from .ops.groups import group_geometry
+
+        surv_nums, surv_pos, boundary = self._boundary_parts(kmer_len, kmer_filter_func)
+        if boundary.shape[0] == 0:
+            z = jnp.zeros(0, dtype=jnp.uint32)
+            return surv_nums, surv_pos, boundary, z, z
         _, _, size, rank = group_geometry(boundary)
         return surv_nums, surv_pos, boundary, size, rank
 
@@ -729,11 +745,12 @@ class Kmers:
 
         import jax.numpy as jnp
 
-        from .ops.groups import group_size_histogram
+        from .ops.groups import group_size_histogram, group_sizes_at_boundaries
 
-        _, _, boundary, size, _ = self._group_device(kmer_len, kmer_filter_func)
+        boundary = self._boundary_device(kmer_len, kmer_filter_func)
         if boundary.shape[0] == 0:
             return 0
+        size = group_sizes_at_boundaries(boundary)
         max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
             _UINT32_SENTINEL
         )
@@ -762,11 +779,12 @@ class Kmers:
 
         import jax.numpy as jnp
 
-        from .ops.groups import group_size_histogram
+        from .ops.groups import group_size_histogram, group_sizes_at_boundaries
 
-        _, _, boundary, size, _ = self._group_device(kmer_len, kmer_filter_func)
+        boundary = self._boundary_device(kmer_len, kmer_filter_func)
         if boundary.shape[0] == 0:
             return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
+        size = group_sizes_at_boundaries(boundary)
         max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
             _UINT32_SENTINEL
         )

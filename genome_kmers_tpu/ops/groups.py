@@ -41,6 +41,19 @@ def group_geometry(boundary: jax.Array):
     return start, end, size, rank
 
 
+@jax.jit
+def group_sizes_at_boundaries(boundary: jax.Array) -> jax.Array:
+    """size[i] = group size where boundary[i] is True, else 0 — one reverse
+    cummin instead of group_geometry's two scans; the lean input for
+    count/histogram queries that never need per-element rank."""
+    n = boundary.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    marked = jnp.where(boundary, idx, jnp.uint32(n))
+    nxt = jnp.concatenate([marked[1:], jnp.array([n], dtype=jnp.uint32)])
+    next_b = jax.lax.cummin(nxt, reverse=True)
+    return jnp.where(boundary, jnp.minimum(next_b, jnp.uint32(n)) - idx, jnp.uint32(0))
+
+
 @partial(jax.jit, static_argnames=("max_counts_bin",))
 def group_size_histogram(
     boundary: jax.Array,

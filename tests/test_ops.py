@@ -180,3 +180,19 @@ class TestPallasKernels:
         packed2_pallas = pack_rank2_words_pallas(dc.sba, interpret=True)
         got = np.asarray(sort_positions(None, positions, cap, 8, packed2=packed2_pallas))
         assert np.array_equal(got, expected)
+
+
+def test_group_sizes_at_boundaries_matches_geometry():
+    from genome_kmers_tpu.ops.groups import group_sizes_at_boundaries
+
+    rng = np.random.default_rng(4)
+    for _ in range(10):
+        n = int(rng.integers(1, 50))
+        b = rng.random(n) < 0.3
+        b[0] = True
+        boundary = jnp.asarray(b)
+        _, _, size_full, _ = group_geometry(boundary)
+        lean = np.asarray(group_sizes_at_boundaries(boundary))
+        full = np.asarray(size_full)
+        assert np.array_equal(lean[b], full[b])
+        assert (lean[~b] == 0).all()
