@@ -1082,22 +1082,15 @@ class Kmers:
             uniform = (
                 self.max_kmer_len is not None and self.min_kmer_len == self.max_kmer_len
             )
-            if packed2 is None and use2:
-                # genome contains ambiguous bases but k is bounded: hybrid
-                # split — clean windows ride the 2-bit fast path, ambiguous
-                # ones the 4-bit path, exact interleave (ops/hybrid.py)
-                from .ops.hybrid import hybrid_sort_positions
-
-                sorted_pos = hybrid_sort_positions(
-                    dc.packed, dc.packed2_any, positions, dc.seg_starts,
-                    dc.seg_ends, self.max_kmer_len, dc.next_amb,
-                    uniform_cap=uniform,
-                )
-            else:
-                sorted_pos = sort_positions(
-                    packed, positions, cap, self.max_kmer_len, packed2=packed2,
-                    uniform_cap=uniform,
-                )
+            # N-containing genomes take the 4-bit path directly. The hybrid
+            # 2-bit/4-bit split (ops/hybrid.py) is exact but measured SLOWER
+            # on v5e: its partition step costs more than the key-lane savings
+            # (docs/development.md). It remains available for callers on
+            # hardware where the trade-off differs.
+            sorted_pos = sort_positions(
+                packed, positions, cap, self.max_kmer_len, packed2=packed2,
+                uniform_cap=uniform,
+            )
         # keep the result device-resident; the host view materializes lazily
         # (an eager transfer would cost a full index round-trip per sort)
         self._pos_dev = sorted_pos

@@ -68,7 +68,7 @@ class TestHybridSort:
         truth, got, _ = truth_and_hybrid(seq_list, 2, 4)
         assert np.array_equal(got, truth)
 
-    def test_kmers_sort_routes_hybrid_and_matches_oracle(self):
+    def test_kmers_sort_n_genome_matches_oracle(self):
         seq_list = [("chr1", sparse_n_genome(400, 9))]
         sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
         km = Kmers(sc, min_kmer_len=5, max_kmer_len=5)
