@@ -730,6 +730,58 @@ class Kmers:
             gst[sel].astype(np.int64),
         )
 
+    def get_kmers_full_arrays(
+        self,
+        kmer_len: Union[int, None],
+        one_based_seq_index: bool = False,
+        kmer_filter_func: Callable = kmer_filter_keep_all,
+        min_group_size: int = 1,
+        max_group_size: Union[int, None] = None,
+        yield_first_n: Union[int, None] = None,
+    ) -> dict:
+        """EXTENSION: bulk array version of ``get_kmers(kmer_info_to_yield=
+        "full")``: one vectorized searchsorted replaces the per-row record
+        lookup. Returns a dict of aligned arrays — kmer_num, record_num
+        (index into ``seq_coll.forward_record_names``), seq_start_idx,
+        kmer_len, group_size_yielded, group_size_total — in yield order.
+        """
+        self._check_forward_only()
+        if kmer_len is not None and kmer_len < 1:
+            raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
+        self._check_group_params_unsorted(min_group_size, max_group_size, yield_first_n)
+
+        surv_nums, surv_pos, yielded, gsy, gst = self._group_arrays(
+            kmer_len, kmer_filter_func, min_group_size, max_group_size, yield_first_n
+        )
+        sel = np.flatnonzero(yielded)
+        pos = surv_pos[sel].astype(np.int64)
+
+        seg_starts = self.seq_coll._forward_sba_seg_starts.astype(np.int64)
+        seg_ids = np.searchsorted(seg_starts, pos, side="right") - 1
+        seg_s = seg_starts[seg_ids]
+        sba_len = len(self.seq_coll.forward_sba)
+        seg_e = np.where(
+            seg_ids == len(seg_starts) - 1, sba_len - 1, seg_starts[np.minimum(seg_ids + 1, len(seg_starts) - 1)] - 2
+        )
+        seq_idx = pos - seg_s + (1 if one_based_seq_index else 0)
+        if kmer_len is None:
+            out_len = seg_e - pos + 1
+        else:
+            if (pos + kmer_len - 1 > seg_e).any():
+                bad = int(sel[np.flatnonzero(pos + kmer_len - 1 > seg_e)[0]])
+                raise ValueError(
+                    f"kmer_len ({kmer_len}) for kmer_num ({int(surv_nums[bad])}) extends beyond the end of the segment"
+                )
+            out_len = np.full(len(pos), kmer_len, dtype=np.int64)
+        return {
+            "kmer_num": surv_nums[sel].astype(np.int64),
+            "record_num": seg_ids.astype(np.int64),
+            "seq_start_idx": seq_idx,
+            "kmer_len": out_len,
+            "group_size_yielded": gsy[sel].astype(np.int64),
+            "group_size_total": gst[sel].astype(np.int64),
+        }
+
     def get_kmer_count(
         self,
         kmer_len: Union[int, None],

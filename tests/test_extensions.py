@@ -226,3 +226,32 @@ class TestCanonicalQueries:
         km = make_sorted([("c", "ACGTACGT")], 4, 4)
         with pytest.raises(ValueError):
             km.count_queries_canonical(["ACGN"])
+
+
+class TestGetKmersFullArrays:
+    def test_matches_full_generator(self):
+        seq_list = [("a", random_seq(120, 31)), ("b", random_seq(77, 32))]
+        km = make_sorted(seq_list, 4, 4)
+        gen = list(km.get_kmers(4, kmer_info_to_yield="full", min_group_size=2))
+        arrs = km.get_kmers_full_arrays(4, min_group_size=2)
+        names = km.seq_coll.forward_record_names
+        assert len(gen) == len(arrs["kmer_num"])
+        for i, (kn, strand, chrom, start, klen, gsy, gst) in enumerate(gen):
+            assert int(arrs["kmer_num"][i]) == kn
+            assert names[int(arrs["record_num"][i])] == chrom
+            assert int(arrs["seq_start_idx"][i]) == start
+            assert int(arrs["kmer_len"][i]) == klen
+            assert int(arrs["group_size_yielded"][i]) == gsy
+            assert int(arrs["group_size_total"][i]) == gst
+
+    def test_one_based(self):
+        km = make_sorted([("c", random_seq(60, 33))], 3, 3)
+        a0 = km.get_kmers_full_arrays(3)
+        a1 = km.get_kmers_full_arrays(3, one_based_seq_index=True)
+        assert np.array_equal(a1["seq_start_idx"], a0["seq_start_idx"] + 1)
+
+    def test_uncapped_len(self):
+        km = make_sorted([("c", "ATCGAATTAG")], 1, None)
+        arrs = km.get_kmers_full_arrays(None)
+        gen = list(km.get_kmers(None, kmer_info_to_yield="full"))
+        assert list(arrs["kmer_len"]) == [g[4] for g in gen]
