@@ -68,6 +68,21 @@ def _pad_to_multiple(arr: jax.Array, multiple: int, fill) -> jax.Array:
     return jnp.concatenate([arr, jnp.full((n_pad - n,), fill, dtype=arr.dtype)])
 
 
+def put_global(arr, sharding) -> jax.Array:
+    """Place a host-replicated array onto a (possibly multi-host) sharding.
+
+    Single-process: plain device_put. Multi-host (``jax.distributed``
+    initialized, mesh spanning processes): ``jax.device_put`` cannot target
+    non-addressable devices, so build the global array from per-shard
+    callbacks — every process holds the full host array and contributes the
+    slices it owns.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    host = np.asarray(arr)
+    return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
+
+
 def _oddeven_phase(ops, n_keys, n_dev, phase):
     """One block odd-even transposition phase inside shard_map.
 
@@ -172,10 +187,10 @@ def distributed_sort_positions(
     is_pad = _pad_to_multiple(is_pad, n_dev, jnp.uint32(1))
 
     sharding = NamedSharding(mesh, P(AXIS))
-    positions_p = jax.device_put(positions_p, sharding)
-    cap_p = jax.device_put(cap_p, sharding)
-    is_pad = jax.device_put(is_pad, sharding)
-    genome = jax.device_put(genome, NamedSharding(mesh, P()))
+    positions_p = put_global(positions_p, sharding)
+    cap_p = put_global(cap_p, sharding)
+    is_pad = put_global(is_pad, sharding)
+    genome = put_global(genome, NamedSharding(mesh, P()))
 
     res = _distributed_sort_jit(genome, positions_p, cap_p, is_pad, n_words, two_bit, mesh)
     sorted_pos = res[-1]
@@ -326,10 +341,10 @@ def distributed_group_size_histogram(
     is_pad = _pad_to_multiple(jnp.zeros(n, dtype=jnp.uint32), n_dev, jnp.uint32(1))
 
     sharding = NamedSharding(mesh, P(AXIS))
-    positions_p = jax.device_put(positions_p, sharding)
-    cap_p = jax.device_put(cap_p, sharding)
-    is_pad = jax.device_put(is_pad, sharding)
-    genome = jax.device_put(genome, NamedSharding(mesh, P()))
+    positions_p = put_global(positions_p, sharding)
+    cap_p = put_global(cap_p, sharding)
+    is_pad = put_global(is_pad, sharding)
+    genome = put_global(genome, NamedSharding(mesh, P()))
 
     max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.uint32(0xFFFFFFF0)
     counts, total = _distributed_group_hist_jit(
@@ -376,7 +391,7 @@ def distributed_group_size_histogram_ragged(
     genome = packed2 if two_bit else packed
     n_words = _cdiv(kmer_len, 16 if two_bit else 8)
 
-    genome = jax.device_put(genome, NamedSharding(mesh, P()))
+    genome = put_global(genome, NamedSharding(mesh, P()))
     max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.uint32(0xFFFFFFF0)
     return _distributed_group_hist_jit(
         genome,

@@ -42,7 +42,7 @@ except ImportError:  # older jax
 
 from ..ops.keys import cap_lengths, compute_valid_len
 from ..ops.sort import _PAD_POS, _cdiv
-from .distributed import AXIS, Mesh, _pad_to_multiple, _words_for
+from .distributed import AXIS, Mesh, _pad_to_multiple, _words_for, put_global
 
 _ONES = 0xFFFFFFFF
 
@@ -246,10 +246,10 @@ def sample_sort_positions_ragged(
     n_samples = min(n_samples, m)
 
     sharding = NamedSharding(mesh, P(AXIS))
-    positions_p = jax.device_put(positions_p, sharding)
-    cap_p = jax.device_put(cap_p, sharding)
-    is_pad = jax.device_put(is_pad, sharding)
-    genome = jax.device_put(genome, NamedSharding(mesh, P()))
+    positions_p = put_global(positions_p, sharding)
+    cap_p = put_global(cap_p, sharding)
+    is_pad = put_global(is_pad, sharding)
+    genome = put_global(genome, NamedSharding(mesh, P()))
 
     factor = capacity_factor
     while True:
