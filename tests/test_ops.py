@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 jnp = pytest.importorskip("jax.numpy")
+import jax
 
 from genome_kmers_tpu.ops.encoding import (
     ALLOWED_CHARS,
@@ -196,3 +197,20 @@ def test_group_sizes_at_boundaries_matches_geometry():
         full = np.asarray(size_full)
         assert np.array_equal(lean[b], full[b])
         assert (lean[~b] == 0).all()
+
+
+class TestBitonicTileSort:
+    @pytest.mark.parametrize("rows", [2, 16])
+    def test_interpret_parity_with_lax_sort(self, rows):
+        from genome_kmers_tpu.ops.pallas_sort import bitonic_sort_tile
+
+        rng = np.random.default_rng(rows)
+        n = rows * 128
+        w0 = rng.integers(0, 40, size=(rows, 128)).astype(np.uint32)  # heavy ties
+        w1 = rng.integers(0, 3, size=(rows, 128)).astype(np.uint32)
+        pos = rng.permutation(n).astype(np.uint32).reshape(rows, 128)
+        lanes = tuple(jnp.asarray(x) for x in (w0, w1, pos))
+        outs = bitonic_sort_tile(lanes, interpret=True)
+        ref = jax.lax.sort(tuple(x.reshape(-1) for x in lanes), num_keys=3)
+        for o, r in zip(outs, ref):
+            assert np.array_equal(np.asarray(o).reshape(-1), np.asarray(r))
