@@ -1256,12 +1256,12 @@ class Kmers:
         (ops/canonical.py). The reference declares both-strand handling but
         raises NotImplementedError (kmers.py:689-696).
 
-        Requires an ACGT-only genome and kmer_len <= 32; only full-length
+        Requires an ACGT-only genome and kmer_len <= 64; only full-length
         k-mers participate (truncated k-mers have no canonical form).
         """
         self._check_forward_only()
-        if kmer_len is None or kmer_len < 1 or kmer_len > 32:
-            raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 32]")
+        if kmer_len is None or kmer_len < 1 or kmer_len > 64:
+            raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
         if max_counts_bin <= 0:
             raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
 

@@ -37,35 +37,41 @@ def _reverse_2bit_fields(x: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("k",))
 def revcomp_key_words(words: tuple, k: int) -> tuple:
-    """Reverse-complement 2-bit key words (left-justified, k <= 32 bases).
+    """Reverse-complement 2-bit key words (left-justified, k <= 16*len(words)
+    bases, any word count).
 
     complement = bitwise NOT (A=0 <-> T=3, C=1 <-> G=2); reversal = 2-bit
-    field reversal of the 32- or 64-bit container; the result is then
-    left-shifted so the k valid fields stay left-justified with zero padding.
+    field reversal of the whole 32W-bit container (reverse word order +
+    reverse fields within each word); the result is then left-shifted by the
+    (16W - k)-field padding so the k valid fields stay left-justified, and
+    fields past k are cleared (complemented padding reversed into low bits).
     """
     ones = jnp.uint32(0xFFFFFFFF)
-    if len(words) == 1:
-        (w0,) = words
-        r = _reverse_2bit_fields(~w0 & ones)
-        s = 2 * (16 - k)
-        if s:
-            r = (r << s) & ones
-        # clear fields past k (complemented padding reversed into low bits)
-        keep = ones << jnp.uint32(2 * (16 - k)) if k < 16 else ones
-        return (r & keep,)
-    w0, w1 = words
-    r0 = _reverse_2bit_fields(~w1 & ones)  # 64-bit field reversal swaps words
-    r1 = _reverse_2bit_fields(~w0 & ones)
-    s = 2 * (32 - k)  # 0 <= s < 32 since 16 < k <= 32
-    if s:
-        n0 = ((r0 << s) | (r1 >> (32 - s))) & ones
-        n1 = (r1 << s) & ones
-    else:
-        n0, n1 = r0, r1
-    # zero fields past k across the 64-bit container
-    rem = k - 16
-    keep1 = (ones << jnp.uint32(2 * (16 - rem))) & ones if rem < 16 else ones
-    return (n0, n1 & keep1)
+    W = len(words)
+    # reversed container: word i <- rev_fields(~word_{W-1-i})
+    rev = [_reverse_2bit_fields(~words[W - 1 - i] & ones) for i in range(W)]
+    # left-shift by f = 16W - k fields across word boundaries
+    f = 16 * W - k
+    q, r2 = f // 16, 2 * (f % 16)
+    out = []
+    for i in range(W):
+        hi = rev[i + q] if i + q < W else jnp.zeros_like(rev[0])
+        lo = rev[i + q + 1] if i + q + 1 < W else jnp.zeros_like(rev[0])
+        if r2:
+            out.append(((hi << r2) | (lo >> (32 - r2))) & ones)
+        else:
+            out.append(hi)
+    # clear fields past k
+    full_words = k // 16
+    rem = k % 16
+    for i in range(W):
+        if i < full_words:
+            continue
+        if i == full_words and rem:
+            out[i] = out[i] & ((ones << jnp.uint32(2 * (16 - rem))) & ones)
+        else:
+            out[i] = jnp.zeros_like(out[i])
+    return tuple(out)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -78,14 +84,12 @@ def canonical_key_words(packed2: jax.Array, positions: jax.Array, k: int) -> tup
     cap = jnp.full(positions.shape, k, dtype=jnp.uint32)
     fwd = build_key2_words(packed2, positions, cap, n_words, jnp.uint32(0))
     rc = revcomp_key_words(fwd, k)
-    if n_words == 1:
-        take_rc = rc[0] < fwd[0]
-        return (jnp.where(take_rc, rc[0], fwd[0]),)
-    lt = (rc[0] < fwd[0]) | ((rc[0] == fwd[0]) & (rc[1] < fwd[1]))
-    return (
-        jnp.where(lt, rc[0], fwd[0]),
-        jnp.where(lt, rc[1], fwd[1]),
-    )
+    lt = jnp.zeros(positions.shape, dtype=bool)
+    eq = jnp.ones(positions.shape, dtype=bool)
+    for a, b in zip(rc, fwd):
+        lt = lt | (eq & (a < b))
+        eq = eq & (a == b)
+    return tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
 
 
 def canonical_sort(packed2: jax.Array, positions: jax.Array, k: int):

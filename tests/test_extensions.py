@@ -100,7 +100,7 @@ class TestCanonicalGroupCounts:
             total += c
         return hist, total
 
-    @pytest.mark.parametrize("k", [1, 4, 7, 16, 17, 31, 32])
+    @pytest.mark.parametrize("k", [1, 4, 7, 16, 17, 31, 32, 33, 48, 55, 64])
     def test_matches_brute_force(self, k):
         seq_list = [("chr1", random_seq(300, seed=k)), ("chr2", random_seq(77, seed=k + 1))]
         km = make_sorted(seq_list, min(k, 77), k)
@@ -140,13 +140,13 @@ class TestCanonicalGroupCounts:
     def test_bad_k(self):
         km = make_sorted([("c", "ACGTACGT")], 4, 4)
         with pytest.raises(ValueError):
-            km.get_canonical_kmer_group_counts(33)
+            km.get_canonical_kmer_group_counts(65)
         with pytest.raises(ValueError):
             km.get_canonical_kmer_group_counts(0)
 
 
 class TestRevcompKeyWords:
-    @pytest.mark.parametrize("k", [1, 5, 16, 17, 24, 32])
+    @pytest.mark.parametrize("k", [1, 5, 16, 17, 24, 32, 33, 47, 55, 64])
     def test_revcomp_key_round_trip(self, k):
         """rc(rc(key)) == key and rc key decodes to the string revcomp."""
         import jax.numpy as jnp
@@ -154,7 +154,7 @@ class TestRevcompKeyWords:
         from genome_kmers_tpu.ops.canonical import revcomp_key_words
         from genome_kmers_tpu.ops.keys import pack_rank2_words
 
-        seq = random_seq(64, seed=k)
+        seq = random_seq(96, seed=k)
         sba = np.frombuffer(seq.encode(), dtype=np.uint8)
         packed2 = pack_rank2_words(jnp.asarray(sba))
         from genome_kmers_tpu.ops.keys import build_key2_words
