@@ -15,11 +15,13 @@ from .distributed import (
     distributed_sort_positions,
     make_mesh,
 )
+from .query import distributed_count_queries
 from .sample_sort import sample_sort_positions, sample_sort_positions_ragged
 
 __all__ = [
     "AXIS",
     "distributed_group_size_histogram",
+    "distributed_count_queries",
     "distributed_group_size_histogram_ragged",
     "distributed_sort_positions",
     "load_kmers_sharded",

@@ -1,0 +1,120 @@
+"""Streaming count queries against a DISTRIBUTED sorted index — EXTENSION
+(BASELINE.json config 5: "streaming count queries against the distributed
+sorted index").
+
+The globally sorted index is partitioned across shards (possibly ragged with
+per-shard trailing pads, as the sample sort leaves it), so a k-mer's global
+occurrence count is the sum of its per-shard counts: every shard runs the
+same vectorized lower/upper-bound binary search over its local run
+(ops/query.py's algorithm, with an is_pad lead lane so trailing pads compare
+above every query), and one psum produces the global counts. Queries are
+replicated; cost is O(Q log(N/P)) gathers per shard, one small collective.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.keys import build_key_words, cap_lengths, compute_valid_len
+from ..ops.query import encode_query_words
+from .distributed import AXIS, Mesh, put_global
+
+
+def _lex_less(a: tuple, b: tuple):
+    lt = jnp.zeros(a[0].shape, dtype=bool)
+    eq = jnp.ones(a[0].shape, dtype=bool)
+    for wa, wb in zip(a, b):
+        lt = lt | (eq & (wa < wb))
+        eq = eq & (wa == wb)
+    return lt
+
+
+def _local_counts(packed, positions, cap_len, is_pad, q_words, n_words, n_rounds):
+    n = positions.shape[0]
+    nq = q_words[0].shape[0]
+    q_pad = jnp.zeros(nq, dtype=jnp.uint32)
+
+    def bound(upper):
+        lo = jnp.zeros(nq, dtype=jnp.int32)
+        hi = jnp.full(nq, n, dtype=jnp.int32)
+        # the loop carry becomes shard-varying (it reads local rows); mark the
+        # replicated initial values varying so shard_map's vma typing matches
+        try:
+            lo = jax.lax.pvary(lo, AXIS)
+            hi = jax.lax.pvary(hi, AXIS)
+        except AttributeError:
+            pass
+
+        def body(_, state):
+            lo, hi = state
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            pos = jnp.take(positions, mid, mode="clip")
+            cap = jnp.take(cap_len, mid, mode="clip")
+            pad = jnp.take(is_pad, mid, mode="clip")
+            kw = (pad,) + build_key_words(packed, pos, cap, n_words, jnp.uint32(0))
+            qw = (q_pad,) + q_words
+            if upper:
+                go_right = ~_lex_less(qw, kw)
+            else:
+                go_right = _lex_less(kw, qw)
+            lo = jnp.where(active & go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, n_rounds, body, (lo, hi))
+        return lo
+
+    counts = (bound(True) - bound(False)).astype(jnp.uint32)
+    return jax.lax.psum(counts, AXIS)
+
+
+@partial(jax.jit, static_argnames=("n_words", "n_rounds", "mesh"))
+def _dist_counts_jit(packed, positions, cap_len, is_pad, q_words, n_words, n_rounds, mesh):
+    fn = shard_map(
+        partial(_local_counts, n_words=n_words, n_rounds=n_rounds),
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), tuple(P() for _ in q_words)),
+        out_specs=P(),
+    )
+    return fn(packed, positions, cap_len, is_pad, q_words)
+
+
+def distributed_count_queries(
+    packed: jax.Array,
+    sorted_positions: jax.Array,
+    is_pad: jax.Array,
+    seg_starts: jax.Array,
+    seg_ends: jax.Array,
+    queries: list,
+    kmer_len: int,
+    mesh: Mesh,
+) -> np.ndarray:
+    """Occurrence count per query string over a sharded sorted index
+    (``sample_sort_positions_ragged`` layout or evenly padded). Uses the
+    4-bit key space, so full-IUPAC genomes are supported."""
+    if not queries:
+        return np.zeros(0, dtype=np.uint32)
+    cap_len = cap_lengths(
+        compute_valid_len(sorted_positions, seg_starts, seg_ends), kmer_len
+    )
+    cap_len = jnp.where(is_pad != 0, jnp.uint32(0), cap_len)
+    n_words = -(-kmer_len // 8)
+    n_local = sorted_positions.shape[0] // mesh.shape[AXIS]
+    n_rounds = max(1, int(np.ceil(np.log2(max(n_local, 2)))) + 1)
+    q_words = tuple(jnp.asarray(w) for w in encode_query_words(queries, kmer_len))
+    packed = put_global(packed, NamedSharding(mesh, P()))
+    counts = _dist_counts_jit(
+        packed, sorted_positions, cap_len, is_pad, q_words, n_words, n_rounds, mesh
+    )
+    return np.asarray(counts)

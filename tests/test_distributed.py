@@ -378,3 +378,43 @@ class TestDistributedGroupStats:
         )
         assert int(got_total) == int(exp_total)
         assert np.array_equal(np.asarray(got_counts), np.asarray(exp_counts))
+
+
+class TestDistributedQueries:
+    def test_counts_match_single_chip(self, mesh8):
+        seq_list = [("chr1", random_seq(700, 201)), ("chr2", random_seq(260, 202))]
+        k = 8
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        rag_pos, rag_pad = sample_sort_positions_ragged(
+            dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8
+        )
+        rng = np.random.default_rng(7)
+        seqs = [s for _, s in seq_list]
+        queries = [seqs[0][i : i + k] for i in rng.integers(0, len(seqs[0]) - k, size=6)]
+        queries += ["A" * k, "ACGTACGT"]
+        from genome_kmers_tpu.parallel import distributed_count_queries
+
+        got = distributed_count_queries(
+            dc.packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, queries, k, mesh8
+        )
+        # single-chip truth
+        km.sort()
+        exp = km.count_queries(queries, k)
+        assert np.array_equal(got, exp), queries
+
+    def test_iupac_genome(self, mesh8):
+        seq_list = [("c", random_seq(500, 300, alphabet="ACGTN"))]
+        k = 4
+        km, dc, positions, cap = setup_engine(seq_list, k, k)
+        rag_pos, rag_pad = sample_sort_positions_ragged(
+            dc.packed, positions, dc.seg_starts, dc.seg_ends, k, mesh8
+        )
+        from genome_kmers_tpu.parallel import distributed_count_queries
+
+        queries = ["ACGT", "NNNN", "ANGT"]
+        got = distributed_count_queries(
+            dc.packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, queries, k, mesh8
+        )
+        km.sort()
+        exp = km.count_queries(queries, k)
+        assert np.array_equal(got, exp)
