@@ -818,8 +818,15 @@ class Kmers:
         min_group_size: int = 1,
         max_group_size: Union[int, None] = None,
         max_counts_bin: int = 1000000,
+        mesh=None,
     ) -> tuple[np.ndarray, int]:
-        """Histogram of group sizes + total count (reference kmers.py:1085-1178)."""
+        """Histogram of group sizes + total count (reference kmers.py:1085-1178).
+
+        EXTENSION: pass ``mesh`` (a jax.sharding.Mesh) to compute the
+        histogram fully on the mesh — ragged sample-sort redistribution +
+        halo-stitched distributed histogram, no host round trip of the index.
+        Requires the keep-all filter and bounded kmer_len.
+        """
         self._check_forward_only()
         if kmer_len is not None and kmer_len < 1:
             raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
@@ -828,6 +835,34 @@ class Kmers:
             raise AssertionError("The kmers must be sorted when calling get_kmer_group_counts")
         if max_counts_bin <= 0:
             raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
+
+        if mesh is not None:
+            from .ops.filters import KeepAllFilter
+
+            if not isinstance(kmer_filter_func, KeepAllFilter):
+                raise NotImplementedError(
+                    "mesh group counts support only the keep-all filter"
+                )
+            from .parallel import (
+                distributed_group_size_histogram_ragged,
+                sample_sort_positions_ragged,
+            )
+
+            dc = self.seq_coll.device_cache("forward")
+            use2 = kmer_len is not None and kmer_len <= 64
+            packed2 = dc.packed2 if use2 else None
+            packed = dc.packed if packed2 is None else None
+            rag_pos, rag_pad = sample_sort_positions_ragged(
+                packed, self._device_positions(), dc.seg_starts, dc.seg_ends,
+                kmer_len, mesh, packed2=packed2,
+            )
+            counts, total = distributed_group_size_histogram_ragged(
+                packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
+                mesh, min_group_size=min_group_size,
+                max_group_size=max_group_size, max_counts_bin=max_counts_bin,
+                packed2=packed2,
+            )
+            return np.asarray(counts).astype(np.int64), int(total)
 
         import jax.numpy as jnp
 
@@ -1192,7 +1227,9 @@ class Kmers:
     # extensions beyond the reference (flagged; no reference analog)
     # ------------------------------------------------------------------ #
 
-    def count_queries(self, queries: list, kmer_len: Union[int, None] = None) -> np.ndarray:
+    def count_queries(
+        self, queries: list, kmer_len: Union[int, None] = None, mesh=None
+    ) -> np.ndarray:
         """EXTENSION: streaming occurrence counts for query k-mer strings via
         vectorized binary search over the sorted index (ops/query.py). The
         reference can only count by walking groups (kmers.py:994-1083).
@@ -1201,7 +1238,8 @@ class Kmers:
         L defaulting to the first query's length — so queries shorter than
         the index's max_kmer_len count PREFIX occurrences (the sorted order
         is a refinement of any shorter-prefix order, so this is exact).
-        Requires a sorted index.
+        Requires a sorted index. Pass ``mesh`` to search a sharded copy of
+        the index (per-shard bound search + psum, parallel/query.py).
         """
         if not self._is_sorted:
             raise ValueError("count_queries requires a sorted index. Run sort() first.")
@@ -1212,6 +1250,34 @@ class Kmers:
             kmer_len = len(queries[0])
         if kmer_len < 1:
             raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
+
+        if mesh is not None:
+            import jax.numpy as jnp
+
+            from .parallel import distributed_count_queries
+            from .parallel.distributed import AXIS
+            from .ops.sort import _PAD_POS
+
+            dc = self.seq_coll.device_cache("forward")
+            positions = self._device_positions()
+            n = positions.shape[0]
+            n_dev = mesh.shape[AXIS]
+            n_pad = -(-max(n, 1) // n_dev) * n_dev
+            pad_rows = n_pad - n
+            pos_p = jnp.concatenate(
+                [positions, jnp.full((pad_rows,), _PAD_POS, dtype=positions.dtype)]
+            ) if pad_rows else positions
+            is_pad = jnp.concatenate(
+                [jnp.zeros(n, dtype=jnp.uint32), jnp.ones(pad_rows, dtype=jnp.uint32)]
+            ) if pad_rows else jnp.zeros(n, dtype=jnp.uint32)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel.distributed import put_global
+
+            sharding = NamedSharding(mesh, P(AXIS))
+            return distributed_count_queries(
+                dc.packed, put_global(pos_p, sharding), put_global(is_pad, sharding),
+                dc.seg_starts, dc.seg_ends, queries, kmer_len, mesh,
+            )
 
         from .ops.keys import cap_lengths, compute_valid_len
         from .ops.query import count_queries as _count_queries

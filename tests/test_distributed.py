@@ -418,3 +418,39 @@ class TestDistributedQueries:
         km.sort()
         exp = km.count_queries(queries, k)
         assert np.array_equal(got, exp)
+
+
+class TestKmersMeshStats:
+    def test_group_counts_with_mesh(self, mesh8):
+        seq_list = [("chr1", random_seq(600, 401)), ("chr2", random_seq(211, 402))]
+        sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=6, max_kmer_len=6)
+        km.sort()
+        h1, t1 = km.get_kmer_group_counts(6, max_counts_bin=20)
+        h2, t2 = km.get_kmer_group_counts(6, max_counts_bin=20, mesh=mesh8)
+        assert t1 == t2 and np.array_equal(h1, h2)
+        # with group-size bounds
+        h3, t3 = km.get_kmer_group_counts(6, min_group_size=2, max_counts_bin=20)
+        h4, t4 = km.get_kmer_group_counts(6, min_group_size=2, max_counts_bin=20, mesh=mesh8)
+        assert t3 == t4 and np.array_equal(h3, h4)
+
+    def test_group_counts_mesh_rejects_filters(self, mesh8):
+        from genome_kmers_tpu import gen_no_ambiguous_bases_filter
+
+        sc = SequenceCollection(sequence_list=[("c", random_seq(100, 403))],
+                                strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=4, max_kmer_len=4)
+        km.sort()
+        with pytest.raises(NotImplementedError):
+            km.get_kmer_group_counts(4, kmer_filter_func=gen_no_ambiguous_bases_filter(4),
+                                     mesh=mesh8)
+
+    def test_count_queries_with_mesh(self, mesh8):
+        seq = random_seq(777, 405)
+        sc = SequenceCollection(sequence_list=[("c", seq)], strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=9, max_kmer_len=9)
+        km.sort()
+        qs = [seq[i : i + 9] for i in (3, 100, 500)] + ["A" * 9]
+        single = km.count_queries(qs)
+        meshed = km.count_queries(qs, mesh=mesh8)
+        assert np.array_equal(single, meshed)
