@@ -1081,6 +1081,38 @@ class Kmers:
             raise ValueError(f"kmer_strand ({kmer_strand}) not recognized")
         return bytearray(sba[sba_start_idx : sba_start_idx + kmer_len]).decode("utf-8")
 
+    def get_kmer_strs(self, kmer_nums, kmer_len: int) -> list:
+        """EXTENSION: decode many fixed-length k-mers at once — one fancy-
+        indexed slice of the SBA instead of a per-k-mer Python loop
+        (reference kmers.py:1561-1622 is per-k-mer only). Bounds are checked
+        in bulk; a k-mer running past its segment end raises like
+        ``get_kmer_str``."""
+        if kmer_len is None or kmer_len < 1:
+            raise ValueError(f"kmer_len ({kmer_len}) must be a positive int")
+        self._check_forward_only()
+        nums = np.asarray(kmer_nums, dtype=np.int64)
+        if nums.size == 0:
+            return []
+        if (nums < 0).any() or (nums >= len(self)).any():
+            raise ValueError("kmer_num out of bounds")
+        pos = self.kmer_sba_start_indices[nums].astype(np.int64)
+        sba = self.seq_coll.forward_sba
+        seg_starts = self.seq_coll._forward_sba_seg_starts.astype(np.int64)
+        seg_ids = np.searchsorted(seg_starts, pos, side="right") - 1
+        seg_e = np.where(
+            seg_ids == len(seg_starts) - 1,
+            len(sba) - 1,
+            seg_starts[np.minimum(seg_ids + 1, len(seg_starts) - 1)] - 2,
+        )
+        if (pos + kmer_len - 1 > seg_e).any():
+            bad = int(nums[np.flatnonzero(pos + kmer_len - 1 > seg_e)[0]])
+            raise ValueError(
+                f"kmer_len ({kmer_len}) for kmer_num ({bad}) extends beyond the end of the segment"
+            )
+        block = sba[pos[:, None] + np.arange(kmer_len)]
+        text = block.tobytes().decode("ascii")
+        return [text[i * kmer_len : (i + 1) * kmer_len] for i in range(len(nums))]
+
     def get_kmer_str(self, kmer_num: int, kmer_len: Union[int, None] = None) -> str:
         self._check_forward_only()
         if kmer_num < 0:
@@ -1373,6 +1405,39 @@ class Kmers:
         if bad:
             raise ValueError(f"unrecognized fields: {sorted(bad)}")
         need_full = bool({"chrom", "start", "strand"} & set(fields))
+
+        if kmer_len is not None:
+            # bulk path: vectorized record lookup + one-shot string decode
+            arrs = self.get_kmers_full_arrays(kmer_len) if need_full else None
+            if need_full:
+                nums = arrs["kmer_num"]
+                gst_arr = arrs["group_size_total"]
+            else:
+                nums, _, _, gst_arr = self.get_kmers_arrays(kmer_len)
+            strs = (
+                self.get_kmer_strs(nums, kmer_len) if "kmer" in fields else None
+            )
+            names = self.seq_coll.forward_record_names if need_full else None
+            with open(output_file_path, "w") as f:
+                f.write(",".join(fields) + "\n")
+                for i in range(len(nums)):
+                    row = []
+                    for field in fields:
+                        if field == "kmer":
+                            row.append(strs[i])
+                        elif field == "kmer_num":
+                            row.append(str(int(nums[i])))
+                        elif field == "chrom":
+                            row.append(names[int(arrs["record_num"][i])])
+                        elif field == "start":
+                            row.append(str(int(arrs["seq_start_idx"][i])))
+                        elif field == "strand":
+                            row.append("+")
+                        elif field == "group_size":
+                            row.append(str(int(gst_arr[i])))
+                    f.write(",".join(row) + "\n")
+            return
+
         info_kind = "full" if need_full else "minimum"
         with open(output_file_path, "w") as f:
             f.write(",".join(fields) + "\n")

@@ -255,3 +255,46 @@ class TestGetKmersFullArrays:
         arrs = km.get_kmers_full_arrays(None)
         gen = list(km.get_kmers(None, kmer_info_to_yield="full"))
         assert list(arrs["kmer_len"]) == [g[4] for g in gen]
+
+
+class TestGetKmerStrs:
+    def test_matches_single_decodes(self):
+        seq_list = [("a", random_seq(90, 51)), ("b", random_seq(40, 52))]
+        km = make_sorted(seq_list, 5, 5)
+        nums = list(range(len(km)))
+        bulk = km.get_kmer_strs(nums, 5)
+        assert bulk == [km.get_kmer_str(i, 5) for i in nums]
+
+    def test_bounds_and_segment_errors(self):
+        km = make_sorted([("a", "ACGTACGT")], 3, None)
+        with pytest.raises(ValueError):
+            km.get_kmer_strs([0, 99], 3)
+        with pytest.raises(ValueError):
+            km.get_kmer_strs([0], 0)
+        # a 3-mer starting 2 from the end cannot extend to length 5
+        tail_num = int(np.flatnonzero(km.kmer_sba_start_indices == 5)[0])
+        with pytest.raises(ValueError):
+            km.get_kmer_strs([tail_num], 5)
+
+    def test_empty(self):
+        km = make_sorted([("a", "ACGTACGT")], 3, 3)
+        assert km.get_kmer_strs([], 3) == []
+
+
+def test_to_csv_bulk_matches_slow_path(tmp_path):
+    seq_list = [("a", random_seq(70, 61)), ("b", random_seq(50, 62))]
+    km = make_sorted(seq_list, 4, 4)
+    p1 = tmp_path / "bulk.csv"
+    km.to_csv(4, p1, fields=["kmer", "kmer_num", "chrom", "start", "strand", "group_size"])
+    # slow generator path (kmer_len=None branch) on an uncapped index
+    km2 = make_sorted(seq_list, 4, None)
+    p2 = tmp_path / "slow.csv"
+    km2.to_csv(None, p2, fields=["kmer_num"])
+    lines = p1.read_text().strip().split("\n")
+    assert lines[0] == "kmer,kmer_num,chrom,start,strand,group_size"
+    assert len(lines) == len(km) + 1
+    # spot-check one row against the API
+    kmer, num, chrom, start, strand, gs = lines[1].split(",")
+    assert km.get_kmer_str(int(num), 4) == kmer
+    assert strand == "+"
+    assert dict(seq_list)[chrom][int(start):int(start)+4] == kmer
