@@ -1190,11 +1190,13 @@ class Kmers:
             from .parallel import sample_sort_positions
 
             uniform = (
-                self.max_kmer_len is not None and self.min_kmer_len == self.max_kmer_len
+                self.max_kmer_len is not None
+                and self.min_kmer_len == self.max_kmer_len
             )
             sorted_pos = sample_sort_positions(
-                packed, positions, dc.seg_starts, dc.seg_ends, self.max_kmer_len,
-                mesh, packed2=packed2, uniform_cap=uniform,
+                dc.packed, positions, dc.seg_starts, dc.seg_ends,
+                self.max_kmer_len, mesh, packed2=dc.packed2,
+                uniform_cap=uniform,
             )
         else:
             cap = cap_lengths(valid_len, self.max_kmer_len)

@@ -16,7 +16,11 @@ from .distributed import (
     make_mesh,
 )
 from .query import distributed_count_queries
-from .sample_sort import sample_sort_positions, sample_sort_positions_ragged
+from .sample_sort import (
+    sample_sort_positions,
+    sample_sort_positions_ragged,
+    sample_sort_positions_unbounded,
+)
 
 __all__ = [
     "AXIS",
@@ -29,6 +33,7 @@ __all__ = [
     "make_mesh",
     "sample_sort_positions",
     "sample_sort_positions_ragged",
+    "sample_sort_positions_unbounded",
     "save_kmers_sharded",
     "save_sharded_index",
 ]

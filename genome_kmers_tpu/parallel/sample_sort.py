@@ -82,14 +82,25 @@ def _searchsorted_rows(splitters: tuple, rows: tuple, n_split: int):
     return lo
 
 
+def _words_at(genome, positions, cap_len, n_words, two_bit, offset):
+    from ..ops.keys import build_key2_words, build_key_words
+
+    if two_bit:
+        return build_key2_words(genome, positions, cap_len, n_words, jnp.uint32(offset))
+    return build_key_words(genome, positions, cap_len, n_words, jnp.uint32(offset))
+
+
 def _sample_sort_local(genome, positions, cap_len, is_pad, n_words, n_dev, two_bit,
-                       n_samples, capacity, uniform_cap):
+                       n_samples, capacity, uniform_cap, gid=None, offset=0):
     m = positions.shape[0]
-    words = _words_for(genome, positions, cap_len, n_words, two_bit)
+    words = _words_at(genome, positions, cap_len, n_words, two_bit, offset)
     # fold pads into the lanes so they sort last everywhere
     padm = is_pad != jnp.uint32(0)
     ones = jnp.uint32(_ONES)
     words = tuple(jnp.where(padm, ones, w) for w in words)
+    if gid is not None:
+        # refinement rounds: run id leads the key (unbounded-k suffix mode)
+        words = (jnp.where(padm, ones, gid),) + words
     pos_k = jnp.where(padm, jnp.uint32(_ONES), positions)
 
     # 1. local sort (cap lane dropped when every real cap equals the same k)
@@ -150,7 +161,11 @@ def _sample_sort_local(genome, positions, cap_len, is_pad, n_words, n_dev, two_b
     merged = jax.lax.sort((out_pad,) + tuple(flat), num_keys=len(flat) + 1)
     out_is_pad = merged[0]
     out_pos = merged[-1]
-    return out_pos, out_is_pad, jax.lax.psum(overflow.astype(jnp.uint32), AXIS)
+    ov = jax.lax.psum(overflow.astype(jnp.uint32), AXIS)
+    if gid is not None:
+        # refinement callers need the old run ids aligned to the new order
+        return out_pos, out_is_pad, merged[1], ov
+    return out_pos, out_is_pad, ov
 
 
 @partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity",
@@ -173,6 +188,193 @@ def _sample_sort_jit(genome, positions, cap_len, is_pad, n_words, two_bit,
         out_specs=(P(AXIS), P(AXIS), P()),
     )
     return fn(genome, positions, cap_len, is_pad)
+
+
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity",
+                                   "offset", "mesh"))
+def _sample_sort_gid_jit(genome, positions, cap_len, is_pad, gid, n_words, two_bit,
+                         n_samples, capacity, offset, mesh):
+    n_dev = mesh.shape[AXIS]
+
+    def body(genome, positions, cap_len, is_pad, gid):
+        return _sample_sort_local(
+            genome, positions, cap_len, is_pad, n_words=n_words, n_dev=n_dev,
+            two_bit=two_bit, n_samples=n_samples, capacity=capacity,
+            uniform_cap=False, gid=gid, offset=offset,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+    )
+    return fn(genome, positions, cap_len, is_pad, gid)
+
+
+def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offset,
+                         window_bases, first, seg_starts, seg_ends, max_cap):
+    """Global run structure after a refinement round: new run ids (global
+    cumsum of boundaries in valid-row coordinates, stitched across shards via
+    the nearest-previous-non-empty-shard halo) and whether any tied pair can
+    still be extended past this window."""
+    from ..ops.keys import cap_lengths, compute_valid_len
+
+    n_local = positions.shape[0]
+    n_dev = jax.lax.axis_size(AXIS)
+    my = jax.lax.axis_index(AXIS)
+    valid = is_pad == jnp.uint32(0)
+
+    cap = cap_lengths(compute_valid_len(positions, seg_starts, seg_ends), max_cap)
+    cap = jnp.where(valid, cap, jnp.uint32(0))
+    words = _words_at(genome, positions, cap, n_words, two_bit, offset)
+    # "tied so far" compares termination status only WITHIN the window:
+    # both-extendable rows must stay in one run even though their full caps
+    # differ, so the 2-bit cap lane is clamped to the window end
+    cap_eq = jnp.minimum(cap, jnp.uint32(offset + window_bases))
+    lanes = words + ((cap_eq,) if two_bit else ())
+    if not first:
+        lanes = (gid,) + lanes
+
+    eq = jnp.ones(n_local, dtype=bool)
+    for w in lanes:
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eq = eq & (w == prev)
+
+    # halo against the last valid row of the nearest previous non-empty shard
+    n_valid = jnp.sum(valid.astype(jnp.uint32))
+    all_n_valid = jax.lax.all_gather(n_valid, AXIS)
+    has_data = all_n_valid > 0
+    last_i = jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)
+    my_last = jnp.stack([jnp.take(w, last_i.astype(jnp.int32)) for w in lanes])
+    all_last = jax.lax.all_gather(my_last, AXIS)
+    cand = jnp.where(has_data, jnp.arange(n_dev), -1)
+    pred_idx = jax.lax.associative_scan(jnp.maximum, cand)
+    pred_of_mine = jnp.where(my > 0, jnp.take(pred_idx, jnp.maximum(my - 1, 0)), -1)
+    pred_lanes = jnp.take(all_last, jnp.maximum(pred_of_mine, 0), axis=0)
+    eq0 = jnp.ones((), dtype=bool)
+    for li, w in enumerate(lanes):
+        eq0 = eq0 & (w[0] == pred_lanes[li])
+    eq0 = jnp.where(pred_of_mine < 0, False, eq0)
+    eq = eq.at[0].set(eq0)
+
+    boundary = (~eq) & valid
+    # unresolved iff a tied pair has a member extending past this window
+    beyond = cap > jnp.uint32(offset + window_bases)
+    prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
+    my_last_beyond = jnp.take(beyond, last_i.astype(jnp.int32))
+    all_last_beyond = jax.lax.all_gather(my_last_beyond, AXIS)
+    pred_beyond = jnp.where(
+        pred_of_mine < 0, False, jnp.take(all_last_beyond, jnp.maximum(pred_of_mine, 0))
+    )
+    prev_beyond = prev_beyond.at[0].set(pred_beyond)
+    unresolved = eq & valid & (beyond | prev_beyond)
+    any_unresolved = jax.lax.psum(jnp.sum(unresolved.astype(jnp.uint32)), AXIS)
+
+    # global run ids: cumsum of boundary with cross-shard offset
+    local_b = jnp.cumsum(boundary.astype(jnp.uint32))
+    my_count = local_b[-1]
+    all_counts = jax.lax.all_gather(my_count, AXIS)
+    before = jnp.sum(jnp.where(jnp.arange(n_dev) < my, all_counts, 0)).astype(jnp.uint32)
+    new_gid = jnp.where(valid, before + local_b - jnp.uint32(1), jnp.uint32(0xFFFFFFFF))
+    return new_gid, any_unresolved
+
+
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "offset", "window_bases",
+                                   "first", "max_cap", "mesh"))
+def _run_structure_jit(genome, positions, is_pad, gid, seg_starts, seg_ends,
+                       n_words, two_bit, offset, window_bases, first, max_cap, mesh):
+    fn = shard_map(
+        partial(
+            _run_structure_local,
+            n_words=n_words,
+            two_bit=two_bit,
+            offset=offset,
+            window_bases=window_bases,
+            first=first,
+            seg_starts=seg_starts,
+            seg_ends=seg_ends,
+            max_cap=max_cap,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P()),
+    )
+    return fn(genome, positions, is_pad, gid)
+
+
+def sample_sort_positions_unbounded(
+    packed: jax.Array,
+    positions: jax.Array,
+    seg_starts: jax.Array,
+    seg_ends: jax.Array,
+    mesh: Mesh,
+    packed2: jax.Array | None = None,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+    max_kmer_len: int | None = None,
+) -> jax.Array:
+    """Distributed iterative-refinement sort — the mesh analog of the
+    single-chip refinement (ops/sort.py): sample-sort by a 32-base window,
+    then re-sort runs that are still tied AND extendable, keyed by (global
+    run id, next window, cap, position), until no such run remains. Handles
+    ``max_kmer_len=None`` (suffix mode: compare to each segment's end) and
+    any bounded k beyond the one-window limits. Returns the sorted
+    positions, pads removed."""
+    two_bit = packed2 is not None
+    genome = packed2 if two_bit else packed
+    window_bases = 32
+    n_words = window_bases // (16 if two_bit else 8)
+    n = positions.shape[0]
+
+    # round 0: plain distributed sample sort capped at the first window
+    rag_pos, rag_pad = sample_sort_positions_ragged(
+        packed, positions, seg_starts, seg_ends, window_bases, mesh,
+        packed2=packed2, n_samples=n_samples, capacity_factor=capacity_factor,
+    )
+
+    seg_starts = put_global(seg_starts, NamedSharding(mesh, P()))
+    seg_ends = put_global(seg_ends, NamedSharding(mesh, P()))
+    genome_g = put_global(genome, NamedSharding(mesh, P()))
+    max_cap = 0xFFFFFFF0 if max_kmer_len is None else int(max_kmer_len)
+
+    offset = 0
+    gid, unresolved = _run_structure_jit(
+        genome_g, rag_pos, rag_pad, rag_pad, seg_starts, seg_ends,
+        n_words, two_bit, offset, window_bases, True, max_cap, mesh,
+    )
+    n_dev = mesh.shape[AXIS]
+    m = rag_pos.shape[0] // n_dev
+    while int(unresolved) > 0:
+        offset += window_bases
+        from ..ops.keys import cap_lengths, compute_valid_len
+
+        cap = cap_lengths(compute_valid_len(rag_pos, seg_starts, seg_ends),
+                          max_cap)
+        factor = capacity_factor
+        while True:
+            capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
+            out_pos, out_pad, out_gid, overflow = _sample_sort_gid_jit(
+                genome_g, rag_pos, cap, rag_pad, gid, n_words, two_bit,
+                min(n_samples, m), capacity, offset, mesh,
+            )
+            if int(overflow) == 0:
+                break
+            if capacity >= m:
+                raise AssertionError("unbounded sample sort overflow at full capacity")
+            factor *= 2.0
+        rag_pos, rag_pad = out_pos, out_pad
+        m = rag_pos.shape[0] // n_dev
+        gid, unresolved = _run_structure_jit(
+            genome_g, rag_pos, rag_pad, out_gid, seg_starts, seg_ends,
+            n_words, two_bit, offset, window_bases, False, max_cap, mesh,
+        )
+
+    pos_np = np.asarray(rag_pos)
+    pad_np = np.asarray(rag_pad)
+    out = pos_np[pad_np == 0]
+    assert out.shape[0] == n
+    return jnp.asarray(out)
 
 
 def sample_sort_positions(
@@ -198,8 +400,11 @@ def sample_sort_positions(
     """
     limit = 64 if packed2 is not None else 32
     if max_kmer_len is None or max_kmer_len > limit:
-        raise NotImplementedError(
-            f"sample sort requires max_kmer_len <= {limit} bases"
+        # suffix mode / long k: iterative refinement rounds over the mesh
+        return sample_sort_positions_unbounded(
+            packed, positions, seg_starts, seg_ends, mesh, packed2=packed2,
+            n_samples=n_samples, capacity_factor=capacity_factor,
+            max_kmer_len=max_kmer_len,
         )
     out_pos, out_is_pad = sample_sort_positions_ragged(
         packed, positions, seg_starts, seg_ends, max_kmer_len, mesh,

@@ -98,6 +98,10 @@ def run_get_segment_num_from_sba_index(seq_coll, sba_indices):
 @get_run_time
 def run_kmers_sort(kmers: Kmers):
     kmers.sort()
+    # force device completion + host materialization: sort() keeps the index
+    # device-resident (lazy host view), and async dispatch would otherwise
+    # make this wall-clock measure nothing
+    _ = kmers.kmer_sba_start_indices[0]
     return kmers
 
 

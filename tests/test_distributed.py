@@ -454,3 +454,96 @@ class TestKmersMeshStats:
         single = km.count_queries(qs)
         meshed = km.count_queries(qs, mesh=mesh8)
         assert np.array_equal(single, meshed)
+
+
+class TestUnboundedDistributedSort:
+    """Suffix-mode (max_kmer_len=None) sample sort with distributed
+    refinement rounds vs the single-chip iterative refinement truth."""
+
+    def _truth(self, seq_list, min_k):
+        sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=min_k, max_kmer_len=None)
+        dc = sc.device_cache("forward")
+        pos = jnp.asarray(km.kmer_sba_start_indices)
+        cap = caps_for(dc, pos, None)
+        return km, dc, pos, np.asarray(sort_positions(dc.packed, pos, cap, None))
+
+    def test_long_repeats_multi_round(self, mesh8):
+        from genome_kmers_tpu.parallel import sample_sort_positions_unbounded
+
+        base = random_seq(50, 901)
+        seq = base + base + random_seq(120, 902) + base  # 50-base repeats: 2 rounds
+        km, dc, pos, truth = self._truth([("chr1", seq)], 1)
+        got = np.asarray(sample_sort_positions_unbounded(
+            dc.packed, pos, dc.seg_starts, dc.seg_ends, mesh8))
+        assert np.array_equal(got, truth)
+        got2 = np.asarray(sample_sort_positions_unbounded(
+            None, pos, dc.seg_starts, dc.seg_ends, mesh8, packed2=dc.packed2))
+        assert np.array_equal(got2, truth)
+
+    def test_multi_record_short_suffixes(self, mesh8):
+        from genome_kmers_tpu.parallel import sample_sort_positions_unbounded
+
+        rep = random_seq(40, 903)
+        seq_list = [("a", rep + rep), ("b", rep[:20]), ("c", random_seq(77, 904))]
+        km, dc, pos, truth = self._truth(seq_list, 1)
+        got = np.asarray(sample_sort_positions_unbounded(
+            dc.packed, pos, dc.seg_starts, dc.seg_ends, mesh8))
+        assert np.array_equal(got, truth)
+
+    def test_iupac_genome(self, mesh8):
+        from genome_kmers_tpu.parallel import sample_sort_positions_unbounded
+
+        seq = random_seq(300, 905, alphabet="ACGTN")
+        km, dc, pos, truth = self._truth([("c", seq)], 2)
+        got = np.asarray(sample_sort_positions_unbounded(
+            dc.packed, pos, dc.seg_starts, dc.seg_ends, mesh8))
+        assert np.array_equal(got, truth)
+
+    def test_kmers_sort_mesh_unbounded(self, mesh8):
+        seq = "ACGTAC" * 30 + random_seq(100, 906)
+        sc1 = SequenceCollection(sequence_list=[("c", seq)], strands_to_load="forward")
+        km1 = Kmers(sc1, min_kmer_len=2, max_kmer_len=None)
+        km1.sort()
+        sc2 = SequenceCollection(sequence_list=[("c", seq)], strands_to_load="forward")
+        km2 = Kmers(sc2, min_kmer_len=2, max_kmer_len=None)
+        km2.sort(mesh=mesh8)
+        assert np.array_equal(km1.kmer_sba_start_indices, km2.kmer_sba_start_indices)
+
+    def test_all_identical_suffix_heavy(self, mesh8):
+        from genome_kmers_tpu.parallel import sample_sort_positions_unbounded
+
+        seq = "A" * 200  # every suffix a prefix of the next: maximal tie depth
+        km, dc, pos, truth = self._truth([("c", seq)], 1)
+        got = np.asarray(sample_sort_positions_unbounded(
+            dc.packed, pos, dc.seg_starts, dc.seg_ends, mesh8))
+        assert np.array_equal(got, truth)
+
+
+class TestLongBoundedDistributed:
+    def test_k40_iupac_refinement(self, mesh8):
+        # 4-bit one-window limit is 32; k=40 takes the refinement rounds
+        seq_list = [("c", random_seq(400, 910, alphabet="ACGTN"))]
+        km, dc, positions, cap = setup_engine(seq_list, 2, 40)
+        truth = np.asarray(sort_positions(dc.packed, positions, cap, 40))
+        got = np.asarray(sample_sort_positions(
+            dc.packed, positions, dc.seg_starts, dc.seg_ends, 40, mesh8))
+        assert np.array_equal(got, truth)
+
+    def test_k70_acgt_refinement(self, mesh8):
+        base = random_seq(80, 911)
+        seq_list = [("c", base + base + random_seq(150, 912))]
+        km, dc, positions, cap = setup_engine(seq_list, 2, 70)
+        truth = np.asarray(sort_positions(dc.packed, positions, cap, 70))
+        got = np.asarray(sample_sort_positions(
+            dc.packed, positions, dc.seg_starts, dc.seg_ends, 70, mesh8,
+            packed2=dc.packed2))
+        assert np.array_equal(got, truth)
+
+    def test_kmers_mesh_sort_k70(self, mesh8):
+        seq = random_seq(300, 913)
+        sc1 = SequenceCollection(sequence_list=[("c", seq)], strands_to_load="forward")
+        km1 = Kmers(sc1, min_kmer_len=3, max_kmer_len=70); km1.sort()
+        sc2 = SequenceCollection(sequence_list=[("c", seq)], strands_to_load="forward")
+        km2 = Kmers(sc2, min_kmer_len=3, max_kmer_len=70); km2.sort(mesh=mesh8)
+        assert np.array_equal(km1.kmer_sba_start_indices, km2.kmer_sba_start_indices)
