@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Stress soak: oracle-parity and distributed-parity sweeps over random
+genomes/parameters. Usage: python tools/run_soak.py [n_oracle] [n_dist]
+(defaults 150/40; run from the repo root)."""
+import sys as _sys
+N_ORACLE = int(_sys.argv[1]) if len(_sys.argv) > 1 else 150
+N_DIST = int(_sys.argv[2]) if len(_sys.argv) > 2 else 40
+import os
+os.environ['JAX_PLATFORMS']='cpu'
+os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+' --xla_force_host_platform_device_count=8'
+import jax; jax.config.update('jax_platforms','cpu')
+import sys; sys.path.insert(0, 'tests')
+import numpy as np, jax.numpy as jnp
+from test_fuzz import random_case
+from oracle import expected_kmers
+from genome_kmers_tpu import Kmers, SequenceCollection
+from genome_kmers_tpu.parallel import make_mesh, sample_sort_positions
+from genome_kmers_tpu.ops.sort import sort_positions
+from genome_kmers_tpu.ops.keys import cap_lengths, compute_valid_len
+
+fails = 0
+for seed in range(224, 224 + N_ORACLE):
+    seq_list, min_k, max_k = random_case(seed)
+    sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=min_k, max_kmer_len=max_k); km.sort()
+    _, _, _, exp_idx = expected_kmers(seq_list, min_k, max_k)
+    if list(km.kmer_sba_start_indices) != exp_idx:
+        print("FAIL", seed, min_k, max_k); fails += 1
+print(f"oracle soak: {N_ORACLE-fails}/{N_ORACLE} ok", flush=True)
+
+mesh = make_mesh(8)
+dfails = 0
+for seed in range(500, 500 + N_DIST):
+    seq_list, min_k, max_k = random_case(seed)
+    sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=min_k, max_kmer_len=max_k)
+    dc = sc.device_cache("forward")
+    pos = jnp.asarray(km.kmer_sba_start_indices)
+    cap = cap_lengths(compute_valid_len(pos, dc.seg_starts, dc.seg_ends), max_k)
+    truth = np.asarray(sort_positions(dc.packed, pos, cap, max_k, packed2=dc.packed2 if (max_k and max_k<=64) else None))
+    got = np.asarray(sample_sort_positions(dc.packed, pos, dc.seg_starts, dc.seg_ends, max_k, mesh, packed2=dc.packed2))
+    if not np.array_equal(got, truth):
+        print("DFAIL", seed, min_k, max_k); dfails += 1
+print(f"distributed soak (incl. suffix/long-k): {N_DIST-dfails}/{N_DIST} ok")
