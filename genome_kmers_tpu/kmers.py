@@ -49,6 +49,21 @@ _DOLLAR = ord("$")
 # --------------------------------------------------------------------------- #
 
 
+_CMP_CHUNK = 64
+
+
+def _terminator_offset(chunk: np.ndarray, want: int) -> Union[int, None]:
+    """Offset of the first k-mer terminator within ``chunk`` (a '$' byte, or
+    the array end if the slice came back short of ``want``); None if the
+    chunk is clean."""
+    hits = np.flatnonzero(chunk == _DOLLAR)
+    if hits.size:
+        return int(hits[0])
+    if chunk.shape[0] < want:
+        return chunk.shape[0]
+    return None
+
+
 def compare_sba_kmers_lexicographically(
     sba_a,
     sba_b,
@@ -56,45 +71,62 @@ def compare_sba_kmers_lexicographically(
     kmer_sba_start_idx_b: int,
     max_kmer_len: Union[int, None] = None,
 ) -> tuple[int, int]:
-    """Scalar parity version of reference kmers.py:306-397.
+    """Host-side lexicographic k-mer compare with the '$'/array-end => smaller
+    rule; behavior (including the no-valid-bases AssertionError) matches the
+    reference comparator (reference kmers.py:306-397).
 
-    Returns (comparison in {-1, 0, 1}, last_kmer_index_compared), with the
-    '$'/array-end => smaller rule. The TPU compute path never calls this —
-    packed keys reproduce it wholesale (ops/encoding.py) — but tests and the
-    generic fallback walk do.
+    Returns (comparison in {-1, 0, 1}, last_kmer_index_compared). The
+    decision is derived from two scan results rather than a byte-at-a-time
+    walk: t = offset of the nearest terminator on either side, d = offset of
+    the first byte difference. A terminator at t decides whenever
+    t <= min(d, max_kmer_len - 1); otherwise a difference at d < max_kmer_len
+    decides; otherwise the compare cap does. Bytes are scanned a numpy chunk
+    at a time, so the common early-mismatch case touches one small slice.
+
+    The TPU compute path never calls this — packed keys reproduce it
+    wholesale (ops/encoding.py) — but tests and the generic fallback walk do.
     """
-    kmer_idx = 0
-    comparison = 0
-    last_kmer_index_compared = None
-    while True:
-        idx_a = kmer_sba_start_idx_a + kmer_idx
-        idx_b = kmer_sba_start_idx_b + kmer_idx
-        a_oob = idx_a >= len(sba_a) or sba_a[idx_a] == _DOLLAR
-        b_oob = idx_b >= len(sba_b) or sba_b[idx_b] == _DOLLAR
-        if a_oob or b_oob:
-            last_kmer_index_compared = kmer_idx - 1
-            if last_kmer_index_compared < 0:
+    arr_a = np.asarray(sba_a)
+    arr_b = np.asarray(sba_b)
+    # None = compare to the segment end; a non-positive cap never trips the
+    # reference's `kmer_idx == max_kmer_len - 1` break, i.e. it is unbounded
+    cap = max_kmer_len if (max_kmer_len is None or max_kmer_len >= 1) else None
+
+    scanned = 0
+    term_at = None  # (offset, a_terminated, b_terminated)
+    diff_at = None  # (offset, sign)
+    while term_at is None and diff_at is None:
+        if cap is not None and scanned >= cap:
+            break
+        want = _CMP_CHUNK if cap is None else min(_CMP_CHUNK, cap - scanned)
+        lo_a = kmer_sba_start_idx_a + scanned
+        lo_b = kmer_sba_start_idx_b + scanned
+        chunk_a = arr_a[lo_a : lo_a + want]
+        chunk_b = arr_b[lo_b : lo_b + want]
+        t_a = _terminator_offset(chunk_a, want)
+        t_b = _terminator_offset(chunk_b, want)
+        if t_a is not None or t_b is not None:
+            t = min(x for x in (t_a, t_b) if x is not None)
+            term_at = (scanned + t, t_a == t, t_b == t)
+        span = min(chunk_a.shape[0], chunk_b.shape[0])
+        unequal = np.flatnonzero(chunk_a[:span] != chunk_b[:span])
+        if unequal.size:
+            d = int(unequal[0])
+            sign = -1 if chunk_a[d] < chunk_b[d] else 1
+            diff_at = (scanned + d, sign)
+        scanned += want
+
+    horizon = cap - 1 if cap is not None else None
+    if term_at is not None and (diff_at is None or term_at[0] <= diff_at[0]):
+        t, a_ends, b_ends = term_at
+        if horizon is None or t <= horizon:
+            if t == 0:
                 raise AssertionError("There were no valid kmer bases to compare")
-            if a_oob and not b_oob:
-                comparison = -1
-            elif b_oob and not a_oob:
-                comparison = 1
-            else:
-                comparison = 0
-            break
-        if sba_a[idx_a] < sba_b[idx_b]:
-            comparison = -1
-            last_kmer_index_compared = kmer_idx
-            break
-        if sba_a[idx_a] > sba_b[idx_b]:
-            comparison = 1
-            last_kmer_index_compared = kmer_idx
-            break
-        if max_kmer_len is not None and kmer_idx == max_kmer_len - 1:
-            last_kmer_index_compared = kmer_idx
-            break
-        kmer_idx += 1
-    return comparison, last_kmer_index_compared
+            return (0 if a_ends == b_ends else (-1 if a_ends else 1)), t - 1
+        return 0, horizon
+    if diff_at is not None and (horizon is None or diff_at[0] <= horizon):
+        return diff_at[1], diff_at[0]
+    return 0, horizon
 
 
 class _AlwaysLessThanComparator:
@@ -145,6 +177,56 @@ def get_kmer_info_group_size_only(
 # --------------------------------------------------------------------------- #
 
 
+def _check_group_bounds(min_group_size, max_group_size, yield_first_n) -> None:
+    """Shared validation for the group-walk APIs (error strings are part of
+    the public contract — reference kmers.py:552-562)."""
+    if min_group_size < 1:
+        raise ValueError(f"min_group_size ({min_group_size}) must be >= 1")
+    if max_group_size is not None and max_group_size < min_group_size:
+        raise ValueError(
+            f"if max_group_size ({max_group_size}) is specified, it must be >= min_group_size ({min_group_size})"
+        )
+    if yield_first_n is not None and yield_first_n < 1:
+        raise ValueError(f"if yield_first_n ({yield_first_n}) is specified, it must be > 0")
+
+
+def _group_qualifies(size: int, min_group_size, max_group_size) -> bool:
+    return size >= min_group_size and (max_group_size is None or size <= max_group_size)
+
+
+def _iter_filter_survivors(sba, sba_strand, kmer_start_indices, keep):
+    """Stream of (kmer_num, sba_start_idx) for every k-mer passing ``keep``
+    — the lazy equivalent of the vectorized engine's survivor mask."""
+    for kmer_num in range(len(kmer_start_indices)):
+        sba_idx = int(kmer_start_indices[kmer_num])
+        if keep(sba, sba_strand, sba_idx):
+            yield kmer_num, sba_idx
+
+
+def _iter_equal_runs(survivors, sba, same_key, head_limit):
+    """Collapse a survivor stream into (head_members, run_size) tuples.
+
+    A run is a maximal stretch of adjacent survivors whose pairwise
+    comparison (``same_key``, previous survivor vs current) returns equal —
+    the streaming mirror of ops/sort.adjacent_boundaries. Only the first
+    ``head_limit`` member kmer_nums are retained per run (None = all);
+    ``run_size`` always counts every member.
+    """
+    head: list[int] = []
+    run_size = 0
+    anchor_idx = None
+    for kmer_num, sba_idx in survivors:
+        if run_size and same_key(sba, sba, anchor_idx, sba_idx)[0] != 0:
+            yield head, run_size
+            head, run_size = [], 0
+        if head_limit is None or len(head) < head_limit:
+            head.append(kmer_num)
+        run_size += 1
+        anchor_idx = sba_idx
+    if run_size:
+        yield head, run_size
+
+
 def kmer_info_by_group_generator(
     sba,
     sba_strand,
@@ -157,75 +239,33 @@ def kmer_info_by_group_generator(
     max_group_size: Union[int, None] = None,
     yield_first_n: Union[int, None] = None,
 ) -> Generator[tuple, None, None]:
-    """Faithful host implementation of the reference's JIT'd group-walk
-    generator (kmers.py:523-648): skip filtered k-mers, compare each survivor
-    to the previous survivor, yield up to yield_first_n members of each
-    completed group whose size is within [min_group_size, max_group_size].
+    """Host generator over k-mer groups, output-identical to the reference's
+    JIT'd group walk (reference kmers.py:523-648) but built as a two-stage
+    stream: filter survivors -> collapse into equal-key runs -> emit
+    ``kmer_info_func`` for (up to yield_first_n) members of each run whose
+    size is within [min_group_size, max_group_size].
 
     The Kmers methods use the vectorized segmented-op engine instead whenever
-    the supplied callables are the library's own; this walk is the fully
-    general escape hatch for arbitrary user callables.
+    the supplied callables are the library's own; this stream is the fully
+    general escape hatch for arbitrary user callables. It stays lazy: a run
+    is emitted as soon as the first survivor beyond it is seen, and filter/
+    comparator exceptions surface at the same iteration point they would in
+    the reference.
     """
-    if min_group_size < 1:
-        raise ValueError(f"min_group_size ({min_group_size}) must be >= 1")
-    if max_group_size is not None and max_group_size < min_group_size:
-        raise ValueError(
-            f"if max_group_size ({max_group_size}) is specified, it must be >= min_group_size ({min_group_size})"
-        )
-    if yield_first_n is not None and yield_first_n < 1:
-        raise ValueError(f"if yield_first_n ({yield_first_n}) is specified, it must be > 0")
+    _check_group_bounds(min_group_size, max_group_size, yield_first_n)
 
-    valid_kmer_nums_in_group = []
-    group_size = 0
-    prev_valid_kmer_sba_start_idx = None
-    for kmer_num in range(len(kmer_start_indices)):
-        kmer_sba_start_idx = int(kmer_start_indices[kmer_num])
-        if not kmer_filter_func(sba, sba_strand, kmer_sba_start_idx):
+    runs = _iter_equal_runs(
+        _iter_filter_survivors(sba, sba_strand, kmer_start_indices, kmer_filter_func),
+        sba,
+        kmer_comparison_func,
+        yield_first_n,
+    )
+    for head, run_size in runs:
+        if not _group_qualifies(run_size, min_group_size, max_group_size):
             continue
-
-        if prev_valid_kmer_sba_start_idx is None:
-            prev_valid_kmer_sba_start_idx = kmer_sba_start_idx
-            in_same_group = True
-        else:
-            comparison, _ = kmer_comparison_func(
-                sba, sba, prev_valid_kmer_sba_start_idx, kmer_sba_start_idx
-            )
-            in_same_group = comparison == 0
-            prev_valid_kmer_sba_start_idx = kmer_sba_start_idx
-
-        if in_same_group:
-            group_size += 1
-            if yield_first_n is None or len(valid_kmer_nums_in_group) < yield_first_n:
-                valid_kmer_nums_in_group.append(kmer_num)
-        else:
-            meets_min = group_size >= min_group_size
-            meets_max = max_group_size is None or group_size <= max_group_size
-            if meets_min and meets_max:
-                group_size_yielded = len(valid_kmer_nums_in_group)
-                for kmer_num_in_group in valid_kmer_nums_in_group:
-                    yield kmer_info_func(
-                        kmer_num_in_group,
-                        kmer_start_indices,
-                        sba,
-                        kmer_len,
-                        group_size_yielded,
-                        group_size,
-                    )
-            group_size = 1
-            valid_kmer_nums_in_group = [kmer_num]
-
-    meets_min = group_size >= min_group_size
-    meets_max = max_group_size is None or group_size <= max_group_size
-    if meets_min and meets_max:
-        group_size_yielded = len(valid_kmer_nums_in_group)
-        for kmer_num_in_group in valid_kmer_nums_in_group:
+        for member in head:
             yield kmer_info_func(
-                kmer_num_in_group,
-                kmer_start_indices,
-                sba,
-                kmer_len,
-                group_size_yielded,
-                group_size,
+                member, kmer_start_indices, sba, kmer_len, len(head), run_size
             )
 
 
@@ -240,29 +280,27 @@ def get_kmer_group_size_hist(
     max_group_size: Union[int, None] = None,
     max_counts_bin: int = 1000000,
 ) -> tuple[np.ndarray, int]:
-    """Host parity version of reference kmers.py:454-520 (histogram of group
-    sizes + total k-mer count). Kmers.get_kmer_group_counts uses the device
-    engine instead; this free function keeps the reference kernel API."""
+    """Histogram of group sizes + total k-mer count over the host group walk
+    (same outputs as reference kmers.py:454-520). Consumes the run stream
+    directly — a histogram needs sizes, not member yields.
+    Kmers.get_kmer_group_counts uses the device engine instead; this free
+    function keeps the reference kernel API."""
     if max_counts_bin <= 0:
         raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
+    _check_group_bounds(min_group_size, max_group_size, None)
 
-    kmer_generator = kmer_info_by_group_generator(
-        sba,
-        sba_strand,
-        kmer_len,
-        kmer_start_indices,
-        kmer_comparison_func,
-        kmer_filter_func,
-        get_kmer_info_group_size_only,
-        min_group_size,
-        max_group_size,
-        yield_first_n=1,
-    )
     counts_by_group_size = np.zeros((max_counts_bin + 1,), dtype=np.int64)
     total_kmer_count = 0
-    for group_size_total in kmer_generator:
-        total_kmer_count += group_size_total
-        counts_by_group_size[min(group_size_total, max_counts_bin)] += 1
+    runs = _iter_equal_runs(
+        _iter_filter_survivors(sba, sba_strand, kmer_start_indices, kmer_filter_func),
+        sba,
+        kmer_comparison_func,
+        head_limit=1,
+    )
+    for _head, run_size in runs:
+        if _group_qualifies(run_size, min_group_size, max_group_size):
+            counts_by_group_size[min(run_size, max_counts_bin)] += 1
+            total_kmer_count += run_size
     return counts_by_group_size, total_kmer_count
 
 

@@ -49,12 +49,13 @@ def save_sharded_index(
     mult = 1024
     n_pad = max(-(-n_real // mult) * mult, mult)
     if n_pad != n_real:
-        sorted_positions = jnp.concatenate(
-            [
-                sorted_positions,
-                jnp.full((n_pad - n_real,), 0xFFFFFFF0, dtype=sorted_positions.dtype),
-            ]
-        )
+        # under jit so the pad constant is traced (an eager concatenate with a
+        # process-local jnp.full would fail on multi-host sharded inputs)
+        sorted_positions = jax.jit(
+            lambda a: jnp.concatenate(
+                [a, jnp.full((n_pad - n_real,), 0xFFFFFFF0, dtype=a.dtype)]
+            )
+        )(sorted_positions)
     tree = {"sorted_positions": sorted_positions}
     if packed_genome is not None:
         tree["packed_genome"] = packed_genome
@@ -65,7 +66,14 @@ def save_sharded_index(
     meta["__arrays__"] = {
         name: {"shape": list(a.shape), "dtype": str(a.dtype)} for name, a in tree.items()
     }
-    (path / _META_NAME).write_text(json.dumps(meta))
+    # one writer + a barrier: in a multi-process run every process calls
+    # save(), and concurrent write_text of the same file races with readers
+    if jax.process_index() == 0:
+        (path / _META_NAME).write_text(json.dumps(meta))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("gkt_ckpt_meta_written")
 
 
 def load_sharded_index(path, mesh: Mesh | None = None):

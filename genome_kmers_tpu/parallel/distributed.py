@@ -346,13 +346,15 @@ def distributed_group_size_histogram(
     is_pad = put_global(is_pad, sharding)
     genome = put_global(genome, NamedSharding(mesh, P()))
 
-    max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.uint32(0xFFFFFFF0)
+    # numpy scalars (not device-committed jax arrays): in a multi-process run
+    # jit treats them as replicated host constants on every process
+    max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
     counts, total = _distributed_group_hist_jit(
         genome,
         positions_p,
         cap_p,
         is_pad,
-        jnp.uint32(min_group_size),
+        np.uint32(min_group_size),
         max_gs,
         n_words,
         max_counts_bin,
@@ -392,13 +394,13 @@ def distributed_group_size_histogram_ragged(
     n_words = _cdiv(kmer_len, 16 if two_bit else 8)
 
     genome = put_global(genome, NamedSharding(mesh, P()))
-    max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.uint32(0xFFFFFFF0)
+    max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
     return _distributed_group_hist_jit(
         genome,
         sorted_positions,
         cap_len,
         is_pad,
-        jnp.uint32(min_group_size),
+        np.uint32(min_group_size),
         max_gs,
         n_words,
         max_counts_bin,
