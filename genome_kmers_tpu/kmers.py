@@ -311,6 +311,20 @@ def get_kmer_group_size_hist(
 _UINT32_SENTINEL = np.uint32(0xFFFFFFF0)
 
 
+class _DistIndexCache:
+    """Device-resident distributed index retained by ``sort(mesh=...)``:
+    the globally sorted positions in the ragged per-shard-padded layout
+    (``sample_sort_positions_ragged``), so a following mesh statistics or
+    query call composes on-device — one sort + one stats pass across the
+    pipeline, no host round trip and no re-sort."""
+
+    def __init__(self, mesh, positions, is_pad, n_real: int):
+        self.mesh = mesh
+        self.positions = positions
+        self.is_pad = is_pad
+        self.n_real = n_real
+
+
 class Kmers:
     """Memory-efficient k-mer calculations on a genome, TPU-accelerated.
 
@@ -369,6 +383,7 @@ class Kmers:
         self._pos_host = None
         self._pos_dev = None
         self._init_geometry = None
+        self._dist_cache = None
 
         if seq_coll is None:
             return
@@ -481,13 +496,34 @@ class Kmers:
             raise ValueError("SequenceCollection does not have any records")
         return num_kmers
 
+    def _ragged_to_host(self) -> np.ndarray:
+        """Compact the retained distributed layout to a host uint32 array
+        (global sorted order, pads removed)."""
+        import jax
+
+        cache = self._dist_cache
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            pos = np.asarray(multihost_utils.process_allgather(cache.positions, tiled=True))
+            pad = np.asarray(multihost_utils.process_allgather(cache.is_pad, tiled=True))
+        else:
+            pos = np.asarray(cache.positions)
+            pad = np.asarray(cache.is_pad)
+        out = pos[pad == 0]
+        assert out.shape[0] == cache.n_real
+        return out
+
     @property
     def kmer_sba_start_indices(self):
         """Host uint32 view of the k-mer index (reference member kmers.py:811),
-        materialized lazily from the device array or init geometry."""
+        materialized lazily from the device array, distributed layout, or
+        init geometry."""
         if self._pos_host is None:
             if self._pos_dev is not None:
                 self._pos_host = np.asarray(self._pos_dev)
+            elif self._dist_cache is not None:
+                self._pos_host = self._ragged_to_host()
             elif self._init_geometry is not None:
                 self._pos_host = self._build_positions_host()
         return self._pos_host
@@ -497,12 +533,15 @@ class Kmers:
         self._pos_host = value
         self._pos_dev = None
         self._init_geometry = None
+        self._dist_cache = None
 
     def __len__(self):
         if self._pos_host is not None:
             return len(self._pos_host)
         if self._pos_dev is not None:
             return int(self._pos_dev.shape[0])
+        if self._dist_cache is not None:
+            return self._dist_cache.n_real
         if self._init_geometry is not None:
             return self._init_geometry[2]
         raise TypeError("Kmers index is not initialized")
@@ -519,7 +558,11 @@ class Kmers:
         import jax.numpy as jnp
 
         if self._pos_dev is None:
-            if self._pos_host is None and self._init_geometry is not None:
+            if (
+                self._pos_host is None
+                and self._init_geometry is not None
+                and self._dist_cache is None
+            ):
                 self._pos_dev = self._build_positions_device()
             else:
                 self._pos_dev = jnp.asarray(self.kmer_sba_start_indices)
@@ -826,12 +869,29 @@ class Kmers:
         kmer_filter_func: Callable = kmer_filter_keep_all,
         min_group_size: int = 1,
         max_group_size: Union[int, None] = None,
+        mesh=None,
     ) -> int:
-        """Total k-mers in qualifying groups (reference kmers.py:994-1083)."""
+        """Total k-mers in qualifying groups (reference kmers.py:994-1083).
+
+        EXTENSION: pass ``mesh`` to count over the mesh — reuses the layout
+        retained by ``sort(mesh=...)`` when present (see
+        ``get_kmer_group_counts``). Requires a sorted index and bounded
+        kmer_len."""
         self._check_forward_only()
         if kmer_len is not None and kmer_len < 1:
             raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
         self._check_group_params_unsorted(min_group_size, max_group_size)
+
+        if mesh is not None:
+            if not self._is_sorted:
+                raise NotImplementedError(
+                    "get_kmer_count(mesh=...) requires a sorted index"
+                )
+            _, total = self._mesh_group_hist(
+                kmer_len, kmer_filter_func, min_group_size, max_group_size,
+                max_counts_bin=1, mesh=mesh,
+            )
+            return total
 
         import jax.numpy as jnp
 
@@ -861,9 +921,11 @@ class Kmers:
         """Histogram of group sizes + total count (reference kmers.py:1085-1178).
 
         EXTENSION: pass ``mesh`` (a jax.sharding.Mesh) to compute the
-        histogram fully on the mesh — ragged sample-sort redistribution +
-        halo-stitched distributed histogram, no host round trip of the index.
-        Requires the keep-all filter and bounded kmer_len.
+        histogram fully on the mesh — halo-stitched distributed histogram
+        over the sharded sorted index, no host round trip. Reuses the layout
+        retained by ``sort(mesh=...)`` when present (no re-sort); library
+        filters (KmerFilter) apply as a sharded device mask. Requires
+        bounded kmer_len.
         """
         self._check_forward_only()
         if kmer_len is not None and kmer_len < 1:
@@ -875,32 +937,11 @@ class Kmers:
             raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
 
         if mesh is not None:
-            from .ops.filters import KeepAllFilter
-
-            if not isinstance(kmer_filter_func, KeepAllFilter):
-                raise NotImplementedError(
-                    "mesh group counts support only the keep-all filter"
-                )
-            from .parallel import (
-                distributed_group_size_histogram_ragged,
-                sample_sort_positions_ragged,
+            counts, total = self._mesh_group_hist(
+                kmer_len, kmer_filter_func, min_group_size, max_group_size,
+                max_counts_bin, mesh,
             )
-
-            dc = self.seq_coll.device_cache("forward")
-            use2 = kmer_len is not None and kmer_len <= 64
-            packed2 = dc.packed2 if use2 else None
-            packed = dc.packed if packed2 is None else None
-            rag_pos, rag_pad = sample_sort_positions_ragged(
-                packed, self._device_positions(), dc.seg_starts, dc.seg_ends,
-                kmer_len, mesh, packed2=packed2,
-            )
-            counts, total = distributed_group_size_histogram_ragged(
-                packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
-                mesh, min_group_size=min_group_size,
-                max_group_size=max_group_size, max_counts_bin=max_counts_bin,
-                packed2=packed2,
-            )
-            return np.asarray(counts).astype(np.int64), int(total)
+            return counts.astype(np.int64), total
 
         import jax.numpy as jnp
 
@@ -917,6 +958,95 @@ class Kmers:
             boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=max_counts_bin
         )
         return np.asarray(counts).astype(np.int64), int(total)
+
+    def _mesh_group_hist(
+        self, kmer_len, kmer_filter_func, min_group_size, max_group_size,
+        max_counts_bin, mesh,
+    ) -> tuple[np.ndarray, int]:
+        """Group-size histogram + total over the mesh (EXTENSION; exact
+        parity with the single-chip engine).
+
+        Fast path: a layout retained by ``sort(mesh=...)`` on the same mesh
+        is reused directly — library filters apply as a device mask + stable
+        per-shard compaction, so the whole pipeline is ONE sort plus ONE
+        stats pass with no host round trip. Otherwise (no retained layout,
+        or an arbitrary user callable) the filter survivors are selected on
+        the default device and redistributed with a fresh sample sort.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .ops.filters import KeepAllFilter, KmerFilter
+        from .ops.keys import compute_valid_len
+        from .parallel import (
+            compact_ragged,
+            distributed_group_size_histogram_ragged,
+            sample_sort_positions_ragged,
+        )
+        from .parallel.distributed import put_global
+
+        dc = self.seq_coll.device_cache("forward")
+        use2 = kmer_len is not None and kmer_len <= 64 and dc.packed2 is not None
+        packed2 = dc.packed2 if use2 else None
+        packed = dc.packed if packed2 is None else None
+
+        cache = self._dist_cache
+        if (
+            cache is not None
+            and cache.mesh == mesh
+            and isinstance(kmer_filter_func, KmerFilter)
+        ):
+            rag_pos, rag_pad = cache.positions, cache.is_pad
+            if not isinstance(kmer_filter_func, KeepAllFilter):
+                from .ops.filters import FilterContext
+
+                valid_len = compute_valid_len(rag_pos, dc.seg_starts, dc.seg_ends)
+                # host-side error checks over the valid rows only (ragged
+                # padding rows carry sentinel positions)
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+
+                    pos_np = np.asarray(
+                        multihost_utils.process_allgather(rag_pos, tiled=True)
+                    )
+                    pad_np = np.asarray(
+                        multihost_utils.process_allgather(rag_pad, tiled=True)
+                    )
+                    vl_np = np.asarray(
+                        multihost_utils.process_allgather(valid_len, tiled=True)
+                    )
+                else:
+                    pos_np = np.asarray(rag_pos)
+                    pad_np = np.asarray(rag_pad)
+                    vl_np = np.asarray(valid_len)
+                ctx_check = FilterContext(
+                    self.seq_coll.forward_sba, pos_np, vl_np,
+                    valid_rows=(pad_np == 0),
+                )
+                kmer_filter_func.check_batch(ctx_check)
+                # device mask over the sharded rows; survivors of a sorted
+                # sequence stay sorted, so no re-sort — just re-compact pads
+                # to each shard's tail (the stats' layout invariant)
+                sba_rep = put_global(dc.sba, NamedSharding(mesh, P()))
+                ctx_mask = FilterContext(
+                    self.seq_coll.forward_sba, rag_pos, valid_len, sba_dev=sba_rep
+                )
+                mask = kmer_filter_func.mask_pure(ctx_mask)
+                new_pad = jnp.where(mask, rag_pad, jnp.uint32(1))
+                rag_pos, rag_pad = compact_ragged(rag_pos, new_pad, mesh)
+        else:
+            _, surv_pos, _ = self._survivors(kmer_filter_func)
+            rag_pos, rag_pad = sample_sort_positions_ragged(
+                packed, surv_pos, dc.seg_starts, dc.seg_ends, kmer_len, mesh,
+                packed2=packed2,
+            )
+        counts, total = distributed_group_size_histogram_ragged(
+            packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
+            mesh, min_group_size=min_group_size, max_group_size=max_group_size,
+            max_counts_bin=max_counts_bin, packed2=packed2,
+        )
+        return np.asarray(counts), int(total)
 
     # ------------------------------------------------------------------ #
     # full-info closure (reference kmers.py:1180-1264)
@@ -1220,23 +1350,44 @@ class Kmers:
                     f"kmers compared were less than min_kmer_len ({self.min_kmer_len}).  Was kmer_sba_start_indices initialized correctly?"
                 )
 
-        use2 = self.max_kmer_len is not None and self.max_kmer_len <= 64
-        packed2 = dc.packed2 if use2 else None
-        packed = dc.packed if packed2 is None else None
-
         if mesh is not None:
-            from .parallel import sample_sort_positions
-
+            # 2-bit keys whenever the alphabet allows — never force the 4-bit
+            # pack alongside (it would cost HBM + pack time for nothing)
+            m_packed2 = dc.packed2
+            m_packed = dc.packed if m_packed2 is None else None
+            limit = 64 if m_packed2 is not None else 32
             uniform = (
                 self.max_kmer_len is not None
                 and self.min_kmer_len == self.max_kmer_len
             )
-            sorted_pos = sample_sort_positions(
-                dc.packed, positions, dc.seg_starts, dc.seg_ends,
-                self.max_kmer_len, mesh, packed2=dc.packed2,
-                uniform_cap=uniform,
+            if self.max_kmer_len is not None and self.max_kmer_len <= limit:
+                from .parallel import sample_sort_positions_ragged
+
+                rag_pos, rag_pad = sample_sort_positions_ragged(
+                    m_packed, positions, dc.seg_starts, dc.seg_ends,
+                    self.max_kmer_len, mesh, packed2=m_packed2,
+                    uniform_cap=uniform,
+                )
+                # retain the device-resident layout: a following mesh stats
+                # or query call reuses it instead of re-sorting
+                self._dist_cache = _DistIndexCache(
+                    mesh, rag_pos, rag_pad, int(positions.shape[0])
+                )
+                self._pos_dev = None
+                self._pos_host = None
+                self._init_geometry = None
+                self._is_sorted = True
+                return
+            from .parallel import sample_sort_positions_unbounded
+
+            sorted_pos = sample_sort_positions_unbounded(
+                m_packed, positions, dc.seg_starts, dc.seg_ends, mesh,
+                packed2=m_packed2, max_kmer_len=self.max_kmer_len,
             )
         else:
+            use2 = self.max_kmer_len is not None and self.max_kmer_len <= 64
+            packed2 = dc.packed2 if use2 else None
+            packed = dc.packed if packed2 is None else None
             cap = cap_lengths(valid_len, self.max_kmer_len)
             uniform = (
                 self.max_kmer_len is not None and self.min_kmer_len == self.max_kmer_len
@@ -1255,6 +1406,7 @@ class Kmers:
         self._pos_dev = sorted_pos
         self._pos_host = None
         self._init_geometry = None  # no longer describes the (sorted) order
+        self._dist_cache = None
         self._is_sorted = True
 
     def get_is_less_than_func(
@@ -1331,6 +1483,13 @@ class Kmers:
             from .ops.sort import _PAD_POS
 
             dc = self.seq_coll.device_cache("forward")
+            cache = self._dist_cache
+            if cache is not None and cache.mesh == mesh:
+                # reuse the sharded layout retained by sort(mesh=...)
+                return distributed_count_queries(
+                    dc.packed, cache.positions, cache.is_pad,
+                    dc.seg_starts, dc.seg_ends, queries, kmer_len, mesh,
+                )
             positions = self._device_positions()
             n = positions.shape[0]
             n_dev = mesh.shape[AXIS]

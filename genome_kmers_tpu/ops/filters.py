@@ -43,15 +43,27 @@ class FilterContext:
     shared between filters.
     """
 
-    def __init__(self, sba_u8: np.ndarray, positions, valid_len, sba_dev=None):
+    def __init__(self, sba_u8: np.ndarray, positions, valid_len, sba_dev=None,
+                 valid_rows=None):
         self.sba_np = sba_u8
         self.sba_len = int(len(sba_u8))
         self._sba_dev = sba_dev
         self.positions = positions  # device uint32
         self.valid_len = valid_len  # device uint32
+        # valid_rows: optional bool mask (numpy) — rows to consider for the
+        # host-side error checks. Used by the mesh path, whose ragged layouts
+        # carry padding rows whose positions/valid_len are sentinels; the
+        # device mask (mask_pure) is computed for every row regardless.
+        self.valid_rows = valid_rows
         self._gc_cumsum = None
         self._run_len = None
         self._next_amb = None
+
+    def _rows(self, condition: np.ndarray) -> np.ndarray:
+        """Apply the validity mask to a host-side error condition."""
+        if self.valid_rows is None:
+            return condition
+        return condition & self.valid_rows
 
     @property
     def sba(self):
@@ -119,15 +131,29 @@ def _next_ambiguous(sba):
 
 class KmerFilter:
     """Base class: a filter usable both per-k-mer (reference signature) and
-    as a vectorized mask."""
+    as a vectorized mask.
+
+    ``batch_mask`` = ``check_batch`` (host-side error checks, may raise the
+    reference's ValueErrors) + ``mask_pure`` (device-only boolean mask, never
+    syncs to host). The mesh path calls the two halves separately so error
+    checks can skip ragged padding rows while the mask stays fully on device.
+    """
 
     batchable = True
 
     def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
         raise NotImplementedError
 
-    def batch_mask(self, ctx: FilterContext):
+    def check_batch(self, ctx: FilterContext) -> None:
+        """Raise the reference's ValueError if any valid row is invalid."""
+        return None
+
+    def mask_pure(self, ctx: FilterContext):
         raise NotImplementedError
+
+    def batch_mask(self, ctx: FilterContext):
+        self.check_batch(ctx)
+        return self.mask_pure(ctx)
 
 
 class KeepAllFilter(KmerFilter):
@@ -136,7 +162,7 @@ class KeepAllFilter(KmerFilter):
     def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
         return True
 
-    def batch_mask(self, ctx):
+    def mask_pure(self, ctx):
         return jnp.ones(ctx.positions.shape[0], dtype=bool)
 
 
@@ -162,7 +188,7 @@ class LengthFilter(KmerFilter):
     def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
         return kmer_has_required_len(sba, kmer_sba_start_idx, self.min_kmer_len)
 
-    def batch_mask(self, ctx):
+    def mask_pure(self, ctx):
         return ctx.valid_len >= jnp.uint32(max(self.min_kmer_len, 0))
 
 
@@ -208,28 +234,32 @@ class HomopolymerFilter(KmerFilter):
                 size = 1
         return True
 
-    def batch_mask(self, ctx):
+    def check_batch(self, ctx):
         k, max_h = self.kmer_len, self.max_homopolymer_size
         # Overflow past the array end always raises; a '$' inside the window
         # raises only when k >= max_h (the reference early-returns True for
         # short k-mers before its '$' scan, kmers.py:66-74). Both raise the
         # same message. valid_len < k covers both the '$' and array-end cases.
         pos_np = np.asarray(ctx.positions)
-        overflow = pos_np.astype(np.int64) + k - 1 >= ctx.sba_len
         if k < max_h:
+            overflow = ctx._rows(pos_np.astype(np.int64) + k - 1 >= ctx.sba_len)
             if overflow.any():
                 bad = int(pos_np[overflow][0])
                 raise ValueError(
                     f"The kmer_len ({k}) requested is too large for kmer_sba_start_idx ({bad})"
                 )
-            return jnp.ones(ctx.positions.shape[0], dtype=bool)
-        vl = np.asarray(ctx.valid_len)
-        truncated = vl < k
+            return
+        truncated = ctx._rows(np.asarray(ctx.valid_len) < k)
         if truncated.any():
             bad = int(pos_np[truncated][0])
             raise ValueError(
                 f"The kmer_len ({k}) requested is too large for kmer_sba_start_idx ({bad})"
             )
+
+    def mask_pure(self, ctx):
+        k, max_h = self.kmer_len, self.max_homopolymer_size
+        if k < max_h:
+            return jnp.ones(ctx.positions.shape[0], dtype=bool)
         return _homopolymer_mask(ctx.run_len, ctx.positions, k, max_h)
 
 
@@ -300,12 +330,9 @@ class GcContentFilter(KmerFilter):
             return True
         return False
 
-    def batch_mask(self, ctx):
+    def _gc_window(self, ctx):
+        """(gc count up to min(valid_len, k) bases, truncated flag) — device."""
         k = self.kmer_len
-        if self.max_allowed_gc_count < self.min_allowed_gc_count:
-            return jnp.zeros(ctx.positions.shape[0], dtype=bool)
-        # A k-mer that hits '$'/array-end raises only if its GC count did not
-        # exceed the max first (reference scans left to right, kmers.py:170-185).
         pos = ctx.positions
         vl = ctx.valid_len
         gc = ctx.gc_cumsum
@@ -313,19 +340,32 @@ class GcContentFilter(KmerFilter):
         gc_before_end = jnp.take(gc, (pos + d).astype(jnp.int32)) - jnp.take(
             gc, pos.astype(jnp.int32)
         )
-        truncated = vl < jnp.uint32(k)
+        return gc_before_end, vl < jnp.uint32(k)
+
+    def check_batch(self, ctx):
+        k = self.kmer_len
+        if self.max_allowed_gc_count < self.min_allowed_gc_count:
+            return
+        # A k-mer that hits '$'/array-end raises only if its GC count did not
+        # exceed the max first (reference scans left to right, kmers.py:170-185).
+        gc_before_end, truncated = self._gc_window(ctx)
         raises = truncated & (gc_before_end <= jnp.uint32(self.max_allowed_gc_count))
-        raises_np = np.asarray(raises)
+        raises_np = ctx._rows(np.asarray(raises))
         if raises_np.any():
-            bad = int(np.asarray(pos)[raises_np][0])
+            bad = int(np.asarray(ctx.positions)[raises_np][0])
             raise ValueError(
                 f"The kmer_len ({k}) requested is too larger for kmer_sba_start_idx ({bad})"
             )
-        count = gc_before_end  # == full-window count where not truncated
-        ok = (~truncated) & (count >= jnp.uint32(self.min_allowed_gc_count)) & (
-            count <= jnp.uint32(self.max_allowed_gc_count)
+
+    def mask_pure(self, ctx):
+        if self.max_allowed_gc_count < self.min_allowed_gc_count:
+            return jnp.zeros(ctx.positions.shape[0], dtype=bool)
+        count, truncated = self._gc_window(ctx)  # count == full-window count where not truncated
+        return (
+            (~truncated)
+            & (count >= jnp.uint32(self.min_allowed_gc_count))
+            & (count <= jnp.uint32(self.max_allowed_gc_count))
         )
-        return ok
 
 
 def gen_kmer_gc_content_filter_func(
@@ -353,25 +393,31 @@ class NoAmbiguousBasesFilter(KmerFilter):
                 return False
         return True
 
-    def batch_mask(self, ctx):
+    def _amb_offsets(self, ctx):
+        """(first '$' offset within window (k if none), first ambiguous
+        offset within window (k if none)) — device."""
         k = self.kmer_len
-        pos_np = np.asarray(ctx.positions)
-        if pos_np.size and (pos_np.astype(np.int64) + k > ctx.sba_len).any():
-            raise ValueError(f"kmer_len ({k}) is invalid. It extends beyond len(sba)")
         pos = ctx.positions
-        vl = ctx.valid_len
-        # d = first '$' offset within window (k if none); a = first ambiguous
-        # (non-ACGT, non-'$') offset within window (k if none). A '$' found
-        # before an ambiguous base raises; an ambiguous base found first just
-        # fails the k-mer (reference kmers.py:216-227).
-        d = jnp.minimum(vl, jnp.uint32(k))
+        d = jnp.minimum(ctx.valid_len, jnp.uint32(k))
         na = jnp.take(ctx.next_amb, pos.astype(jnp.int32))
         a = jnp.minimum(na - pos, jnp.uint32(k))
+        return d, a
+
+    def check_batch(self, ctx):
+        k = self.kmer_len
+        pos_np = np.asarray(ctx.positions)
+        if pos_np.size and ctx._rows(pos_np.astype(np.int64) + k > ctx.sba_len).any():
+            raise ValueError(f"kmer_len ({k}) is invalid. It extends beyond len(sba)")
+        # A '$' found before an ambiguous base raises; an ambiguous base found
+        # first just fails the k-mer (reference kmers.py:216-227).
+        d, a = self._amb_offsets(ctx)
         raises = (d < jnp.uint32(k)) & (d < a)
-        raises_np = np.asarray(raises)
-        if raises_np.any():
+        if ctx._rows(np.asarray(raises)).any():
             raise ValueError(f"end of segment was reached. kmer_len ({k}) invalid.")
-        return a >= jnp.uint32(k)
+
+    def mask_pure(self, ctx):
+        _, a = self._amb_offsets(ctx)
+        return a >= jnp.uint32(self.kmer_len)
 
 
 def gen_no_ambiguous_bases_filter(kmer_len: int) -> NoAmbiguousBasesFilter:
@@ -391,10 +437,12 @@ class CrisprNggPamFilter(KmerFilter):
             kmer_sba_start_idx + 22
         ] == ord("G")
 
-    def batch_mask(self, ctx):
+    def check_batch(self, ctx):
         pos_np = np.asarray(ctx.positions)
-        if pos_np.size and (pos_np.astype(np.int64) + 23 > ctx.sba_len).any():
+        if pos_np.size and ctx._rows(pos_np.astype(np.int64) + 23 > ctx.sba_len).any():
             raise ValueError("The guide defined at this start index extends beyond the sba")
+
+    def mask_pure(self, ctx):
         pos = ctx.positions
         g = jnp.uint8(ord("G"))
         b21 = jnp.take(ctx.sba, (pos + jnp.uint32(21)).astype(jnp.int32))

@@ -10,6 +10,7 @@ from .checkpoint import (
 )
 from .distributed import (
     AXIS,
+    compact_ragged,
     distributed_group_size_histogram,
     distributed_group_size_histogram_ragged,
     distributed_sort_positions,
@@ -24,6 +25,7 @@ from .sample_sort import (
 
 __all__ = [
     "AXIS",
+    "compact_ragged",
     "distributed_group_size_histogram",
     "distributed_count_queries",
     "distributed_group_size_histogram_ragged",

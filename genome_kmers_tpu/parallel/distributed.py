@@ -83,6 +83,30 @@ def put_global(arr, sharding) -> jax.Array:
     return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
 
 
+@partial(jax.jit, static_argnames=("mesh",))
+def compact_ragged(positions, is_pad, mesh):
+    """Stable per-shard compaction: move pad rows to each shard's tail while
+    preserving the relative order of valid rows.
+
+    The distributed group statistics assume every shard's valid rows form a
+    prefix (the layout the sample sort produces). Applying a filter mask to
+    an already-sorted ragged index intersperses new pad rows; one local
+    (is_pad, original-row) sort restores the invariant without touching the
+    global order of survivors.
+    """
+
+    def local(pos, pad):
+        m = pos.shape[0]
+        idx = jnp.arange(m, dtype=jnp.uint32)
+        s_pad, _, s_pos = jax.lax.sort((pad, idx, pos), num_keys=2)
+        return s_pos, s_pad
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P(AXIS))
+    )
+    return fn(positions, is_pad)
+
+
 def _oddeven_phase(ops, n_keys, n_dev, phase):
     """One block odd-even transposition phase inside shard_map.
 

@@ -50,10 +50,14 @@ def _local_counts(packed, positions, cap_len, is_pad, q_words, n_words, n_rounds
         # the loop carry becomes shard-varying (it reads local rows); mark the
         # replicated initial values varying so shard_map's vma typing matches
         try:
-            lo = jax.lax.pvary(lo, AXIS)
-            hi = jax.lax.pvary(hi, AXIS)
-        except AttributeError:
-            pass
+            lo = jax.lax.pcast(lo, AXIS, to="varying")
+            hi = jax.lax.pcast(hi, AXIS, to="varying")
+        except (AttributeError, TypeError):
+            try:
+                lo = jax.lax.pvary(lo, AXIS)
+                hi = jax.lax.pvary(hi, AXIS)
+            except AttributeError:
+                pass
 
         def body(_, state):
             lo, hi = state

@@ -91,8 +91,44 @@ def run_fasta_init(fasta_file_path, strands_to_load="forward"):
 
 
 @get_run_time
-def run_get_segment_num_from_sba_index(seq_coll, sba_indices):
-    return [seq_coll.get_segment_num_from_sba_index(int(i)) for i in sba_indices]
+def run_get_segment_num_from_sba_index(seq_coll, strand_to_test, sba_indices):
+    return [
+        seq_coll.get_segment_num_from_sba_index(int(i), sba_strand=strand_to_test)
+        for i in sba_indices
+    ]
+
+
+def get_sba_indices_to_test(
+    seq_coll: SequenceCollection,
+    num_lookups: int,
+    strand: str,
+    shuffle: bool = True,
+    seed: Union[int, None] = None,
+) -> np.ndarray:
+    """SBA indices covering every chromosome on the requested strand
+    (reference profiling.py:161-209): all segment starts first, then
+    linearly spaced fill up to ``num_lookups``, optionally shuffled."""
+    if num_lookups < 1:
+        raise ValueError(f"num_lookups ({num_lookups}) < 1")
+    if strand == "forward":
+        seg_starts = seq_coll._forward_sba_seg_starts
+        sba_len = len(seq_coll.forward_sba)
+    elif strand == "reverse_complement":
+        seg_starts = seq_coll._revcomp_sba_seg_starts
+        sba_len = len(seq_coll.revcomp_sba)
+    else:
+        raise ValueError(f"strand ({strand}) not recognized")
+
+    if len(seg_starts) >= num_lookups:
+        sba_indices = np.asarray(seg_starts[:num_lookups], dtype=np.uint32)
+    else:
+        fill = np.linspace(0, sba_len - 1, num_lookups - len(seg_starts), dtype=np.uint32)
+        sba_indices = np.concatenate((np.asarray(seg_starts, dtype=np.uint32), fill))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(sba_indices)
+    if len(sba_indices) != num_lookups:
+        raise AssertionError("Logical error. len(sba_indices) != num_lookups")
+    return sba_indices
 
 
 @get_run_time
@@ -181,22 +217,31 @@ def profile_get_segment_num_from_sba_index(
     num_chromosomes_list: list[int],
     num_lookups: int = 10000,
     num_iterations: int = 3,
+    strand_to_load: str = "forward",
     discard_first_run: bool = True,
     seed: int = 42,
 ):
     """Sweep record-lookup times vs chromosome count (reference
-    profiling.py:212-272)."""
+    profiling.py:212-272), on the strand the load implies: forward/both
+    genomes look up forward-strand indices, revcomp-only genomes look up
+    revcomp-strand indices (reference profiling.py:243-247)."""
+    if strand_to_load in ("forward", "both"):
+        strand_to_test = "forward"
+    else:
+        strand_to_test = "reverse_complement"
     rows = []
     for num_chromosomes in num_chromosomes_list:
         seq_list = get_random_seq_list(seq_len, num_chromosomes, seed=seed)
-        seq_coll = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
-        sba_len = len(seq_coll.forward_sba)
-        rng = np.random.default_rng(seed)
-        sba_indices = rng.integers(0, sba_len, size=num_lookups)
+        seq_coll = SequenceCollection(sequence_list=seq_list, strands_to_load=strand_to_load)
+        sba_indices = get_sba_indices_to_test(
+            seq_coll, num_lookups, strand_to_test, seed=seed
+        )
         times = []
         n = num_iterations + (1 if discard_first_run else 0)
         for i in range(n):
-            run_time, _ = run_get_segment_num_from_sba_index(seq_coll, sba_indices)
+            run_time, _ = run_get_segment_num_from_sba_index(
+                seq_coll, strand_to_test, sba_indices
+            )
             if discard_first_run and i == 0:
                 continue
             times.append(run_time)
@@ -205,13 +250,15 @@ def profile_get_segment_num_from_sba_index(
                 seq_len,
                 num_chromosomes,
                 num_lookups,
+                strand_to_test,
                 num_iterations,
                 float(np.mean(times)),
                 float(np.min(times)),
             ]
         )
         logger.info(
-            "get_segment_num chroms=%s avg=%.4fs", num_chromosomes, rows[-1][4]
+            "get_segment_num chroms=%s strand=%s avg=%.4fs",
+            num_chromosomes, strand_to_test, rows[-1][5],
         )
     return _summarize(
         rows,
@@ -219,6 +266,7 @@ def profile_get_segment_num_from_sba_index(
             "seq_len",
             "num_chromosomes",
             "num_lookups",
+            "strand_to_test",
             "num_iterations",
             "avg_run_time",
             "min_run_time",

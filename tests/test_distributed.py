@@ -434,16 +434,19 @@ class TestKmersMeshStats:
         h4, t4 = km.get_kmer_group_counts(6, min_group_size=2, max_counts_bin=20, mesh=mesh8)
         assert t3 == t4 and np.array_equal(h3, h4)
 
-    def test_group_counts_mesh_rejects_filters(self, mesh8):
+    def test_group_counts_mesh_with_filter(self, mesh8):
+        # filters are supported on the mesh path (round 2); exact parity
         from genome_kmers_tpu import gen_no_ambiguous_bases_filter
 
-        sc = SequenceCollection(sequence_list=[("c", random_seq(100, 403))],
+        sc = SequenceCollection(sequence_list=[("c", random_seq(100, 403, "ACGTN"))],
                                 strands_to_load="forward")
         km = Kmers(sc, min_kmer_len=4, max_kmer_len=4)
         km.sort()
-        with pytest.raises(NotImplementedError):
-            km.get_kmer_group_counts(4, kmer_filter_func=gen_no_ambiguous_bases_filter(4),
-                                     mesh=mesh8)
+        f = gen_no_ambiguous_bases_filter(4)
+        h1, t1 = km.get_kmer_group_counts(4, kmer_filter_func=f, max_counts_bin=20)
+        h2, t2 = km.get_kmer_group_counts(4, kmer_filter_func=f, max_counts_bin=20,
+                                          mesh=mesh8)
+        assert t1 == t2 and np.array_equal(h1, h2)
 
     def test_count_queries_with_mesh(self, mesh8):
         seq = random_seq(777, 405)

@@ -45,6 +45,50 @@ def test_profile_get_segment_num():
         1000, [1, 3], num_lookups=10, num_iterations=1
     )
     assert list(df["num_chromosomes"]) == [1, 3]
+    assert list(df["strand_to_test"]) == ["forward", "forward"]
+
+
+def test_profile_get_segment_num_revcomp_strand():
+    df = profiling.profile_get_segment_num_from_sba_index(
+        500, [2], num_lookups=8, num_iterations=1,
+        strand_to_load="reverse_complement",
+    )
+    assert list(df["strand_to_test"]) == ["reverse_complement"]
+    assert (df["avg_run_time"] > 0).all()
+
+
+class TestGetSbaIndicesToTest:
+    def _coll(self, strands="both"):
+        sl = profiling.get_random_seq_list(60, 3, seed=5)
+        from genome_kmers_tpu import SequenceCollection
+
+        return SequenceCollection(sequence_list=sl, strands_to_load=strands)
+
+    def test_covers_every_chromosome(self):
+        sc = self._coll()
+        idx = profiling.get_sba_indices_to_test(sc, 10, "forward", shuffle=False)
+        assert idx.dtype == np.uint32 and len(idx) == 10
+        # first entries are the three segment starts, rest linspace fill
+        assert list(idx[:3]) == list(sc._forward_sba_seg_starts)
+        assert idx.max() < len(sc.forward_sba)
+
+    def test_revcomp_strand_and_truncation(self):
+        sc = self._coll()
+        idx = profiling.get_sba_indices_to_test(sc, 2, "reverse_complement", shuffle=False)
+        assert list(idx) == list(sc._revcomp_sba_seg_starts[:2])
+
+    def test_shuffle_is_seeded(self):
+        sc = self._coll()
+        a = profiling.get_sba_indices_to_test(sc, 10, "forward", seed=7)
+        b = profiling.get_sba_indices_to_test(sc, 10, "forward", seed=7)
+        assert np.array_equal(a, b)
+
+    def test_errors(self):
+        sc = self._coll()
+        with pytest.raises(ValueError, match="num_lookups"):
+            profiling.get_sba_indices_to_test(sc, 0, "forward")
+        with pytest.raises(ValueError, match="not recognized"):
+            profiling.get_sba_indices_to_test(sc, 5, "bogus")
 
 
 def test_profile_kmers_sort():
