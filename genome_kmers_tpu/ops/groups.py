@@ -73,6 +73,10 @@ def group_size_histogram(
     clipped = jnp.minimum(size, jnp.uint32(max_counts_bin)).astype(jnp.int32)
     counts = jnp.zeros(max_counts_bin + 1, dtype=jnp.uint32)
     counts = counts.at[clipped].add(qualifies.astype(jnp.uint32))
+    # uint32 accumulation is exact here by construction: this single-chip
+    # engine only ever sees < 2^31 rows (int32 gather bound in ops/keys.py),
+    # so total <= num_kmers < 2^31. Workloads past that bound go through the
+    # 64-bit pair-lane engine (parallel/large.py), never through this sum.
     total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
     return counts, total
 

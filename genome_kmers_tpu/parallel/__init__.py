@@ -16,9 +16,12 @@ from .distributed import (
     distributed_sort_positions,
     make_mesh,
 )
+from .large import distributed_group_size_histogram_large_ragged
 from .query import distributed_count_queries
 from .sample_sort import (
     sample_sort_positions,
+    sample_sort_positions_large,
+    sample_sort_positions_large_ragged,
     sample_sort_positions_ragged,
     sample_sort_positions_unbounded,
 )
@@ -28,8 +31,11 @@ __all__ = [
     "compact_ragged",
     "distributed_group_size_histogram",
     "distributed_count_queries",
+    "distributed_group_size_histogram_large_ragged",
     "distributed_group_size_histogram_ragged",
     "distributed_sort_positions",
+    "sample_sort_positions_large",
+    "sample_sort_positions_large_ragged",
     "load_kmers_sharded",
     "load_sharded_index",
     "make_mesh",

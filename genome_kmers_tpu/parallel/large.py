@@ -1,0 +1,250 @@
+"""Distributed group statistics in the large (64-bit coordinate) regime.
+
+The standard distributed stats (`distributed.py`) index rows and accumulate
+counts in uint32 — exact because the flat path's int32 gather bound keeps
+every quantity below 2^31. Past that bound (both-strand human genome ≈ 6.2G
+k-mers, SURVEY.md §7.3-6; the reference hard-fails there, reference
+kmers.py:805-808) three quantities can exceed 32 bits:
+
+  * **global valid-row indices** (vidx) — carried as (hi, lo) uint32 lane
+    pairs; the cross-shard scans (reverse cummin of next-boundary vidx,
+    prefix offsets) run on the pair monoids from ops/large.py
+    (``lexmin2`` / 64-bit carry adds), so every intermediate is exact
+    without 64-bit integers, which TPUs don't have natively.
+  * **per-group sizes and the qualifying total** — sizes are pair-valued;
+    the total is an exact pair cumsum (``associative_scan`` over the carry
+    add monoid), per shard, fused and summed on host in uint64.
+  * **per-bin group counts** — uint32 per shard (a shard holds < 2^31
+    rows), summed across shards on host in uint64 instead of a device
+    ``psum`` that could wrap.
+
+Genome access uses the strided packs + funnel-shift key builders from
+ops/large.py; positions arrive in the ragged pair-lane layout that
+``sample_sort.sample_sort_positions_large_ragged`` produces. Compare caps
+are derived *inside* the kernel from the segment extents (pair-lane binary
+search), never passed alongside the positions — the same alignment
+invariant the uint32 path enforces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.large import (
+    add64,
+    add64_u32,
+    build_key2_words_strided,
+    build_key_words_strided,
+    lexmin2,
+    min64,
+    searchsorted64_right,
+    split64_np,
+    sub64,
+)
+from ..ops.sort import _cdiv
+from .distributed import AXIS, put_global
+
+_ONES = jnp.uint32(0xFFFFFFFF)
+
+
+def _pair_add(a, b):
+    """associative_scan monoid: exact 64-bit add over (hi, lo) uint32 pairs."""
+    return add64(a[0], a[1], b[0], b[1])
+
+
+def _pairsum_small(vals):
+    """Exact (hi, lo) sum of a small static-length uint32 vector (unrolled)."""
+    hi = jnp.zeros((), jnp.uint32)
+    lo = jnp.zeros((), jnp.uint32)
+    for i in range(int(vals.shape[0])):
+        hi, lo = add64_u32(hi, lo, vals[i])
+    return hi, lo
+
+
+def _large_stats_local(
+    pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi, ends_lo,
+    min_gs, max_gs_hi, max_gs_lo,
+    *, kmer_len, n_words, max_counts_bin, two_bit, n_dev,
+):
+    """shard_map body: boundary mask via strided key words + halo compare,
+    pair-lane valid-row geometry, per-shard uint32 histogram + pair total."""
+    n_local = pos_hi.shape[0]
+    my = jax.lax.axis_index(AXIS)
+    valid = is_pad == jnp.uint32(0)
+
+    # caps from segment extents, derived in-kernel (pads masked to 0)
+    seg = searchsorted64_right(starts_hi, starts_lo, pos_hi, pos_lo) - 1
+    seg = jnp.maximum(seg, 0)
+    dhi, dlo = sub64(jnp.take(ends_hi, seg), jnp.take(ends_lo, seg), pos_hi, pos_lo)
+    vhi, vlo = add64_u32(dhi, dlo, 1)
+    valid_len = jnp.where(vhi > 0, _ONES, vlo)
+    cap = jnp.minimum(valid_len, jnp.uint32(kmer_len))
+    cap = jnp.where(valid, cap, jnp.uint32(0))
+
+    build = build_key2_words_strided if two_bit else build_key_words_strided
+    words = build(genome, pos_hi, pos_lo, cap, n_words, 0)
+    lanes = words + ((cap,) if two_bit else ())
+
+    # global valid-row coordinates as pairs
+    n_valid = jnp.sum(valid.astype(jnp.uint32))
+    all_n_valid = jax.lax.all_gather(n_valid, AXIS)  # (n_dev,)
+    mask_before = (jnp.arange(n_dev) < my).astype(jnp.uint32)
+    off_hi, off_lo = _pairsum_small(all_n_valid * mask_before)
+    tot_hi, tot_lo = _pairsum_small(all_n_valid)
+    local_excl = jnp.cumsum(valid.astype(jnp.uint32)) - valid.astype(jnp.uint32)
+    vhi_idx, vlo_idx = add64_u32(off_hi, off_lo, local_excl)
+
+    # intra-shard adjacency (valid rows form a prefix per shard)
+    eq = jnp.ones(n_local, dtype=bool)
+    for w in lanes:
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eq = eq & (w == prev)
+
+    # halo: row 0 vs the last valid row of the nearest previous non-empty shard
+    last_i = (jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)).astype(jnp.int32)
+    my_last = jnp.stack([jnp.take(w, last_i) for w in lanes])
+    all_last = jax.lax.all_gather(my_last, AXIS)
+    has_data = all_n_valid > 0
+    cand = jnp.where(has_data, jnp.arange(n_dev), -1)
+    pred_idx = jax.lax.associative_scan(jnp.maximum, cand)
+    pred_of_mine = jnp.where(my > 0, jnp.take(pred_idx, jnp.maximum(my - 1, 0)), -1)
+    pred_lanes = jnp.take(all_last, jnp.maximum(pred_of_mine, 0), axis=0)
+    eq0 = jnp.ones((), dtype=bool)
+    for li, w in enumerate(lanes):
+        eq0 = eq0 & (w[0] == pred_lanes[li])
+    eq0 = jnp.where(pred_of_mine < 0, False, eq0)
+    eq = eq.at[0].set(eq0)
+
+    boundary = (~eq) & valid
+
+    # pair-lane reverse cummin of next-boundary vidx, stitched across shards
+    mh = jnp.where(boundary, vhi_idx, _ONES)
+    ml = jnp.where(boundary, vlo_idx, _ONES)
+    nb_hi, nb_lo = jax.lax.associative_scan(lexmin2, (mh, ml), reverse=True)
+    first_hi = jax.lax.all_gather(nb_hi[0], AXIS)
+    first_lo = jax.lax.all_gather(nb_lo[0], AXIS)
+    suf_hi, suf_lo = jax.lax.associative_scan(
+        lexmin2, (first_hi[::-1], first_lo[::-1])
+    )
+    suf_hi, suf_lo = suf_hi[::-1], suf_lo[::-1]
+    nxt = jnp.minimum(my + 1, n_dev - 1)
+    after_hi = jnp.where(my + 1 < n_dev, jnp.take(suf_hi, nxt), _ONES)
+    after_lo = jnp.where(my + 1 < n_dev, jnp.take(suf_lo, nxt), _ONES)
+    sh_hi = jnp.concatenate([nb_hi[1:], jnp.full((1,), _ONES)])
+    sh_lo = jnp.concatenate([nb_lo[1:], jnp.full((1,), _ONES)])
+    na_hi, na_lo = min64(sh_hi, sh_lo, after_hi, after_lo)
+    na_hi, na_lo = min64(na_hi, na_lo, tot_hi, tot_lo)
+
+    s_hi, s_lo = sub64(na_hi, na_lo, vhi_idx, vlo_idx)
+    s_hi = jnp.where(boundary, s_hi, jnp.uint32(0))
+    s_lo = jnp.where(boundary, s_lo, jnp.uint32(0))
+
+    ge_min = (s_hi > 0) | (s_lo >= min_gs)
+    le_max = (s_hi < max_gs_hi) | ((s_hi == max_gs_hi) & (s_lo <= max_gs_lo))
+    qualifies = boundary & ge_min & le_max
+
+    # histogram (sizes past the top bin clip into it, reference kmers.py:514-518)
+    clipped = jnp.where(
+        s_hi > 0, jnp.uint32(max_counts_bin), jnp.minimum(s_lo, jnp.uint32(max_counts_bin))
+    ).astype(jnp.int32)
+    counts = jnp.zeros(max_counts_bin + 1, dtype=jnp.uint32)
+    counts = counts.at[clipped].add(qualifies.astype(jnp.uint32))
+
+    # exact pair total of qualifying sizes (scan; last element = shard sum).
+    # Everything returns per-shard (P(AXIS)) — the cross-shard reduction
+    # happens on host in uint64, where a device psum could wrap uint32.
+    q_hi = jnp.where(qualifies, s_hi, jnp.uint32(0))
+    q_lo = jnp.where(qualifies, s_lo, jnp.uint32(0))
+    th, tl = jax.lax.associative_scan(_pair_add, (q_hi, q_lo))
+    return counts, th[-1:], tl[-1:]
+
+
+@partial(jax.jit, static_argnames=("kmer_len", "n_words", "max_counts_bin",
+                                   "two_bit", "mesh"))
+def _large_stats_jit(pos_hi, pos_lo, is_pad, genome, seg_tables, min_gs,
+                     max_gs_hi, max_gs_lo, kmer_len, n_words, max_counts_bin,
+                     two_bit, mesh):
+    n_dev = mesh.shape[AXIS]
+    starts_hi, starts_lo, ends_hi, ends_lo = seg_tables
+
+    def body(pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml):
+        return _large_stats_local(
+            pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml,
+            kmer_len=kmer_len, n_words=n_words, max_counts_bin=max_counts_bin,
+            two_bit=two_bit, n_dev=n_dev,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * 8,
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+    )
+    return fn(pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi,
+              ends_lo, min_gs, max_gs_hi, max_gs_lo)
+
+
+def distributed_group_size_histogram_large_ragged(
+    packed_strided,
+    pos_hi: jax.Array,
+    pos_lo: jax.Array,
+    is_pad: jax.Array,
+    seg_starts_u64: np.ndarray,
+    seg_ends_u64: np.ndarray,
+    kmer_len: int,
+    mesh,
+    min_group_size: int = 1,
+    max_group_size: int | None = None,
+    max_counts_bin: int = 1000000,
+    two_bit: bool = True,
+):
+    """Group-size histogram + total over a globally sorted, sharded,
+    pair-lane position array (the layout
+    ``sample_sort_positions_large_ragged`` returns).
+
+    Returns ``(counts, total)`` with counts a host uint64 array of length
+    ``max_counts_bin + 1`` and total a Python int — exact for any number of
+    k-mers (the uint32 engine's output is the uint32 cast of this one's).
+    """
+    limit = 64 if two_bit else 32
+    if kmer_len is None or kmer_len > limit:
+        raise NotImplementedError(f"large stats require kmer_len <= {limit}")
+    n_words = _cdiv(kmer_len, 16 if two_bit else 8)
+
+    sh, sl = split64_np(np.asarray(seg_starts_u64, dtype=np.uint64))
+    eh, el = split64_np(np.asarray(seg_ends_u64, dtype=np.uint64))
+    rep = NamedSharding(mesh, P())
+    seg_tables = tuple(
+        put_global(jnp.asarray(a), rep) for a in (sh, sl, eh, el)
+    )
+    genome = put_global(packed_strided, rep)
+
+    if max_group_size is None:
+        mgs_hi, mgs_lo = np.uint32(0xFFFFFFFF), np.uint32(0xFFFFFFFF)
+    else:
+        mgs_hi = np.uint32(int(max_group_size) >> 32)
+        mgs_lo = np.uint32(int(max_group_size) & 0xFFFFFFFF)
+
+    all_counts, tot_hi, tot_lo = _large_stats_jit(
+        pos_hi, pos_lo, is_pad, genome, seg_tables,
+        np.uint32(min_group_size), mgs_hi, mgs_lo,
+        kmer_len, n_words, max_counts_bin, two_bit, mesh,
+    )
+    n_dev = mesh.shape[AXIS]
+    counts = (
+        np.asarray(all_counts).astype(np.uint64).reshape(n_dev, -1).sum(axis=0)
+    )
+    hi = np.asarray(tot_hi).astype(np.uint64)
+    lo = np.asarray(tot_lo).astype(np.uint64)
+    total = int(((hi << np.uint64(32)) | lo).sum())
+    return counts, total

@@ -82,18 +82,29 @@ def _searchsorted_rows(splitters: tuple, rows: tuple, n_split: int):
     return lo
 
 
-def _words_at(genome, positions, cap_len, n_words, two_bit, offset):
+def _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided=False):
+    """Key words for positions given as a lane tuple: ``(pos,)`` on the flat
+    per-position-pack path, ``(hi, lo)`` uint32 pairs on the strided 64-bit
+    path (ops/large.py) for genomes past the int32 gather limit."""
+    if strided:
+        from ..ops.large import build_key2_words_strided, build_key_words_strided
+
+        hi, lo = pos_lanes
+        fn = build_key2_words_strided if two_bit else build_key_words_strided
+        return fn(genome, hi, lo, cap_len, n_words, int(offset))
     from ..ops.keys import build_key2_words, build_key_words
 
+    (positions,) = pos_lanes
     if two_bit:
         return build_key2_words(genome, positions, cap_len, n_words, jnp.uint32(offset))
     return build_key_words(genome, positions, cap_len, n_words, jnp.uint32(offset))
 
 
-def _sample_sort_local(genome, positions, cap_len, is_pad, n_words, n_dev, two_bit,
-                       n_samples, capacity, uniform_cap, gid=None, offset=0):
-    m = positions.shape[0]
-    words = _words_at(genome, positions, cap_len, n_words, two_bit, offset)
+def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_bit,
+                       n_samples, capacity, uniform_cap, gid=None, offset=0,
+                       strided=False):
+    m = pos_lanes[-1].shape[0]
+    words = _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided)
     # fold pads into the lanes so they sort last everywhere
     padm = is_pad != jnp.uint32(0)
     ones = jnp.uint32(_ONES)
@@ -101,14 +112,14 @@ def _sample_sort_local(genome, positions, cap_len, is_pad, n_words, n_dev, two_b
     if gid is not None:
         # refinement rounds: run id leads the key (unbounded-k suffix mode)
         words = (jnp.where(padm, ones, gid),) + words
-    pos_k = jnp.where(padm, jnp.uint32(_ONES), positions)
+    pos_k = tuple(jnp.where(padm, ones, p) for p in pos_lanes)
 
     # 1. local sort (cap lane dropped when every real cap equals the same k)
     if uniform_cap:
-        lanes = words + (pos_k,)
+        lanes = words + pos_k
     else:
         cap_k = jnp.where(padm, ones, cap_len)
-        lanes = words + (cap_k, pos_k)
+        lanes = words + (cap_k,) + pos_k
     lanes = jax.lax.sort(lanes, num_keys=len(lanes))
 
     # 2. regular-stride samples -> all_gather -> splitters
@@ -160,7 +171,7 @@ def _sample_sort_local(genome, positions, cap_len, is_pad, n_words, n_dev, two_b
     out_pad = (flat_valid == 0).astype(jnp.uint32)
     merged = jax.lax.sort((out_pad,) + tuple(flat), num_keys=len(flat) + 1)
     out_is_pad = merged[0]
-    out_pos = merged[-1]
+    out_pos = tuple(merged[len(merged) - len(pos_lanes):])
     ov = jax.lax.psum(overflow.astype(jnp.uint32), AXIS)
     if gid is not None:
         # refinement callers need the old run ids aligned to the new order
@@ -169,9 +180,9 @@ def _sample_sort_local(genome, positions, cap_len, is_pad, n_words, n_dev, two_b
 
 
 @partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity",
-                                   "uniform_cap", "mesh"))
-def _sample_sort_jit(genome, positions, cap_len, is_pad, n_words, two_bit,
-                     n_samples, capacity, uniform_cap, mesh):
+                                   "uniform_cap", "strided", "mesh"))
+def _sample_sort_jit(genome, pos_lanes, cap_len, is_pad, n_words, two_bit,
+                     n_samples, capacity, uniform_cap, strided, mesh):
     n_dev = mesh.shape[AXIS]
     fn = shard_map(
         partial(
@@ -182,12 +193,14 @@ def _sample_sort_jit(genome, positions, cap_len, is_pad, n_words, two_bit,
             n_samples=n_samples,
             capacity=capacity,
             uniform_cap=uniform_cap,
+            strided=strided,
         ),
         mesh=mesh,
+        # P(AXIS)/P() are pytree prefixes: one spec covers every position lane
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS), P()),
     )
-    return fn(genome, positions, cap_len, is_pad)
+    return fn(genome, pos_lanes, cap_len, is_pad)
 
 
 @partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity",
@@ -197,11 +210,12 @@ def _sample_sort_gid_jit(genome, positions, cap_len, is_pad, gid, n_words, two_b
     n_dev = mesh.shape[AXIS]
 
     def body(genome, positions, cap_len, is_pad, gid):
-        return _sample_sort_local(
-            genome, positions, cap_len, is_pad, n_words=n_words, n_dev=n_dev,
+        pos, pad, g, ov = _sample_sort_local(
+            genome, (positions,), cap_len, is_pad, n_words=n_words, n_dev=n_dev,
             two_bit=two_bit, n_samples=n_samples, capacity=capacity,
             uniform_cap=False, gid=gid, offset=offset,
         )
+        return pos[0], pad, g, ov
 
     fn = shard_map(
         body,
@@ -227,7 +241,7 @@ def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offse
 
     cap = cap_lengths(compute_valid_len(positions, seg_starts, seg_ends), max_cap)
     cap = jnp.where(valid, cap, jnp.uint32(0))
-    words = _words_at(genome, positions, cap, n_words, two_bit, offset)
+    words = _words_at(genome, (positions,), cap, n_words, two_bit, offset)
     # "tied so far" compares termination status only WITHIN the window:
     # both-extendable rows must stay in one run even though their full caps
     # differ, so the 2-bit cap lane is clamped to the window end
@@ -460,11 +474,117 @@ def sample_sort_positions_ragged(
     while True:
         capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
         out_pos, out_is_pad, overflow = _sample_sort_jit(
-            genome, positions_p, cap_p, is_pad, n_words, two_bit, n_samples,
-            capacity, uniform_cap, mesh,
+            genome, (positions_p,), cap_p, is_pad, n_words, two_bit, n_samples,
+            capacity, uniform_cap, False, mesh,
+        )
+        if int(overflow) == 0:
+            return out_pos[0], out_is_pad
+        if capacity >= m:
+            raise AssertionError("sample sort overflow at full capacity (bug)")
+        factor *= 2.0
+
+
+# --------------------------------------------------------------------------- #
+# large regime: > int32-gather genomes, 64-bit coordinates (ops/large.py)
+# --------------------------------------------------------------------------- #
+
+
+def sample_sort_positions_large_ragged(
+    packed_strided,
+    positions_u64: np.ndarray,
+    seg_starts_u64: np.ndarray,
+    seg_ends_u64: np.ndarray,
+    max_kmer_len: int,
+    mesh,
+    two_bit: bool = True,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+    uniform_cap: bool = False,
+):
+    """Distributed sample sort for genomes past the int32 gather limit.
+
+    Same algorithm as ``sample_sort_positions_ragged`` but over the strided
+    genome pack (16 bases/uint32-word when ``two_bit`` else 8 — ops/large.py)
+    with positions carried as (hi, lo) uint32 lane pairs: the position pair
+    rides as the final two sort lanes, so every lexicographic comparison in
+    the pipeline (local sort, splitters, destination search, merge) is the
+    exact 64-bit comparison. Per-position caps are derived here on the host
+    in uint64 (k <= 64 keeps them uint32-sized). The reference hard-fails on
+    these inputs (reference kmers.py:805-808).
+
+    Returns ``((pos_hi, pos_lo), is_pad)`` device arrays of length
+    n_dev * capacity, globally sorted with per-shard trailing pads.
+    """
+    limit = 64 if two_bit else 32
+    if max_kmer_len is None or max_kmer_len > limit:
+        raise NotImplementedError(
+            f"large sample sort requires max_kmer_len <= {limit} bases"
+        )
+    from ..ops.large import split64_np
+
+    pos = np.asarray(positions_u64, dtype=np.uint64)
+    starts = np.asarray(seg_starts_u64, dtype=np.uint64)
+    ends = np.asarray(seg_ends_u64, dtype=np.uint64)
+    seg = np.maximum(np.searchsorted(starts, pos, side="right").astype(np.int64) - 1, 0)
+    valid = ends[seg] - pos + np.uint64(1)
+    cap_np = np.minimum(valid, np.uint64(max_kmer_len)).astype(np.uint32)
+
+    n = pos.shape[0]
+    n_dev = mesh.shape[AXIS]
+    n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
+
+    hi_np, lo_np = split64_np(pos)
+    hi_p = _pad_to_multiple(jnp.asarray(hi_np), n_dev, jnp.uint32(_ONES))
+    lo_p = _pad_to_multiple(jnp.asarray(lo_np), n_dev, jnp.uint32(_ONES))
+    cap_p = _pad_to_multiple(jnp.asarray(cap_np), n_dev, jnp.uint32(0))
+    is_pad = _pad_to_multiple(jnp.zeros(n, dtype=jnp.uint32), n_dev, jnp.uint32(1))
+    m = hi_p.shape[0] // n_dev
+    n_samples = min(n_samples, m)
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    hi_p = put_global(hi_p, sharding)
+    lo_p = put_global(lo_p, sharding)
+    cap_p = put_global(cap_p, sharding)
+    is_pad = put_global(is_pad, sharding)
+    genome = put_global(packed_strided, NamedSharding(mesh, P()))
+
+    factor = capacity_factor
+    while True:
+        capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
+        out_pos, out_is_pad, overflow = _sample_sort_jit(
+            genome, (hi_p, lo_p), cap_p, is_pad, n_words, two_bit, n_samples,
+            capacity, uniform_cap, True, mesh,
         )
         if int(overflow) == 0:
             return out_pos, out_is_pad
         if capacity >= m:
-            raise AssertionError("sample sort overflow at full capacity (bug)")
+            raise AssertionError("large sample sort overflow at full capacity (bug)")
         factor *= 2.0
+
+
+def sample_sort_positions_large(
+    packed_strided,
+    positions_u64: np.ndarray,
+    seg_starts_u64: np.ndarray,
+    seg_ends_u64: np.ndarray,
+    max_kmer_len: int,
+    mesh,
+    two_bit: bool = True,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+    uniform_cap: bool = False,
+) -> np.ndarray:
+    """Compacted variant of ``sample_sort_positions_large_ragged``: returns
+    the globally sorted positions as a host uint64 array, pads removed."""
+    from ..ops.large import fuse64_np
+
+    (hi, lo), is_pad = sample_sort_positions_large_ragged(
+        packed_strided, positions_u64, seg_starts_u64, seg_ends_u64,
+        max_kmer_len, mesh, two_bit=two_bit, n_samples=n_samples,
+        capacity_factor=capacity_factor, uniform_cap=uniform_cap,
+    )
+    pad_np = np.asarray(is_pad)
+    keep = pad_np == 0
+    out = fuse64_np(np.asarray(hi)[keep], np.asarray(lo)[keep])
+    assert out.shape[0] == np.asarray(positions_u64).shape[0]
+    return out

@@ -1,0 +1,254 @@
+"""Large (64-bit coordinate) regime: strided packs, pair-lane distributed
+sort, and overflow-proof group statistics (ops/large.py, parallel/large.py,
+parallel/sample_sort.py large entry points).
+
+The reference hard-fails past 2^32 k-mers (reference kmers.py:805-808); these
+tests prove the lifted ceiling: small-genome equivalence against the flat
+uint32 engine first, then a synthetic genome just past 2^32 bases — built as
+a tiled strided pack so the 4.3 Gbp sequence never materializes — checked
+exactly against a host oracle, including positions above 2^32.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from genome_kmers_tpu.ops.encoding import RANK2_TABLE
+from genome_kmers_tpu.ops.keys import (
+    cap_lengths,
+    compute_valid_len,
+    pack_rank2_words,
+    pack_rank_words,
+)
+from genome_kmers_tpu.ops.large import (
+    build_key2_words_strided,
+    build_key_words_strided,
+    fuse64_np,
+    pack_rank2_strided_np,
+    pack_rank_strided_np,
+    split64_np,
+)
+from genome_kmers_tpu.parallel.distributed import (
+    distributed_group_size_histogram,
+    make_mesh,
+)
+from genome_kmers_tpu.parallel.large import (
+    distributed_group_size_histogram_large_ragged,
+)
+from genome_kmers_tpu.parallel.sample_sort import (
+    sample_sort_positions,
+    sample_sort_positions_large,
+    sample_sort_positions_large_ragged,
+)
+
+
+def _random_two_segment_genome(rng, n, cut, p=None):
+    sba = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n, p=p)
+    sba[cut] = ord("$")
+    seg_starts = np.array([0, cut + 1], dtype=np.uint64)
+    seg_ends = np.array([cut - 1, n - 1], dtype=np.uint64)
+    return sba, seg_starts, seg_ends
+
+
+class TestStridedKeyWords:
+    """Funnel-shift key words from the strided pack == flat per-position
+    key words, for every in-word phase of the start position."""
+
+    @pytest.mark.parametrize("two_bit", [True, False])
+    def test_matches_flat_builder(self, two_bit):
+        rng = np.random.default_rng(3)
+        n = 4_099
+        sba, seg_starts, seg_ends = _random_two_segment_genome(rng, n, 1_700)
+        positions = np.arange(n - 64, dtype=np.uint64)
+        k = 55 if two_bit else 31
+        n_words = -(-k // (16 if two_bit else 8))
+
+        pos32 = jnp.asarray(positions.astype(np.uint32))
+        cap = cap_lengths(
+            compute_valid_len(
+                pos32,
+                jnp.asarray(seg_starts.astype(np.uint32)),
+                jnp.asarray(seg_ends.astype(np.uint32)),
+            ),
+            k,
+        )
+        if two_bit:
+            from genome_kmers_tpu.ops.keys import build_key2_words
+
+            flat = build_key2_words(pack_rank2_words(jnp.asarray(sba)), pos32, cap, n_words)
+            strided = build_key2_words_strided(
+                jnp.asarray(pack_rank2_strided_np(sba)),
+                *map(jnp.asarray, split64_np(positions)),
+                cap,
+                n_words,
+            )
+        else:
+            from genome_kmers_tpu.ops.keys import build_key_words
+
+            flat = build_key_words(pack_rank_words(jnp.asarray(sba)), pos32, cap, n_words)
+            strided = build_key_words_strided(
+                jnp.asarray(pack_rank_strided_np(sba)),
+                *map(jnp.asarray, split64_np(positions)),
+                cap,
+                n_words,
+            )
+        for w_flat, w_str in zip(flat, strided):
+            np.testing.assert_array_equal(np.asarray(w_flat), np.asarray(w_str))
+
+
+class TestLargeSampleSort:
+    """The pair-lane strided sample sort equals the flat uint32 sample sort
+    on genomes both paths can handle."""
+
+    @pytest.mark.parametrize("k,two_bit", [(31, True), (31, False), (55, True)])
+    def test_matches_flat(self, k, two_bit):
+        rng = np.random.default_rng(0)
+        n = 100_003
+        sba, seg_starts, seg_ends = _random_two_segment_genome(rng, n, 41_000)
+        positions = np.sort(
+            rng.choice(n - 1, size=60_000, replace=False)
+        ).astype(np.uint64)
+        positions = positions[positions != 41_000]
+        mesh = make_mesh(8)
+
+        sba_j = jnp.asarray(sba)
+        flat = np.asarray(
+            sample_sort_positions(
+                pack_rank_words(sba_j),
+                jnp.asarray(positions.astype(np.uint32)),
+                jnp.asarray(seg_starts.astype(np.uint32)),
+                jnp.asarray(seg_ends.astype(np.uint32)),
+                k,
+                mesh,
+                packed2=pack_rank2_words(sba_j),
+            )
+        ).astype(np.uint64)
+
+        strided = (
+            pack_rank2_strided_np(sba) if two_bit else pack_rank_strided_np(sba)
+        )
+        large = sample_sort_positions_large(
+            jnp.asarray(strided), positions, seg_starts, seg_ends, k, mesh,
+            two_bit=two_bit,
+        )
+        np.testing.assert_array_equal(large, flat)
+
+
+class TestLargeStats:
+    """Pair-lane distributed stats == uint32 distributed stats, across group
+    size bounds and both pack widths."""
+
+    @pytest.mark.parametrize("two_bit", [True, False])
+    @pytest.mark.parametrize("mings,maxgs", [(1, None), (2, 50), (3, 7)])
+    def test_matches_uint32_engine(self, two_bit, mings, maxgs):
+        rng = np.random.default_rng(7)
+        n = 80_007
+        sba, seg_starts, seg_ends = _random_two_segment_genome(
+            rng, n, 30_000, p=[0.7, 0.1, 0.1, 0.1]
+        )
+        positions = np.sort(
+            rng.choice(n - 1, size=50_000, replace=False)
+        ).astype(np.uint64)
+        positions = positions[positions != 30_000]
+        mesh = make_mesh(8)
+        k = 8
+
+        sba_j = jnp.asarray(sba)
+        packed = pack_rank_words(sba_j)
+        packed2 = pack_rank2_words(sba_j)
+        pos32 = jnp.asarray(positions.astype(np.uint32))
+        ss32 = jnp.asarray(seg_starts.astype(np.uint32))
+        se32 = jnp.asarray(seg_ends.astype(np.uint32))
+        srt = sample_sort_positions(packed, pos32, ss32, se32, k, mesh, packed2=packed2)
+        c_ref, t_ref = distributed_group_size_histogram(
+            packed, srt, ss32, se32, k, mesh, min_group_size=mings,
+            max_group_size=maxgs, max_counts_bin=100, packed2=packed2,
+        )
+
+        strided = (
+            pack_rank2_strided_np(sba) if two_bit else pack_rank_strided_np(sba)
+        )
+        (hi, lo), pad = sample_sort_positions_large_ragged(
+            jnp.asarray(strided), positions, seg_starts, seg_ends, k, mesh,
+            two_bit=two_bit,
+        )
+        c_l, t_l = distributed_group_size_histogram_large_ragged(
+            jnp.asarray(strided), hi, lo, pad, seg_starts, seg_ends, k, mesh,
+            min_group_size=mings, max_group_size=maxgs, max_counts_bin=100,
+            two_bit=two_bit,
+        )
+        np.testing.assert_array_equal(c_l, np.asarray(c_ref).astype(np.uint64))
+        assert t_l == int(t_ref)
+
+
+class TestPast2p32:
+    """The headline ceiling lift: a genome just past 2^32 bases (tiled
+    strided pack — the 4.3 Gbp SBA never materializes), k-mer positions
+    above 2^32, sorted + grouped exactly vs a host oracle."""
+
+    def test_sort_and_stats_past_2p32(self):
+        rng = np.random.default_rng(11)
+        BLOCK = 1 << 24          # 16M-base tile (2^20 strided words)
+        TILES = (1 << 8) + 1     # 257 tiles -> L = 4,311,744,512 > 2^32
+        L = BLOCK * TILES
+        k = 31
+
+        block = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=BLOCK)
+        block_words = pack_rank2_strided_np(block, extra_words=0)
+        n_words_total = TILES * block_words.shape[0]
+        genome_words = np.zeros(n_words_total + 8, dtype=np.uint32)
+        genome_words[:n_words_total].reshape(TILES, -1)[:] = block_words
+
+        # 40k distinct tile offsets, each planted in 1-8 random tiles, so the
+        # tiled genome yields real multi-member groups spanning 2^32
+        n_off = 40_000
+        offs = rng.choice(BLOCK - k, size=n_off, replace=False).astype(np.uint64)
+        reps = rng.integers(1, 9, size=n_off)
+        pos = np.concatenate(
+            [
+                offs[i]
+                + np.uint64(BLOCK)
+                * rng.choice(TILES, size=r, replace=False).astype(np.uint64)
+                for i, r in enumerate(reps)
+            ]
+        )
+        rng.shuffle(pos)
+        assert int(np.sum(pos >= (1 << 32))) > 0
+        assert pos.max() < L - k
+
+        # host oracle: 62-bit packed kmer keys from the tiled block
+        ranks = RANK2_TABLE[block].astype(np.uint64)
+        key = np.zeros(len(pos), dtype=np.uint64)
+        base = pos % np.uint64(BLOCK)
+        for j in range(k):
+            key = (key << np.uint64(2)) | ranks[(base + np.uint64(j)) % np.uint64(BLOCK)]
+        order = np.lexsort((pos, key))
+        want_sorted = pos[order]
+        ks = key[order]
+        bnd = np.concatenate([[True], ks[1:] != ks[:-1]])
+        sizes = np.diff(np.concatenate([np.flatnonzero(bnd), [len(ks)]]))
+        MINGS, MAXGS, BINS = 2, 100, 10
+        q = (sizes >= MINGS) & (sizes <= MAXGS)
+        want_counts = np.bincount(
+            np.minimum(sizes[q], BINS), minlength=BINS + 1
+        ).astype(np.uint64)
+        want_total = int(sizes[q].sum())
+
+        seg_starts = np.array([0], dtype=np.uint64)
+        seg_ends = np.array([L - 1], dtype=np.uint64)
+        mesh = make_mesh(2)  # 2 devices: bounds replicated-pack memory
+        g = jnp.asarray(genome_words)
+        (hi, lo), pad = sample_sort_positions_large_ragged(
+            g, pos, seg_starts, seg_ends, k, mesh, two_bit=True
+        )
+        hn, ln, pn = np.asarray(hi), np.asarray(lo), np.asarray(pad)
+        got_sorted = fuse64_np(hn[pn == 0], ln[pn == 0])
+        np.testing.assert_array_equal(got_sorted, want_sorted)
+
+        counts, total = distributed_group_size_histogram_large_ragged(
+            g, hi, lo, pad, seg_starts, seg_ends, k, mesh,
+            min_group_size=MINGS, max_group_size=MAXGS, max_counts_bin=BINS,
+            two_bit=True,
+        )
+        np.testing.assert_array_equal(counts, want_counts)
+        assert total == want_total
