@@ -1,6 +1,6 @@
 """Headline benchmark: k=31 sorted k-mer index build throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "large_n"}.
 
 The reference publishes no kmers.sort() numbers (BASELINE.md); its documented
 scale is "whole-genome calculations can take hours" for a ~3.1 Gbp genome
@@ -9,11 +9,21 @@ scale is "whole-genome calculations can take hours" for a ~3.1 Gbp genome
 override it with a directly measured number in BASELINE_MEASURED.json when
 one exists (see tools/measure_reference_baseline.py).
 
+Timing method: each measurement dispatches a CHAIN of sorts (output positions
+feed the next sort — lax.sort is data-oblivious, so a sorted input costs the
+same) and forces completion with ONE scalar transfer at the end. On the
+remote axon backend a host transfer costs ~31 ms; timing single sorts against
+it understates throughput ~7% at the default size. Per-sort time =
+t_chain / CHAIN amortizes that to <1%.
+
 Env overrides: GKT_BENCH_BP (default 2**24), GKT_BENCH_K (default 31),
-GKT_BENCH_REPS (default 3). The default size matches per-chip shard
-granularity in multi-chip production runs (a 3.1-Gbp genome over a v5p-16
-gives ~16M-kmer shards); measured single-chip scaling: 42.7M kmers/s at
-2^24 kmers, 16.2M at 2^27 (lax.sort is O(n log^2 n)).
+GKT_BENCH_REPS (default 3), GKT_BENCH_CHAIN (default 3), GKT_BENCH_LARGE
+(default 1: also measure BP=2**27 — the scaling cliff track; 0 to skip).
+The default size matches per-chip shard granularity in multi-chip production
+runs (a 3.1-Gbp genome over a v5p-16 gives ~16M-kmer shards); measured
+single-chip scaling: ~43M kmers/s at 2^24 kmers, ~16M at 2^27 (lax.sort is
+O(n log^2 n) — per-shard sizes near 2^24 are the throughput sweet spot;
+scale via the mesh, docs/development.md).
 """
 
 import json
@@ -23,25 +33,12 @@ import time
 import numpy as np
 
 DEFAULT_BASELINE_KMERS_PER_S = 430e3
+LARGE_BP = 2**27
 
 
-def main():
-    n_bp = int(os.environ.get("GKT_BENCH_BP", 2**24))
-    k = int(os.environ.get("GKT_BENCH_K", 31))
-    reps = int(os.environ.get("GKT_BENCH_REPS", 3))
-
+def measure(n_bp: int, k: int, reps: int, chain: int) -> float:
+    """Median amortized k-mer sort throughput (kmers/s) at one size."""
     import jax
-
-    # Persistent compilation cache: remote TPU compiles of the sort pipeline
-    # run ~2.5-8 min per shape; caching them makes repeat benchmark runs
-    # (including the driver's) start in seconds.
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     import jax.numpy as jnp
 
     from genome_kmers_tpu.ops.keys import (
@@ -67,25 +64,51 @@ def main():
     valid_len = compute_valid_len(positions, seg_starts, seg_ends)
     cap = cap_lengths(valid_len, k)
 
-    def run_once():
+    def run_chain(n_sorts):
+        # single segment, positions end k-1 early => every cap == k exactly.
         # A scalar-digest transfer forces real device completion; on remote
         # backends block_until_ready can return before execution finishes
         # (measured: 2.8 ms "sorts" of 16M keys), so never time against it.
-        # single segment, positions end k-1 early => every cap == k exactly
-        r = sort_positions(packed, positions, cap, k, packed2=packed2, uniform_cap=use2)
-        return float(jnp.sum(r))
+        p = positions
+        for _ in range(n_sorts):
+            p = sort_positions(packed, p, cap, k, packed2=packed2, uniform_cap=use2)
+        return float(jnp.sum(p))
 
-    # discard first run (XLA compile), same hygiene as the reference's
-    # discard_first_run (reference profiling.py:128-131)
-    run_once()
+    # two discarded runs: compile (or persistent-cache load, .jax_cache) then
+    # steady-state warmup — same hygiene as the reference's discard_first_run
+    # (reference profiling.py:128-131)
+    run_chain(1)
+    run_chain(1)
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        run_once()
-        times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
-    kmers_per_s = n_kmers / t
+        run_chain(chain)
+        times.append((time.perf_counter() - t0) / chain)
+    return n_kmers / float(np.median(times))
+
+
+def main():
+    n_bp = int(os.environ.get("GKT_BENCH_BP", 2**24))
+    k = int(os.environ.get("GKT_BENCH_K", 31))
+    reps = int(os.environ.get("GKT_BENCH_REPS", 3))
+    chain = int(os.environ.get("GKT_BENCH_CHAIN", 3))
+
+    import jax
+
+    # Persistent compilation cache: remote TPU compiles of the sort pipeline
+    # run ~2.5-8 min per shape; caching them makes repeat benchmark runs
+    # (including the driver's) start in seconds. Verified to hit across
+    # processes on axon (second bench process reaches first measurement in
+    # seconds, not minutes).
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    kmers_per_s = measure(n_bp, k, reps, chain)
 
     baseline = DEFAULT_BASELINE_KMERS_PER_S
     measured_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
@@ -94,16 +117,28 @@ def main():
             m = json.load(f)
         baseline = float(m.get("kmers_per_s", baseline))
 
-    print(
-        json.dumps(
-            {
-                "metric": f"k{k}_sorted_index_build_throughput",
-                "value": round(kmers_per_s, 1),
+    out = {
+        "metric": f"k{k}_sorted_index_build_throughput",
+        "value": round(kmers_per_s, 1),
+        "unit": "kmers/s/chip",
+        "vs_baseline": round(kmers_per_s / baseline, 3),
+    }
+
+    # large-N track: the single-chip scaling cliff, measured every round so
+    # the per-shard sweet-spot guidance stays backed by data
+    if os.environ.get("GKT_BENCH_LARGE", "1") != "0" and n_bp < LARGE_BP:
+        try:
+            large = measure(LARGE_BP, k, max(1, reps - 1), 1)
+            out["large_n"] = {
+                "bp": LARGE_BP,
+                "value": round(large, 1),
                 "unit": "kmers/s/chip",
-                "vs_baseline": round(kmers_per_s / baseline, 3),
+                "vs_baseline": round(large / baseline, 3),
             }
-        )
-    )
+        except Exception as e:  # never lose the headline line to the cliff
+            out["large_n"] = {"error": f"{type(e).__name__}: {e}"}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

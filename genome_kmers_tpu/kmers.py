@@ -351,7 +351,54 @@ class Kmers:
             raise NotImplementedError(
                 f"This function has not been implemented for source_strand = '{source_strand}'"
             )
+        self._construct(
+            seq_coll, min_kmer_len, max_kmer_len, source_strand,
+            track_strands_separately, method,
+        )
 
+    @classmethod
+    def from_strand(
+        cls,
+        seq_coll: Union[SequenceCollection, None] = None,
+        min_kmer_len: int = 1,
+        max_kmer_len: Union[int, None] = None,
+        source_strand: str = "forward",
+        method: str = "single_pass",
+    ) -> "Kmers":
+        """EXTENSION: construct a Kmers over a chosen strand for real.
+
+        The reference declares ``source_strand`` but hard-fails for anything
+        non-forward (reference kmers.py:693-696), and the plain constructor
+        here preserves that error for parity. This classmethod implements
+        ``source_strand="reverse_complement"``: the k-mer index enumerates,
+        sorts, and groups the k-mers of the reverse-complement SBA (which
+        the SequenceCollection already maintains) exactly as the forward
+        index does for the forward SBA — all query/statistics methods work.
+        ``source_strand="both"`` / ``track_strands_separately`` remain
+        unimplemented (use ``get_canonical_kmer_group_counts`` for
+        strand-collapsed statistics).
+        """
+        if source_strand == "both":
+            raise NotImplementedError(
+                f"This function has not been implemented for source_strand = '{source_strand}'"
+            )
+        self = cls.__new__(cls)
+        self._construct(
+            seq_coll, min_kmer_len, max_kmer_len, source_strand, False, method
+        )
+        self._strand_extension = source_strand != "forward"
+        return self
+
+    def _construct(
+        self,
+        seq_coll,
+        min_kmer_len,
+        max_kmer_len,
+        source_strand,
+        track_strands_separately,
+        method,
+    ) -> None:
+        self._strand_extension = False
         if source_strand not in ("forward", "reverse_complement", "both"):
             raise ValueError(f"source_strand ({source_strand}) not recognized")
         if source_strand != "both" and track_strands_separately:
@@ -574,6 +621,11 @@ class Kmers:
         return self._pos_dev
 
     def _check_forward_only(self):
+        if self._strand_extension and self.kmer_source_strand == "reverse_complement":
+            # from_strand() extension instances operate on the revcomp SBA
+            # for real; the reference's forward-only error stays for every
+            # plain-constructed Kmers (reference kmers.py:921-933)
+            return
         condition1 = self.kmer_source_strand != "forward"
         condition2 = self.seq_coll.strands_loaded() != "forward"
         if condition1 or condition2:
@@ -581,6 +633,31 @@ class Kmers:
                 f"both kmer_source_strand ({self.kmer_source_strand}) and "
                 "sequence_collection.strands_loaded() must be 'forward'"
             )
+
+    # strand-aware data accessors: every compute/query path goes through
+    # these, so the from_strand() extension switches the whole class to the
+    # reverse-complement SBA by flipping one selector
+    def _strand_to_use(self) -> str:
+        return (
+            "reverse_complement"
+            if self.kmer_source_strand == "reverse_complement"
+            else "forward"
+        )
+
+    def _host_sba(self) -> np.ndarray:
+        sc = self.seq_coll
+        if self._strand_to_use() == "reverse_complement":
+            return sc.revcomp_sba
+        return sc.forward_sba
+
+    def _host_seg_starts(self) -> np.ndarray:
+        sc = self.seq_coll
+        if self._strand_to_use() == "reverse_complement":
+            return sc._revcomp_sba_seg_starts
+        return sc._forward_sba_seg_starts
+
+    def _dc(self):
+        return self.seq_coll.device_cache(self._strand_to_use())
 
     def _check_group_params_unsorted(self, min_group_size, max_group_size, yield_first_n=None):
         """Reference kmers.py:939-954: group params require a sorted index."""
@@ -612,7 +689,7 @@ class Kmers:
         from .ops.filters import KeepAllFilter
         from .ops.keys import compute_valid_len
 
-        dc = self.seq_coll.device_cache("forward")
+        dc = self._dc()
         positions = self._device_positions()
         n = positions.shape[0]
         valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
@@ -621,13 +698,13 @@ class Kmers:
             return None, positions, valid_len
 
         if isinstance(kmer_filter_func, KmerFilter):
-            ctx = FilterContext(self.seq_coll.forward_sba, positions, valid_len, sba_dev=dc.sba)
+            ctx = FilterContext(self._host_sba(), positions, valid_len, sba_dev=dc.sba)
             mask = np.asarray(kmer_filter_func.batch_mask(ctx))
         else:
-            sba = self.seq_coll.forward_sba
+            sba = self._host_sba()
             mask = np.fromiter(
                 (
-                    bool(kmer_filter_func(sba, "forward", int(p)))
+                    bool(kmer_filter_func(sba, self._strand_to_use(), int(p)))
                     for p in self.kmer_sba_start_indices
                 ),
                 dtype=bool,
@@ -647,7 +724,7 @@ class Kmers:
         from .ops.keys import cap_lengths
         from .ops.sort import adjacent_boundaries
 
-        dc = self.seq_coll.device_cache("forward")
+        dc = self._dc()
         surv_nums, surv_pos, surv_vl = self._survivors(kmer_filter_func)
         m = surv_pos.shape[0]
         if m == 0:
@@ -842,10 +919,10 @@ class Kmers:
         sel = np.flatnonzero(yielded)
         pos = surv_pos[sel].astype(np.int64)
 
-        seg_starts = self.seq_coll._forward_sba_seg_starts.astype(np.int64)
+        seg_starts = self._host_seg_starts().astype(np.int64)
         seg_ids = np.searchsorted(seg_starts, pos, side="right") - 1
         seg_s = seg_starts[seg_ids]
-        sba_len = len(self.seq_coll.forward_sba)
+        sba_len = len(self._host_sba())
         seg_e = np.where(
             seg_ids == len(seg_starts) - 1, sba_len - 1, seg_starts[np.minimum(seg_ids + 1, len(seg_starts) - 1)] - 2
         )
@@ -991,7 +1068,7 @@ class Kmers:
         )
         from .parallel.distributed import put_global
 
-        dc = self.seq_coll.device_cache("forward")
+        dc = self._dc()
         use2 = kmer_len is not None and kmer_len <= 64 and dc.packed2 is not None
         packed2 = dc.packed2 if use2 else None
         packed = dc.packed if packed2 is None else None
@@ -1026,7 +1103,7 @@ class Kmers:
                     pad_np = np.asarray(rag_pad)
                     vl_np = np.asarray(valid_len)
                 ctx_check = FilterContext(
-                    self.seq_coll.forward_sba, pos_np, vl_np,
+                    self._host_sba(), pos_np, vl_np,
                     valid_rows=(pad_np == 0),
                 )
                 kmer_filter_func.check_batch(ctx_check)
@@ -1035,7 +1112,7 @@ class Kmers:
                 # to each shard's tail (the stats' layout invariant)
                 sba_rep = put_global(dc.sba, NamedSharding(mesh, P()))
                 ctx_mask = FilterContext(
-                    self.seq_coll.forward_sba, rag_pos, valid_len, sba_dev=sba_rep
+                    self._host_sba(), rag_pos, valid_len, sba_dev=sba_rep
                 )
                 mask = kmer_filter_func.mask_pure(ctx_mask)
                 new_pad = jnp.where(mask, rag_pad, jnp.uint32(1))
@@ -1198,6 +1275,9 @@ class Kmers:
             if self.max_kmer_len is not None:
                 self.max_kmer_len = int(self.max_kmer_len)
             self.kmer_source_strand = grp["kmer_source_strand"][()].decode("utf-8")
+            # a persisted non-forward index came from the from_strand()
+            # extension; restore its working mode
+            self._strand_extension = self.kmer_source_strand != "forward"
             self.track_strands_separately = bool(grp["track_strands_separately"][()])
             self._is_initialized = bool(grp["_is_initialized"][()])
             self._is_set = bool(grp["_is_set"][()])
@@ -1229,6 +1309,7 @@ class Kmers:
             self.min_kmer_len = db["min_kmer_len"]
             self.max_kmer_len = db["max_kmer_len"]
             self.kmer_source_strand = db["kmer_source_strand"]
+            self._strand_extension = self.kmer_source_strand != "forward"
             self.track_strands_separately = db["track_strands_separately"]
             self._is_initialized = db["_is_initialized"]
             self._is_set = db["_is_set"]
@@ -1246,7 +1327,7 @@ class Kmers:
 
     def get_kmer_str_no_checks(self, kmer_num: int, kmer_strand: str, kmer_len: int) -> str:
         if kmer_strand == "+":
-            sba = self.seq_coll.forward_sba
+            sba = self._host_sba()
             sba_start_idx = self.kmer_sba_start_indices[kmer_num]
         elif kmer_strand == "-":
             raise NotImplementedError("Only implemented for kmer_strand='+'")
@@ -1269,8 +1350,8 @@ class Kmers:
         if (nums < 0).any() or (nums >= len(self)).any():
             raise ValueError("kmer_num out of bounds")
         pos = self.kmer_sba_start_indices[nums].astype(np.int64)
-        sba = self.seq_coll.forward_sba
-        seg_starts = self.seq_coll._forward_sba_seg_starts.astype(np.int64)
+        sba = self._host_sba()
+        seg_starts = self._host_seg_starts().astype(np.int64)
         seg_ids = np.searchsorted(seg_starts, pos, side="right") - 1
         seg_e = np.where(
             seg_ids == len(seg_starts) - 1,
@@ -1317,7 +1398,7 @@ class Kmers:
                 f"kmer_len ({kmer_len}) for kmer_num ({kmer_num}) extends beyond the end of the segment"
             )
 
-        sba = self.seq_coll.forward_sba
+        sba = self._host_sba()
         return bytearray(sba[sba_start_idx : sba_start_idx + kmer_len]).decode("utf-8")
 
     # ------------------------------------------------------------------ #
@@ -1343,7 +1424,7 @@ class Kmers:
         from .ops.keys import cap_lengths, compute_valid_len
         from .ops.sort import sort_positions
 
-        dc = self.seq_coll.device_cache("forward")
+        dc = self._dc()
         positions = self._device_positions()
         valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
 
@@ -1421,7 +1502,7 @@ class Kmers:
         closure (kmers.py:1654-1731). The TPU sort never calls it; it exists
         for API compatibility and comparator-level tests."""
         self._check_forward_only()
-        sba = self.seq_coll.forward_sba
+        sba = self._host_sba()
         min_kmer_len = self.min_kmer_len
         max_kmer_len = self.max_kmer_len
 
@@ -1487,7 +1568,7 @@ class Kmers:
             from .parallel.distributed import AXIS
             from .ops.sort import _PAD_POS
 
-            dc = self.seq_coll.device_cache("forward")
+            dc = self._dc()
             cache = self._dist_cache
             if cache is not None and cache.mesh == mesh:
                 # reuse the sharded layout retained by sort(mesh=...)
@@ -1519,7 +1600,7 @@ class Kmers:
         from .ops.query import count_queries as _count_queries
         from .ops.query import encode_query_words
 
-        dc = self.seq_coll.device_cache("forward")
+        dc = self._dc()
         positions = self._device_positions()
         cap = cap_lengths(
             compute_valid_len(positions, dc.seg_starts, dc.seg_ends), kmer_len
@@ -1573,7 +1654,7 @@ class Kmers:
         from .ops.groups import group_geometry, group_size_histogram
         from .ops.keys import compute_valid_len
 
-        dc = self.seq_coll.device_cache("forward")
+        dc = self._dc()
         if dc.packed2 is None:
             raise NotImplementedError(
                 "canonical k-mer statistics require an ACGT-only genome"

@@ -127,7 +127,7 @@ def save_kmers_sharded(kmers, path, include_genome: bool = False) -> None:
     }
     genome = None
     if include_genome:
-        genome = kmers.seq_coll.device_cache("forward").packed
+        genome = kmers._dc().packed
     save_sharded_index(path, kmers._device_positions(), meta, packed_genome=genome)
 
 
