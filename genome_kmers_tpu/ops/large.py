@@ -232,10 +232,3 @@ def compute_valid_len64(pos_hi, pos_lo, starts_hi, starts_lo, ends_hi, ends_lo):
     return jnp.where(vhi > 0, NO_CAP, jnp.minimum(vlo, NO_CAP))
 
 
-def seg_ends64_np(seg_starts_u64: np.ndarray, sba_len: int) -> np.ndarray:
-    """Per-segment inclusive end (uint64 host): starts[i+1]-2, last at
-    sba_len-1 (mirrors ops/keys.compute_seg_ends)."""
-    s = np.asarray(seg_starts_u64, dtype=np.uint64)
-    return np.concatenate(
-        [s[1:] - np.uint64(2), np.array([sba_len - 1], dtype=np.uint64)]
-    )

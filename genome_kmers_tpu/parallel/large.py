@@ -45,9 +45,9 @@ from ..ops.large import (
     add64_u32,
     build_key2_words_strided,
     build_key_words_strided,
+    compute_valid_len64,
     lexmin2,
     min64,
-    searchsorted64_right,
     split64_np,
     sub64,
 )
@@ -83,11 +83,9 @@ def _large_stats_local(
     valid = is_pad == jnp.uint32(0)
 
     # caps from segment extents, derived in-kernel (pads masked to 0)
-    seg = searchsorted64_right(starts_hi, starts_lo, pos_hi, pos_lo) - 1
-    seg = jnp.maximum(seg, 0)
-    dhi, dlo = sub64(jnp.take(ends_hi, seg), jnp.take(ends_lo, seg), pos_hi, pos_lo)
-    vhi, vlo = add64_u32(dhi, dlo, 1)
-    valid_len = jnp.where(vhi > 0, _ONES, vlo)
+    valid_len = compute_valid_len64(
+        pos_hi, pos_lo, starts_hi, starts_lo, ends_hi, ends_lo
+    )
     cap = jnp.minimum(valid_len, jnp.uint32(kmer_len))
     cap = jnp.where(valid, cap, jnp.uint32(0))
 

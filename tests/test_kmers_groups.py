@@ -36,6 +36,18 @@ GROUP_PARAM_SWEEP = [
 ]
 
 
+# full product at the reference's granularity (reference
+# test_kmers.py:1483-1495): min x max x yield_first_n, invalid (max < min)
+# combinations excluded — ~130 parameter triples
+FULL_GROUP_PARAM_PRODUCT = [
+    (mgs, xgs, yfn)
+    for mgs in (1, 2, 3, 4)
+    for xgs in (1, 2, 3, 4, 7, None)
+    if xgs is None or xgs >= mgs
+    for yfn in (1, 2, 3, 4, 7, None)
+]
+
+
 def make_sorted_kmers(seq_list, min_kmer_len, max_kmer_len):
     sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
     km = Kmers(sc, min_kmer_len=min_kmer_len, max_kmer_len=max_kmer_len)
@@ -59,6 +71,32 @@ class TestGetKmersMinimal:
             )
         )
         assert [(k, g, t) for k, g, t in got] == exp
+
+    @pytest.mark.parametrize("kmer_len", [2, 3])
+    def test_full_param_product_seq_list_2(self, kmer_len):
+        """Every (min, max, yield_first_n) combination of the reference's
+        full product sweep, pinned to the oracle (one test node per kmer_len
+        to keep collection overhead sane)."""
+        km = make_sorted_kmers(SEQ_LIST_2, kmer_len, kmer_len)
+        _, _, sorted_kmers, _ = expected_kmers(SEQ_LIST_2, kmer_len, kmer_len)
+        for mgs, xgs, yfn in FULL_GROUP_PARAM_PRODUCT:
+            exp = expected_groups(sorted_kmers, kmer_len, mgs, xgs, yfn)
+            got = list(
+                km.get_kmers(
+                    kmer_len,
+                    min_group_size=mgs,
+                    max_group_size=xgs,
+                    yield_first_n=yfn,
+                )
+            )
+            assert [(k, g, t) for k, g, t in got] == exp, (mgs, xgs, yfn)
+            # the count query must agree with the same walk
+            exp_count = sum(t for (_, _, t) in expected_groups(
+                sorted_kmers, kmer_len, mgs, xgs, yield_first_n=1))
+            assert (
+                km.get_kmer_count(kmer_len, min_group_size=mgs, max_group_size=xgs)
+                == exp_count
+            ), (mgs, xgs)
 
     def test_kmer_len_caps_group_identity(self):
         """Group identity for get_kmers(kmer_len=L) uses an L-base compare

@@ -443,6 +443,45 @@ class TestGetRecordLoc:
         # (reference sequence_collection.py:381-388)
         assert list(sc.iter_records()) == [("chr1", 27, 36), ("chr2", 14, 25), ("chr3", 0, 12)]
 
+    @pytest.mark.parametrize("one_based", [False, True])
+    def test_exhaustive_both_strands(self, one_based):
+        """Every base index of both strand SBAs, beyond the reference's
+        18-point table (reference test_sequence_collection.py:869-893):
+        expectations reconstructed independently from the raw seq_list.
+
+        Forward: records in order, seq_idx counts left-to-right. Revcomp:
+        records reversed, each sequence reverse-complemented, and seq_idx
+        still reports FORWARD sequence coordinates (so it counts from the
+        segment's right edge)."""
+        off = 1 if one_based else 0
+        sc_f = SequenceCollection(sequence_list=SEQ_LIST_2, strands_to_load="forward")
+        want = {}
+        sba_idx = 0
+        for name, seq in SEQ_LIST_2:
+            for j in range(len(seq)):
+                want[sba_idx] = ("+", name, j + off)
+                sba_idx += 1
+            sba_idx += 1  # '$'
+        for idx, exp in want.items():
+            assert sc_f.get_record_loc_from_sba_index(idx, one_based=one_based) == exp
+            assert sc_f.get_record_name_from_sba_index(idx) == exp[1]
+
+        sc_r = SequenceCollection(
+            sequence_list=SEQ_LIST_2, strands_to_load="reverse_complement"
+        )
+        want_rc = {}
+        sba_idx = 0
+        for name, seq in reversed(SEQ_LIST_2):
+            for j in range(len(seq)):
+                # position j of the revcomp segment maps to forward index
+                # len(seq) - 1 - j
+                want_rc[sba_idx] = ("-", name, len(seq) - 1 - j + off)
+                sba_idx += 1
+            sba_idx += 1
+        for idx, exp in want_rc.items():
+            assert sc_r.get_record_loc_from_sba_index(idx, one_based=one_based) == exp
+            assert sc_r.get_record_name_from_sba_index(idx) == exp[1]
+
 
 # --------------------------------------------------------------------------- #
 # equality
