@@ -363,28 +363,38 @@ class Kmers:
         min_kmer_len: int = 1,
         max_kmer_len: Union[int, None] = None,
         source_strand: str = "forward",
+        track_strands_separately: bool = False,
         method: str = "single_pass",
     ) -> "Kmers":
         """EXTENSION: construct a Kmers over a chosen strand for real.
 
-        The reference declares ``source_strand`` but hard-fails for anything
-        non-forward (reference kmers.py:693-696), and the plain constructor
-        here preserves that error for parity. This classmethod implements
-        ``source_strand="reverse_complement"``: the k-mer index enumerates,
-        sorts, and groups the k-mers of the reverse-complement SBA (which
-        the SequenceCollection already maintains) exactly as the forward
-        index does for the forward SBA — all query/statistics methods work.
-        ``source_strand="both"`` / ``track_strands_separately`` remain
-        unimplemented (use ``get_canonical_kmer_group_counts`` for
-        strand-collapsed statistics).
+        The reference declares ``source_strand`` / ``track_strands_separately``
+        but hard-fails for anything non-forward (reference kmers.py:689-696),
+        and the plain constructor here preserves those errors for parity.
+        This classmethod implements them:
+
+        - ``source_strand="reverse_complement"``: the k-mer index enumerates,
+          sorts, and groups the k-mers of the reverse-complement SBA (which
+          the SequenceCollection already maintains) exactly as the forward
+          index does for the forward SBA — all query/statistics methods work.
+        - ``source_strand="both"``: one index over the k-mers of BOTH
+          strands, built on a virtual concatenated SBA
+          (``forward + '$' + revcomp`` — SequenceCollection.both_concat_arrays),
+          which turns the two-strand problem into an ordinary 2R-segment
+          single-SBA problem for the whole sort/group/filter/query engine.
+          Positions below ``len(forward_sba)`` are "+" k-mers; positions
+          above are "-" k-mers. Equal k-mer strings from the two strands
+          share a group by default; with ``track_strands_separately=True``
+          group identity additionally includes the strand (within an
+          equal-string run the position tie-break already orders all "+"
+          entries before all "-" entries, so strand-split groups stay
+          contiguous — the split is one extra term in the boundary mask,
+          not an extra sort pass).
         """
-        if source_strand == "both":
-            raise NotImplementedError(
-                f"This function has not been implemented for source_strand = '{source_strand}'"
-            )
         self = cls.__new__(cls)
         self._construct(
-            seq_coll, min_kmer_len, max_kmer_len, source_strand, False, method
+            seq_coll, min_kmer_len, max_kmer_len, source_strand,
+            track_strands_separately, method,
         )
         self._strand_extension = source_strand != "forward"
         return self
@@ -438,7 +448,20 @@ class Kmers:
         seq_lengths = []
         min_seq_len = None
         num_records = 0
-        for _, s, e in seq_coll.iter_records():
+        # "both": record lengths are strand-symmetric, so validate on the
+        # forward segments (iter_records needs an explicit strand then);
+        # the strand-match check moves ahead of the iteration so a
+        # mismatched collection fails with the reference's message
+        if source_strand == "both" and seq_coll.strands_loaded() != "both":
+            raise ValueError(
+                f"source_strand ({source_strand}) does not match sequence_collection loaded strand ({seq_coll.strands_loaded()})"
+            )
+        records_it = (
+            seq_coll.iter_records("forward")
+            if source_strand == "both"
+            else seq_coll.iter_records()
+        )
+        for _, s, e in records_it:
             seq_length = e - s + 1
             seq_lengths.append(seq_length)
             if min_seq_len is None or seq_length < min_seq_len:
@@ -498,7 +521,7 @@ class Kmers:
 
         seg_starts = []
         counts = []
-        for _, s, e in self.seq_coll.iter_records():
+        for s, e in self._iter_segments():
             seg_starts.append(s)
             counts.append((e - s + 1) - self.min_kmer_len + 1)
         self._init_geometry = (
@@ -537,11 +560,26 @@ class Kmers:
         )
         return jnp.take(starts_dev, rec) + (idx - jnp.take(cum_excl_dev, rec))
 
+    def _iter_segments(self):
+        """(sba_start, sba_end) spans of every segment of the ACTIVE SBA in
+        SBA order — the forward or revcomp records, or, for the both-strand
+        extension, all 2R segments of the concatenated view (k-mer numbering
+        then runs forward positions first, then revcomp positions)."""
+        if self.kmer_source_strand == "both":
+            sba, starts = self.seq_coll.both_concat_arrays()
+            starts64 = starts.astype(np.int64)
+            ends64 = np.concatenate([starts64[1:] - 2, [len(sba) - 1]])
+            for s, e in zip(starts64, ends64):
+                yield int(s), int(e)
+        else:
+            for _, s, e in self.seq_coll.iter_records():
+                yield s, e
+
     def _get_unfiltered_kmer_count(self) -> int:
         """Reference kmers.py:837-861."""
         num_kmers = 0
         num_records = 0
-        for _, s, e in self.seq_coll.iter_records():
+        for s, e in self._iter_segments():
             num_kmers += (e - s + 1) - self.min_kmer_len + 1
             num_records += 1
         if num_records == 0:
@@ -621,10 +659,14 @@ class Kmers:
         return self._pos_dev
 
     def _check_forward_only(self):
-        if self._strand_extension and self.kmer_source_strand == "reverse_complement":
-            # from_strand() extension instances operate on the revcomp SBA
-            # for real; the reference's forward-only error stays for every
-            # plain-constructed Kmers (reference kmers.py:921-933)
+        if self._strand_extension and self.kmer_source_strand in (
+            "reverse_complement",
+            "both",
+        ):
+            # from_strand() extension instances operate on the revcomp or
+            # concatenated both-strand SBA for real; the reference's
+            # forward-only error stays for every plain-constructed Kmers
+            # (reference kmers.py:921-933)
             return
         condition1 = self.kmer_source_strand != "forward"
         condition2 = self.seq_coll.strands_loaded() != "forward"
@@ -636,8 +678,11 @@ class Kmers:
 
     # strand-aware data accessors: every compute/query path goes through
     # these, so the from_strand() extension switches the whole class to the
-    # reverse-complement SBA by flipping one selector
+    # reverse-complement (or concatenated both-strand) SBA by flipping one
+    # selector
     def _strand_to_use(self) -> str:
+        if self.kmer_source_strand == "both":
+            return "both_concat"
         return (
             "reverse_complement"
             if self.kmer_source_strand == "reverse_complement"
@@ -646,15 +691,27 @@ class Kmers:
 
     def _host_sba(self) -> np.ndarray:
         sc = self.seq_coll
-        if self._strand_to_use() == "reverse_complement":
+        strand = self._strand_to_use()
+        if strand == "both_concat":
+            return sc.both_concat_arrays()[0]
+        if strand == "reverse_complement":
             return sc.revcomp_sba
         return sc.forward_sba
 
     def _host_seg_starts(self) -> np.ndarray:
         sc = self.seq_coll
-        if self._strand_to_use() == "reverse_complement":
+        strand = self._strand_to_use()
+        if strand == "both_concat":
+            return sc.both_concat_arrays()[1]
+        if strand == "reverse_complement":
             return sc._revcomp_sba_seg_starts
         return sc._forward_sba_seg_starts
+
+    def _revcomp_offset(self) -> int:
+        """First concatenated-SBA index of the revcomp half (both mode):
+        positions >= this offset are "-"-strand k-mers. The byte at
+        ``offset - 1`` is the joining '$', never a k-mer position."""
+        return len(self.seq_coll.forward_sba) + 1
 
     def _dc(self):
         return self.seq_coll.device_cache(self._strand_to_use())
@@ -700,6 +757,23 @@ class Kmers:
         if isinstance(kmer_filter_func, KmerFilter):
             ctx = FilterContext(self._host_sba(), positions, valid_len, sba_dev=dc.sba)
             mask = np.asarray(kmer_filter_func.batch_mask(ctx))
+        elif self.kmer_source_strand == "both":
+            # user callables keep the reference's single-strand contract:
+            # each position is presented in ITS strand's own SBA coordinates
+            off = self._revcomp_offset()
+            fwd, rc = self.seq_coll.forward_sba, self.seq_coll.revcomp_sba
+            mask = np.fromiter(
+                (
+                    bool(
+                        kmer_filter_func(fwd, "forward", int(p))
+                        if int(p) < off
+                        else kmer_filter_func(rc, "reverse_complement", int(p) - off)
+                    )
+                    for p in self.kmer_sba_start_indices
+                ),
+                dtype=bool,
+                count=n,
+            )
         else:
             sba = self._host_sba()
             mask = np.fromiter(
@@ -739,6 +813,14 @@ class Kmers:
             boundary = adjacent_boundaries(
                 packed, surv_pos, cap, kmer_len, packed2=packed2, uniform_cap=uniform
             )
+            if self.track_strands_separately:
+                # strand joins group identity. Within an equal-string run the
+                # position tie-break orders every "+" entry (index < offset)
+                # before every "-" entry, so the per-strand sub-groups are
+                # contiguous — splitting is one extra boundary term.
+                is_rc = surv_pos >= jnp.uint32(self._revcomp_offset())
+                prev_rc = jnp.concatenate([is_rc[:1], is_rc[:-1]])
+                boundary = boundary | (is_rc != prev_rc)
         else:
             boundary = jnp.ones(m, dtype=bool)
         return surv_nums, surv_pos, boundary
@@ -833,9 +915,7 @@ class Kmers:
 
         full = kmer_info_to_yield == "full"
         if full:
-            get_record_info = self.seq_coll.generate_get_record_info_from_sba_index_func(
-                one_based_seq_index
-            )
+            get_record_info = self._record_info_func(one_based_seq_index)
 
         yield_idx = np.flatnonzero(yielded)
         for j in yield_idx:
@@ -904,9 +984,12 @@ class Kmers:
     ) -> dict:
         """EXTENSION: bulk array version of ``get_kmers(kmer_info_to_yield=
         "full")``: one vectorized searchsorted replaces the per-row record
-        lookup. Returns a dict of aligned arrays — kmer_num, record_num
-        (index into ``seq_coll.forward_record_names``), seq_start_idx,
-        kmer_len, group_size_yielded, group_size_total — in yield order.
+        lookup. Returns a dict of aligned arrays — kmer_num, record_num,
+        strand ("+"/"-"), seq_start_idx (forward-sequence convention, like
+        the generator), kmer_len, group_size_yielded, group_size_total — in
+        yield order. record_num indexes ``seq_coll.forward_record_names``
+        for forward and both-strand instances, ``revcomp_record_names`` for
+        reverse-complement instances.
         """
         self._check_forward_only()
         if kmer_len is not None and kmer_len < 1:
@@ -926,7 +1009,26 @@ class Kmers:
         seg_e = np.where(
             seg_ids == len(seg_starts) - 1, sba_len - 1, seg_starts[np.minimum(seg_ids + 1, len(seg_starts) - 1)] - 2
         )
-        seq_idx = pos - seg_s + (1 if one_based_seq_index else 0)
+        base = 1 if one_based_seq_index else 0
+        if self.kmer_source_strand == "reverse_complement":
+            # forward-sequence coordinate convention (reference
+            # sequence_collection.py:141-144): count from the segment's
+            # right edge on the revcomp strand
+            strand = np.full(len(pos), "-", dtype="U1")
+            seq_idx = seg_e - pos + base
+            record_num = seg_ids
+        elif self.kmer_source_strand == "both":
+            n_rec = len(self.seq_coll.forward_record_names)
+            rc_row = seg_ids >= n_rec
+            strand = np.where(rc_row, "-", "+").astype("U1")
+            seq_idx = np.where(rc_row, seg_e - pos, pos - seg_s) + base
+            # revcomp segment k is record R-1-k, so concatenated segment
+            # R+k maps to forward record 2R-1-(R+k)
+            record_num = np.where(rc_row, 2 * n_rec - 1 - seg_ids, seg_ids)
+        else:
+            strand = np.full(len(pos), "+", dtype="U1")
+            seq_idx = pos - seg_s + base
+            record_num = seg_ids
         if kmer_len is None:
             out_len = seg_e - pos + 1
         else:
@@ -938,7 +1040,8 @@ class Kmers:
             out_len = np.full(len(pos), kmer_len, dtype=np.int64)
         return {
             "kmer_num": surv_nums[sel].astype(np.int64),
-            "record_num": seg_ids.astype(np.int64),
+            "record_num": record_num.astype(np.int64),
+            "strand": strand,
             "seq_start_idx": seq_idx,
             "kmer_len": out_len,
             "group_size_yielded": gsy[sel].astype(np.int64),
@@ -1068,6 +1171,12 @@ class Kmers:
         )
         from .parallel.distributed import put_global
 
+        # track_strands_separately rides as one extra identity lane in the
+        # distributed kernel (positions >= split are "-"-strand k-mers)
+        strand_split = (
+            self._revcomp_offset() if self.track_strands_separately else None
+        )
+
         dc = self._dc()
         use2 = kmer_len is not None and kmer_len <= 64 and dc.packed2 is not None
         packed2 = dc.packed2 if use2 else None
@@ -1127,6 +1236,7 @@ class Kmers:
             packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
             mesh, min_group_size=min_group_size, max_group_size=max_group_size,
             max_counts_bin=max_counts_bin, packed2=packed2,
+            strand_split=strand_split,
         )
         return np.asarray(counts), int(total)
 
@@ -1134,10 +1244,66 @@ class Kmers:
     # full-info closure (reference kmers.py:1180-1264)
     # ------------------------------------------------------------------ #
 
-    def generate_get_kmer_info_func(self, one_based_seq_index: bool) -> Callable:
-        get_record_info_from_sba_index = self.seq_coll.generate_get_record_info_from_sba_index_func(
-            one_based_seq_index
+    def _record_info_func(self, one_based_seq_index: bool) -> Callable:
+        """Closure mapping an ACTIVE-SBA index to
+        ``(seg_num, sba_start, sba_end, strand, record_name, seq_idx)``.
+
+        Forward / revcomp instances delegate to the SequenceCollection
+        closure; both-mode instances dispatch on the concatenated-SBA half
+        (segment numbering runs 0..R-1 forward then R..2R-1 revcomp, bounds
+        reported in concatenated coordinates, seq_idx in the reference's
+        forward-sequence convention for each strand)."""
+        if self.kmer_source_strand != "both":
+            return self.seq_coll.generate_get_record_info_from_sba_index_func(
+                one_based_seq_index
+            )
+
+        from .sequence_collection import (
+            get_forward_seq_idx,
+            get_sba_start_end_indices_for_segment,
+            get_segment_num_from_sba_index,
         )
+
+        sc = self.seq_coll
+        off = self._revcomp_offset()
+        n_fwd_records = len(sc.forward_record_names)
+        fwd_starts = sc._forward_sba_seg_starts
+        rc_starts = sc._revcomp_sba_seg_starts
+        len_fwd, len_rc = len(sc.forward_sba), len(sc.revcomp_sba)
+
+        def get_record_info_from_sba_index(sba_idx: int):
+            if sba_idx >= off:
+                local = sba_idx - off
+                seg = get_segment_num_from_sba_index(
+                    local, "reverse_complement", rc_starts
+                )
+                s, e = get_sba_start_end_indices_for_segment(
+                    seg, "reverse_complement", rc_starts, len_rc
+                )
+                seq_idx = get_forward_seq_idx(
+                    local, "reverse_complement", s, e, one_based=one_based_seq_index
+                )
+                return (
+                    n_fwd_records + seg,
+                    s + off,
+                    e + off,
+                    "-",
+                    sc.revcomp_record_names[seg],
+                    seq_idx,
+                )
+            seg = get_segment_num_from_sba_index(sba_idx, "forward", fwd_starts)
+            s, e = get_sba_start_end_indices_for_segment(
+                seg, "forward", fwd_starts, len_fwd
+            )
+            seq_idx = get_forward_seq_idx(
+                sba_idx, "forward", s, e, one_based=one_based_seq_index
+            )
+            return (seg, s, e, "+", sc.forward_record_names[seg], seq_idx)
+
+        return get_record_info_from_sba_index
+
+    def generate_get_kmer_info_func(self, one_based_seq_index: bool) -> Callable:
+        get_record_info_from_sba_index = self._record_info_func(one_based_seq_index)
 
         def get_kmer_info(
             kmer_num, kmer_sba_start_indices, sba, kmer_len, group_size_yielded, group_size_total
@@ -1383,8 +1549,16 @@ class Kmers:
             )
 
         sba_start_idx = int(self.kmer_sba_start_indices[kmer_num])
-        seg_num = self.seq_coll.get_segment_num_from_sba_index(sba_start_idx)
-        _, sba_seg_end_idx = self.seq_coll.get_sba_start_end_indices_for_segment(seg_num)
+        if self.kmer_source_strand == "both":
+            # seq_coll per-strand lookups need an explicit strand when both
+            # are loaded; segment bounds come straight off the concatenated
+            # view instead
+            _, _, sba_seg_end_idx, _, _, _ = self._record_info_func(False)(
+                sba_start_idx
+            )
+        else:
+            seg_num = self.seq_coll.get_segment_num_from_sba_index(sba_start_idx)
+            _, sba_seg_end_idx = self.seq_coll.get_sba_start_end_indices_for_segment(seg_num)
 
         if kmer_len is None:
             largest_kmer_len = sba_seg_end_idx - sba_start_idx + 1
@@ -1616,6 +1790,12 @@ class Kmers:
         palindromes). Completes BASELINE config 5's canonical + streaming
         query pairing; requires ACGT queries and a sorted index.
         """
+        if self.kmer_source_strand == "both":
+            raise NotImplementedError(
+                "canonical queries are defined on a single-strand index; "
+                "count_queries on a both-strand index already counts both "
+                "strands"
+            )
         if not queries:
             return np.zeros(0, dtype=np.uint32)
         table = str.maketrans("ACGT", "TGCA")
@@ -1643,6 +1823,12 @@ class Kmers:
         k-mers participate (truncated k-mers have no canonical form).
         """
         self._check_forward_only()
+        if self.kmer_source_strand == "both":
+            raise NotImplementedError(
+                "canonical statistics are defined on a single-strand index "
+                "(a both-strand index already contains each k-mer's reverse "
+                "complement)"
+            )
         if kmer_len is None or kmer_len < 1 or kmer_len > 64:
             raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
         if max_counts_bin <= 0:
@@ -1702,7 +1888,14 @@ class Kmers:
             strs = (
                 self.get_kmer_strs(nums, kmer_len) if "kmer" in fields else None
             )
-            names = self.seq_coll.forward_record_names if need_full else None
+            if need_full:
+                names = (
+                    self.seq_coll.revcomp_record_names
+                    if self.kmer_source_strand == "reverse_complement"
+                    else self.seq_coll.forward_record_names
+                )
+            else:
+                names = None
             with open(output_file_path, "w") as f:
                 f.write(",".join(fields) + "\n")
                 for i in range(len(nums)):
@@ -1717,7 +1910,7 @@ class Kmers:
                         elif field == "start":
                             row.append(str(int(arrs["seq_start_idx"][i])))
                         elif field == "strand":
-                            row.append("+")
+                            row.append(str(arrs["strand"][i]))
                         elif field == "group_size":
                             row.append(str(int(gst_arr[i])))
                     f.write(",".join(row) + "\n")

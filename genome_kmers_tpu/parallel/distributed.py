@@ -227,7 +227,8 @@ def distributed_sort_positions(
 
 
 def _dist_group_stats_local(
-    packed, positions, cap_len, is_pad, min_gs, max_gs, n_words, max_counts_bin, two_bit
+    packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split, n_words,
+    max_counts_bin, two_bit,
 ):
     """shard_map body for the distributed group-size histogram.
 
@@ -264,6 +265,11 @@ def _dist_group_stats_local(
     # row i>0 is its true predecessor)
     words = _words_for(packed, positions, cap_len, n_words, two_bit)
     lanes = words + ((cap_len,) if two_bit else ())
+    # track_strands_separately (both-strand extension): positions at or past
+    # strand_split are "-"-strand k-mers and never share a group with "+"
+    # entries — one extra identity lane. Disabled when strand_split exceeds
+    # every position (all rows then carry lane value 0).
+    lanes = lanes + ((positions >= strand_split).astype(jnp.uint32),)
     eq = jnp.ones(n_local, dtype=bool)
     for w in lanes:
         prev = jnp.concatenate([w[:1], w[:-1]])
@@ -315,7 +321,8 @@ def _dist_group_stats_local(
 
 @partial(jax.jit, static_argnames=("n_words", "max_counts_bin", "two_bit", "mesh"))
 def _distributed_group_hist_jit(
-    packed, positions, cap_len, is_pad, min_gs, max_gs, n_words, max_counts_bin, two_bit, mesh
+    packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split, n_words,
+    max_counts_bin, two_bit, mesh,
 ):
     fn = shard_map(
         partial(
@@ -325,10 +332,10 @@ def _distributed_group_hist_jit(
             two_bit=two_bit,
         ),
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
         out_specs=(P(), P()),
     )
-    return fn(packed, positions, cap_len, is_pad, min_gs, max_gs)
+    return fn(packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split)
 
 
 def distributed_group_size_histogram(
@@ -342,12 +349,14 @@ def distributed_group_size_histogram(
     max_group_size: int | None = None,
     max_counts_bin: int = 1000000,
     packed2: jax.Array | None = None,
+    strand_split: int | None = None,
 ):
     """Group-size histogram + total count over a globally sorted, sharded
     position array. Per-position caps are derived internally from the segment
     extents so they are always aligned with the (sorted) position order.
     Output matches the single-chip ``ops.groups.group_size_histogram``
-    exactly."""
+    exactly. ``strand_split`` (both-strand extension): positions >= it form
+    their own groups per strand (track_strands_separately)."""
     limit = 64 if packed2 is not None else 32
     if kmer_len is None or kmer_len > limit:
         raise NotImplementedError(f"distributed stats require kmer_len <= {limit}")
@@ -373,6 +382,7 @@ def distributed_group_size_histogram(
     # numpy scalars (not device-committed jax arrays): in a multi-process run
     # jit treats them as replicated host constants on every process
     max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
+    split = np.uint32(strand_split) if strand_split is not None else np.uint32(0xFFFFFFFF)
     counts, total = _distributed_group_hist_jit(
         genome,
         positions_p,
@@ -380,6 +390,7 @@ def distributed_group_size_histogram(
         is_pad,
         np.uint32(min_group_size),
         max_gs,
+        split,
         n_words,
         max_counts_bin,
         two_bit,
@@ -400,13 +411,14 @@ def distributed_group_size_histogram_ragged(
     max_group_size: int | None = None,
     max_counts_bin: int = 1000000,
     packed2: jax.Array | None = None,
+    strand_split: int | None = None,
 ):
     """Device-resident variant of ``distributed_group_size_histogram`` for
     the ragged per-shard-padded layout that
     ``sample_sort_positions_ragged`` returns — the full distributed pipeline
     (sort -> stats) then never leaves the mesh. Group sizes are computed in
     valid-row coordinates, so padding rows may sit at the tail of every
-    shard."""
+    shard. ``strand_split``: see ``distributed_group_size_histogram``."""
     limit = 64 if packed2 is not None else 32
     if kmer_len is None or kmer_len > limit:
         raise NotImplementedError(f"distributed stats require kmer_len <= {limit}")
@@ -419,6 +431,7 @@ def distributed_group_size_histogram_ragged(
 
     genome = put_global(genome, NamedSharding(mesh, P()))
     max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
+    split = np.uint32(strand_split) if strand_split is not None else np.uint32(0xFFFFFFFF)
     return _distributed_group_hist_jit(
         genome,
         sorted_positions,
@@ -426,6 +439,7 @@ def distributed_group_size_histogram_ragged(
         is_pad,
         np.uint32(min_group_size),
         max_gs,
+        split,
         n_words,
         max_counts_bin,
         two_bit,

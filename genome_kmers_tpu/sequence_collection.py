@@ -243,6 +243,7 @@ class SequenceCollection:
         self._strands_loaded = None
         self._fasta_file_path = None
         self._device = {}
+        self._both_concat = None
 
         self._initialize_mapping_arrays()
 
@@ -266,6 +267,40 @@ class SequenceCollection:
 
     def _invalidate_device_cache(self):
         self._device = {}
+        self._both_concat = None
+
+    def both_concat_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """Host ``(sba, seg_starts)`` of the virtual concatenated both-strand
+        SBA: ``forward_sba + b'$' + revcomp_sba`` with 2R segments (the R
+        forward segments followed by the R reverse-complement segments in
+        revcomp-SBA order). EXTENSION backing store for a real
+        ``source_strand="both"`` k-mer index — the reference declares the
+        mode but raises (reference kmers.py:689-696). Requires both strands
+        loaded; a both-strand k-mer index stays under the uint32 ceiling, so
+        uint32 seg starts suffice."""
+        if self.forward_sba is None or self.revcomp_sba is None:
+            raise ValueError(
+                "both strands must be loaded to build the concatenated view"
+            )
+        if self._both_concat is None:
+            n_fwd = len(self.forward_sba)
+            off = n_fwd + 1
+            sba = np.empty(off + len(self.revcomp_sba), dtype=np.uint8)
+            sba[:n_fwd] = self.forward_sba
+            sba[n_fwd] = ord("$")
+            sba[off:] = self.revcomp_sba
+            starts = np.concatenate(
+                [
+                    self._forward_sba_seg_starts.astype(np.uint64),
+                    self._revcomp_sba_seg_starts.astype(np.uint64) + np.uint64(off),
+                ]
+            )
+            if len(sba) > 2**32:
+                raise NotImplementedError(
+                    "concatenated both-strand SBA exceeds uint32 coordinates"
+                )
+            self._both_concat = (sba, starts.astype(np.uint32))
+        return self._both_concat
 
     def device_cache(self, sba_strand: str) -> _DeviceCache:
         """Device-side packed views for the given strand's SBA."""
@@ -282,6 +317,8 @@ class SequenceCollection:
                 self._device[sba_strand] = _DeviceCache(
                     self.revcomp_sba, self._revcomp_sba_seg_starts
                 )
+            elif sba_strand == "both_concat":
+                self._device[sba_strand] = _DeviceCache(*self.both_concat_arrays())
             else:
                 raise ValueError(f"sba_strand ({sba_strand}) not recognized")
         return self._device[sba_strand]
@@ -311,13 +348,36 @@ class SequenceCollection:
         return "\n".join(lines)
 
     def sequence_length(self, record_num=None, record_name=None):
-        """Declared but unimplemented in the reference
-        (sequence_collection.py:338-354); behavior matched."""
+        """Length of one record's sequence, or the total across all records.
+
+        EXTENSION: the reference declares this surface with exactly these
+        semantics in its docstring but raises NotImplementedError (reference
+        sequence_collection.py:337-353); implemented here for real. Record
+        lengths are strand-independent, and ``record_num`` follows the
+        record-number ordering regardless of which strand(s) are loaded
+        (``iter_records`` already yields in that order).
+        """
         if record_name is not None and record_num is not None:
             raise ValueError(
                 f"record_num ({record_num}) and record_name ({record_name}) cannot both be specified"
             )
-        raise NotImplementedError()
+        strand = (
+            "reverse_complement"
+            if self._strands_loaded == "reverse_complement"
+            else "forward"
+        )
+        records = list(self.iter_records(strand))
+        if record_num is not None:
+            if record_num < 0 or record_num >= len(records):
+                raise ValueError(f"record_num ({record_num}) is out of bounds")
+            _, s, e = records[record_num]
+            return e - s + 1
+        if record_name is not None:
+            for name, s, e in records:
+                if name == record_name:
+                    return e - s + 1
+            raise ValueError(f"record_name ({record_name}) not found")
+        return sum(e - s + 1 for _, s, e in records)
 
     def iter_records(self, sba_strand: str = None):
         """Yield (record_name, sba_start, sba_end) in record_num order

@@ -143,12 +143,22 @@ class TestSeqListInit:
         sc = SequenceCollection(sequence_list=SEQ_LIST_2, strands_to_load="reverse_complement")
         assert str(sc) == ">chr1\nCTAATTCGAT\n>chr2\nAATGCAAGATCC\n>chr3\nAGGGGTCAATCAC"
 
-    def test_sequence_length_unimplemented(self):
+    def test_sequence_length(self):
+        """EXTENSION: implemented for real with the semantics the reference
+        docstring declares (reference sequence_collection.py:337-353)."""
+        for strands in ("forward", "reverse_complement", "both"):
+            sc = SequenceCollection(sequence_list=SEQ_LIST_2, strands_to_load=strands)
+            for i, (name, seq) in enumerate(SEQ_LIST_2):
+                assert sc.sequence_length(record_num=i) == len(seq)
+                assert sc.sequence_length(record_name=name) == len(seq)
+            assert sc.sequence_length() == sum(len(s) for _, s in SEQ_LIST_2)
         sc = SequenceCollection(sequence_list=SEQ_LIST_1, strands_to_load="forward")
-        with pytest.raises(NotImplementedError):
-            sc.sequence_length(record_num=0)
         with pytest.raises(ValueError):
             sc.sequence_length(record_num=0, record_name="chr1")
+        with pytest.raises(ValueError):
+            sc.sequence_length(record_num=5)
+        with pytest.raises(ValueError):
+            sc.sequence_length(record_name="nope")
 
 
 # --------------------------------------------------------------------------- #

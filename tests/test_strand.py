@@ -100,7 +100,9 @@ class TestReverseComplementStrand:
         km_rc, _ = pair
         with pytest.raises(NotImplementedError, match="source_strand"):
             Kmers(km_rc.seq_coll, source_strand="reverse_complement")
-        with pytest.raises(NotImplementedError, match="source_strand"):
+        # from_strand("both") is now implemented (tests/test_both.py); on a
+        # single-strand collection it reports the reference's mismatch error
+        with pytest.raises(ValueError, match="does not match"):
             Kmers.from_strand(km_rc.seq_coll, source_strand="both")
 
     def test_from_strand_forward_equals_plain_ctor(self, pair):
