@@ -365,6 +365,7 @@ class Kmers:
         source_strand: str = "forward",
         track_strands_separately: bool = False,
         method: str = "single_pass",
+        kmer_filters: list = (),
     ) -> "Kmers":
         """EXTENSION: construct a Kmers over a chosen strand for real.
 
@@ -390,11 +391,26 @@ class Kmers:
           entries before all "-" entries, so strand-split groups stay
           contiguous — the split is one extra term in the boundary mask,
           not an extra sort pass).
+
+        It also implements the two init surfaces the reference declares but
+        raises on (reference kmers.py:775-781):
+
+        - ``kmer_filters``: filters applied at INIT time — the index holds
+          only the surviving positions (the reference's planned
+          filter-in-place step, kmers.py:833). Library filters evaluate as
+          one vectorized mask; arbitrary reference-signature callables take
+          the host loop. The plain constructor's internal-path errors stay.
+        - ``method="double_pass"``: the reference's declared lower-memory
+          init — count the surviving k-mers per record first, then fill an
+          exactly-sized array — implemented with per-record chunked filter
+          evaluation, so the unfiltered index is never materialized whole.
+          Output is identical to ``single_pass``.
         """
         self = cls.__new__(cls)
         self._construct(
             seq_coll, min_kmer_len, max_kmer_len, source_strand,
-            track_strands_separately, method,
+            track_strands_separately, method, kmer_filters=kmer_filters,
+            init_extension=True,
         )
         self._strand_extension = source_strand != "forward"
         return self
@@ -407,6 +423,8 @@ class Kmers:
         source_strand,
         track_strands_separately,
         method,
+        kmer_filters=(),
+        init_extension=False,
     ) -> None:
         self._strand_extension = False
         if source_strand not in ("forward", "reverse_complement", "both"):
@@ -480,24 +498,31 @@ class Kmers:
             )
 
         self.seq_coll = seq_coll
-        self._initialize(method=method)
+        self._initialize(
+            kmer_filters=list(kmer_filters), method=method, extension=init_extension
+        )
 
     # ------------------------------------------------------------------ #
     # initialization
     # ------------------------------------------------------------------ #
 
-    def _initialize(self, kmer_filters=[], method: str = "single_pass"):
-        if kmer_filters != []:
+    def _initialize(self, kmer_filters=[], method: str = "single_pass", extension=False):
+        # the reference's internal-path errors stay for plain construction
+        # (reference kmers.py:775-781); from_strand() passes extension=True
+        # and gets both surfaces for real
+        if kmer_filters != [] and not extension:
             raise NotImplementedError("kmer_filters have not been implemented")
         if method == "double_pass":
-            raise NotImplementedError(f"method '{method}' has not been implemented")
+            if not extension:
+                raise NotImplementedError(f"method '{method}' has not been implemented")
+            self._initialize_double_pass(kmer_filters=kmer_filters)
         elif method == "single_pass":
-            self._initialize_single_pass(kmer_filters=kmer_filters)
+            self._initialize_single_pass(kmer_filters=kmer_filters, extension=extension)
         else:
             raise ValueError(f"method '{method}' not recognized")
         self._is_initialized = True
 
-    def _initialize_single_pass(self, kmer_filters=[]):
+    def _initialize_single_pass(self, kmer_filters=[], extension=False):
         """Equivalent of the reference's per-record np.arange fill
         (kmers.py:789-835): every k-mer start position in
         [seg_start, seg_end - min_kmer_len + 1] per record.
@@ -505,8 +530,13 @@ class Kmers:
         Only the O(records) geometry is stored here; the index array itself
         is built lazily — directly ON DEVICE for the compute path (a
         searchsorted + two gathers, no multi-GB host->device upload), or on
-        host when ``kmer_sba_start_indices`` is read."""
-        if kmer_filters != []:
+        host when ``kmer_sba_start_indices`` is read.
+
+        With init-time ``kmer_filters`` (from_strand extension) this is the
+        reference's declared single-pass strategy (kmers.py:789-793):
+        materialize every unfiltered position, mask once, compact — faster
+        than double_pass but with the full-size temporary."""
+        if kmer_filters != [] and not extension:
             raise NotImplementedError("kmer_filters have not been implemented")
 
         num_kmers = self._get_unfiltered_kmer_count()
@@ -531,6 +561,103 @@ class Kmers:
         )
         self._pos_host = None
         self._pos_dev = None
+
+        if kmer_filters:
+            positions = self._build_positions_host()
+            mask = self._init_filter_mask(positions, kmer_filters)
+            # the setter clears the (now stale) geometry
+            self.kmer_sba_start_indices = positions[mask]
+
+    def _initialize_double_pass(self, kmer_filters=[]):
+        """EXTENSION: the reference's declared double-pass init
+        (kmers.py:776-779 — "counts the number of kmers first, initializes
+        an array of the correct size, and then populates it on-the-fly.
+        Requires less memory"). Filters evaluate per record chunk, so the
+        whole-genome unfiltered index never materializes; pass 1 counts
+        survivors, pass 2 fills an exactly-sized array. Identical output to
+        single_pass."""
+        if self._get_unfiltered_kmer_count() > 2**32 - 1:
+            msg = "the size of the required kmers array exceeds the limit set by a uint32"
+            raise NotImplementedError(msg)
+
+        chunks = []
+        total = 0
+        for s, e in self._iter_segments():
+            pos = np.arange(s, e - self.min_kmer_len + 2, dtype=np.uint32)
+            if kmer_filters:
+                valid_len = (np.int64(e) - pos.astype(np.int64) + 1).astype(np.uint32)
+                mask = self._init_filter_mask(pos, kmer_filters, valid_len=valid_len)
+                count = int(mask.sum())
+            else:
+                mask = None
+                count = len(pos)
+            chunks.append((s, len(pos), mask))
+            total += count
+
+        out = np.empty(total, dtype=np.uint32)
+        write = 0
+        for s, n_pos, mask in chunks:
+            pos = np.arange(s, s + n_pos, dtype=np.uint32)
+            if mask is not None:
+                pos = pos[mask]
+            out[write : write + len(pos)] = pos
+            write += len(pos)
+        if write != total:
+            raise AssertionError("logic error filling kmer_sba_start_indices")
+        self.kmer_sba_start_indices = out
+
+    def _init_filter_mask(
+        self, positions: np.ndarray, kmer_filters, valid_len=None
+    ) -> np.ndarray:
+        """AND of every init-time filter over the given positions (host bool
+        mask). Library filters run as one vectorized device mask; arbitrary
+        reference-signature callables take the host loop (per-strand
+        dispatch in both mode, like ``_survivors``)."""
+        import jax.numpy as jnp
+
+        sba = self._host_sba()
+        if valid_len is None:
+            seg_starts = self._host_seg_starts().astype(np.int64)
+            seg_ids = np.searchsorted(seg_starts, positions, side="right") - 1
+            seg_e = np.where(
+                seg_ids == len(seg_starts) - 1,
+                len(sba) - 1,
+                seg_starts[np.minimum(seg_ids + 1, len(seg_starts) - 1)] - 2,
+            )
+            valid_len = (seg_e - positions.astype(np.int64) + 1).astype(np.uint32)
+
+        mask = np.ones(len(positions), dtype=bool)
+        pos_dev = vl_dev = None
+        for f in kmer_filters:
+            if isinstance(f, KmerFilter):
+                if pos_dev is None:
+                    pos_dev = jnp.asarray(positions)
+                    vl_dev = jnp.asarray(valid_len)
+                ctx = FilterContext(sba, pos_dev, vl_dev)
+                mask &= np.asarray(f.batch_mask(ctx))
+            elif self.kmer_source_strand == "both":
+                off = self._revcomp_offset()
+                fwd, rc = self.seq_coll.forward_sba, self.seq_coll.revcomp_sba
+                mask &= np.fromiter(
+                    (
+                        bool(
+                            f(fwd, "forward", int(p))
+                            if int(p) < off
+                            else f(rc, "reverse_complement", int(p) - off)
+                        )
+                        for p in positions
+                    ),
+                    dtype=bool,
+                    count=len(positions),
+                )
+            else:
+                strand = self._strand_to_use()
+                mask &= np.fromiter(
+                    (bool(f(sba, strand, int(p))) for p in positions),
+                    dtype=bool,
+                    count=len(positions),
+                )
+        return mask
 
     def _build_positions_host(self) -> np.ndarray:
         seg_starts, counts, num_kmers = self._init_geometry

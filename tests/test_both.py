@@ -288,3 +288,61 @@ class TestBothStrandIndex:
         sc_f = SequenceCollection(sequence_list=SEQ_LIST, strands_to_load="forward")
         with pytest.raises(ValueError, match="does not match"):
             Kmers.from_strand(sc_f, source_strand="both")
+
+
+_IUPAC_COMP = str.maketrans("ACGTRYSWKMBDHVN", "TGCAYRSWMKVHDBN")
+
+
+class TestBothStrandIupac:
+    """The 4-bit path (N/IUPAC genomes rule out 2-bit keys): ambiguous
+    bases sort by ASCII byte value (SURVEY.md gotcha 9) and complement by
+    IUPAC pairs."""
+
+    SEQS = [
+        ("c1", "ACGTNNACGTRYKM"),
+        ("c2", "GGNNCCATSWBD"),
+    ]
+
+    def _oracle(self, k):
+        entries = []
+        pos = 0
+        for _, s in self.SEQS:
+            for j in range(len(s) - k + 1):
+                entries.append((s[j : j + k], pos + j))
+            pos += len(s) + 1
+        for _, s in reversed(self.SEQS):
+            rs = s.translate(_IUPAC_COMP)[::-1]
+            for j in range(len(rs) - k + 1):
+                entries.append((rs[j : j + k], pos + j))
+            pos += len(s) + 1
+        return sorted(entries, key=lambda t: (t[0], t[1]))
+
+    def test_sorted_order_and_counts(self):
+        sc = SequenceCollection(sequence_list=self.SEQS, strands_to_load="both")
+        km = Kmers.from_strand(sc, min_kmer_len=3, max_kmer_len=3,
+                               source_strand="both")
+        km.sort()
+        exp = self._oracle(3)
+        assert km.kmer_sba_start_indices.tolist() == [p for _, p in exp]
+        assert km.get_kmer_strs(list(range(len(exp))), 3) == [s for s, _ in exp]
+        by_str = Counter(s for s, _ in exp)
+        counts, total = km.get_kmer_group_counts(3, max_counts_bin=20)
+        exp_hist = Counter(by_str.values())
+        for size in range(1, 21):
+            assert counts[size] == exp_hist.get(size, 0), size
+        assert total == sum(by_str.values())
+
+    def test_separate_tracking(self):
+        sc = SequenceCollection(sequence_list=self.SEQS, strands_to_load="both")
+        km = Kmers.from_strand(sc, min_kmer_len=3, max_kmer_len=3,
+                               source_strand="both", track_strands_separately=True)
+        km.sort()
+        n_fwd = sum(len(s) - 2 for _, s in self.SEQS)
+        pairs = Counter(
+            (s, "-" if p >= km._revcomp_offset() else "+") for s, p in self._oracle(3)
+        )
+        counts, total = km.get_kmer_group_counts(3, max_counts_bin=20)
+        exp_hist = Counter(pairs.values())
+        for size in range(1, 21):
+            assert counts[size] == exp_hist.get(size, 0), size
+        assert total == 2 * n_fwd

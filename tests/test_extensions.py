@@ -298,3 +298,92 @@ def test_to_csv_bulk_matches_slow_path(tmp_path):
     assert km.get_kmer_str(int(num), 4) == kmer
     assert strand == "+"
     assert dict(seq_list)[chrom][int(start):int(start)+4] == kmer
+
+
+class TestInitFiltersAndDoublePass:
+    """Init-time kmer_filters + method="double_pass" implemented for real
+    via Kmers.from_strand (the reference declares both but raises,
+    reference kmers.py:775-781)."""
+
+    SEQS = [("a", "ACGTNNACGGCCTTAGGC"), ("b", "GGGCCCAATTNACG")]
+
+    def _sc(self):
+        return SequenceCollection(sequence_list=self.SEQS, strands_to_load="forward")
+
+    def test_library_filter_prunes_index(self):
+        from genome_kmers_tpu.ops.filters import NoAmbiguousBasesFilter
+
+        sc = self._sc()
+        km = Kmers.from_strand(sc, min_kmer_len=3, max_kmer_len=3,
+                               kmer_filters=[NoAmbiguousBasesFilter(3)])
+        # oracle: positions whose 3-mer is ACGT-only
+        exp = []
+        pos = 0
+        for _, s in self.SEQS:
+            for j in range(len(s) - 2):
+                if set(s[j : j + 3]) <= set("ACGT"):
+                    exp.append(pos + j)
+            pos += len(s) + 1
+        assert km.kmer_sba_start_indices.tolist() == exp
+        # statistics equal query-time filtering of the unfiltered index
+        km.sort()
+        km_u = Kmers(self._sc(), min_kmer_len=3, max_kmer_len=3)
+        km_u.sort()
+        assert km.get_kmer_count(3) == km_u.get_kmer_count(
+            3, kmer_filter_func=NoAmbiguousBasesFilter(3)
+        )
+
+    def test_double_pass_equals_single_pass(self):
+        from genome_kmers_tpu.ops.filters import GcContentFilter
+
+        for filters in ([], [GcContentFilter(0.4, 1.0, 3)]):
+            km_s = Kmers.from_strand(self._sc(), min_kmer_len=3, max_kmer_len=3,
+                                     method="single_pass", kmer_filters=filters)
+            km_d = Kmers.from_strand(self._sc(), min_kmer_len=3, max_kmer_len=3,
+                                     method="double_pass", kmer_filters=filters)
+            np.testing.assert_array_equal(
+                km_s.kmer_sba_start_indices, km_d.kmer_sba_start_indices
+            )
+
+    def test_multiple_filters_and_callable(self):
+        from genome_kmers_tpu.ops.filters import NoAmbiguousBasesFilter
+
+        def no_leading_g(sba, sba_strand, idx):
+            return sba[idx] != ord("G")
+
+        km = Kmers.from_strand(
+            self._sc(), min_kmer_len=3, max_kmer_len=3,
+            kmer_filters=[NoAmbiguousBasesFilter(3), no_leading_g],
+        )
+        exp = []
+        pos = 0
+        for _, s in self.SEQS:
+            for j in range(len(s) - 2):
+                if set(s[j : j + 3]) <= set("ACGT") and s[j] != "G":
+                    exp.append(pos + j)
+            pos += len(s) + 1
+        assert km.kmer_sba_start_indices.tolist() == exp
+
+    def test_both_strand_init_filters(self):
+        def fwd_coords_only(sba, sba_strand, idx):
+            # per-strand dispatch: idx must be strand-local
+            assert 0 <= idx < len(sba) and sba[idx] != ord("$")
+            return sba_strand == "forward"
+
+        sc = SequenceCollection(
+            sequence_list=[("a", "ACGTACGT")], strands_to_load="both"
+        )
+        km = Kmers.from_strand(sc, min_kmer_len=3, max_kmer_len=3,
+                               source_strand="both",
+                               kmer_filters=[fwd_coords_only])
+        assert km.kmer_sba_start_indices.tolist() == list(range(6))
+
+    def test_parity_errors_preserved(self):
+        sc = self._sc()
+        with pytest.raises(NotImplementedError, match="double_pass"):
+            Kmers(sc, min_kmer_len=3, method="double_pass")
+        km = Kmers(sc, min_kmer_len=3, max_kmer_len=3)
+        with pytest.raises(NotImplementedError, match="kmer_filters"):
+            km._initialize(kmer_filters=[lambda *a: True])
+        with pytest.raises(ValueError, match="not recognized"):
+            Kmers(sc, min_kmer_len=3, method="triple_pass")
