@@ -459,3 +459,50 @@ def kmer_has_required_len(sba, sba_start_idx, min_kmer_len) -> bool:
         if idx >= len(sba) or sba[idx] == _DOLLAR:
             return False
     return True
+
+
+class VectorizedFilter(KmerFilter):
+    """EXTENSION: the fast path for CUSTOM filters.
+
+    The reference's only custom-filter contract is a scalar callable
+    ``(sba, sba_strand, kmer_sba_start_idx) -> bool`` (reference
+    kmers.py:586), which this engine can honor only with a per-position
+    host loop — unusable at 16M+ positions. Wrapping the same decision as
+    ONE array op instead routes it through the vectorized engine (and the
+    mesh paths) like the library filters:
+
+        f = VectorizedFilter(
+            lambda sba, positions, valid_len:
+                jnp.take(sba, positions.astype(jnp.int32)) == ord("A")
+        )
+        km.get_kmer_count(k, kmer_filter_func=f)
+
+    ``mask_fn(sba, positions, valid_len) -> bool[n]`` receives device
+    arrays (uint8 SBA bytes, uint32 k-mer start positions, uint32 bases to
+    segment end) and must return a boolean mask, built from jax.numpy ops
+    so it fuses into the surrounding pipeline. An optional ``check_fn(ctx)``
+    may raise host-side errors first (the check/mask split the mesh path
+    relies on); an optional ``scalar_fn`` with the reference signature
+    keeps per-k-mer ``__call__`` parity, otherwise ``__call__`` evaluates
+    the mask at a single position.
+    """
+
+    def __init__(self, mask_fn, scalar_fn=None, check_fn=None):
+        self._mask_fn = mask_fn
+        self._scalar_fn = scalar_fn
+        self._check_fn = check_fn
+
+    def __call__(self, sba, sba_strand, kmer_sba_start_idx) -> bool:
+        if self._scalar_fn is not None:
+            return bool(self._scalar_fn(sba, sba_strand, kmer_sba_start_idx))
+        sba_np = np.asarray(sba)
+        pos = np.asarray([kmer_sba_start_idx], dtype=np.uint32)
+        vl = np.asarray([_scalar_valid_len(sba_np, kmer_sba_start_idx)], dtype=np.uint32)
+        return bool(np.asarray(self._mask_fn(jnp.asarray(sba_np), jnp.asarray(pos), jnp.asarray(vl)))[0])
+
+    def check_batch(self, ctx: FilterContext) -> None:
+        if self._check_fn is not None:
+            self._check_fn(ctx)
+
+    def mask_pure(self, ctx: FilterContext):
+        return self._mask_fn(ctx.sba, ctx.positions, ctx.valid_len)

@@ -327,3 +327,102 @@ def test_custom_callable_filter_fallback():
         1 for i in range(len(km)) if km.get_kmer_str(i, 3).startswith("A")
     )
     assert len(got) == n_a
+
+
+class TestVectorizedFilter:
+    """EXTENSION: VectorizedFilter routes a custom mask through the
+    vectorized engine (and the mesh path) instead of the scalar host loop."""
+
+    def _km(self):
+        from genome_kmers_tpu import Kmers, SequenceCollection
+
+        sc = SequenceCollection(
+            sequence_list=[("a", "ACGTAAGGCCATTA"), ("b", "GGATCCAAGTT")],
+            strands_to_load="forward",
+        )
+        km = Kmers(sc, min_kmer_len=3, max_kmer_len=3)
+        km.sort()
+        return km
+
+    def test_matches_scalar_equivalent(self):
+        import jax.numpy as jnp
+        from genome_kmers_tpu.ops.filters import VectorizedFilter
+
+        km = self._km()
+
+        def scalar_first_a(sba, sba_strand, idx):
+            return sba[idx] == ord("A")
+
+        vec = VectorizedFilter(
+            lambda sba, pos, vl: jnp.take(sba, pos.astype(jnp.int32)) == ord("A")
+        )
+        assert km.get_kmer_count(3, kmer_filter_func=vec) == km.get_kmer_count(
+            3, kmer_filter_func=scalar_first_a
+        )
+        c1, t1 = km.get_kmer_group_counts(3, kmer_filter_func=vec)
+        c2, t2 = km.get_kmer_group_counts(3, kmer_filter_func=scalar_first_a)
+        assert t1 == t2 and np.array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_scalar_call_and_scalar_fn(self):
+        import jax.numpy as jnp
+        from genome_kmers_tpu.ops.filters import VectorizedFilter
+
+        km = self._km()
+        sba = km.seq_coll.forward_sba
+        vec = VectorizedFilter(
+            lambda s, pos, vl: jnp.take(s, pos.astype(jnp.int32)) == ord("A")
+        )
+        assert vec(sba, "forward", 0) is True   # 'A'
+        assert vec(sba, "forward", 1) is False  # 'C'
+        vec2 = VectorizedFilter(
+            lambda s, pos, vl: jnp.zeros(pos.shape[0], dtype=bool),
+            scalar_fn=lambda s, st, i: True,
+        )
+        assert vec2(sba, "forward", 0) is True  # scalar_fn wins for __call__
+
+    def test_check_fn_raises(self):
+        import jax.numpy as jnp
+        from genome_kmers_tpu.ops.filters import VectorizedFilter
+
+        km = self._km()
+
+        def boom(ctx):
+            raise ValueError("custom check failed")
+
+        vec = VectorizedFilter(
+            lambda s, pos, vl: jnp.ones(pos.shape[0], dtype=bool), check_fn=boom
+        )
+        with pytest.raises(ValueError, match="custom check failed"):
+            km.get_kmer_count(3, kmer_filter_func=vec)
+
+    def test_mesh_path(self):
+        import jax.numpy as jnp
+        from genome_kmers_tpu.ops.filters import VectorizedFilter
+        from genome_kmers_tpu.parallel import make_mesh
+
+        km = self._km()
+        vec = VectorizedFilter(
+            lambda s, pos, vl: jnp.take(s, pos.astype(jnp.int32)) == ord("A")
+        )
+        mesh = make_mesh(8)
+        c0, t0 = km.get_kmer_group_counts(3, kmer_filter_func=vec)
+        km.sort(mesh=mesh)  # retained layout path
+        c1, t1 = km.get_kmer_group_counts(3, kmer_filter_func=vec, mesh=mesh)
+        assert t1 == t0 and np.array_equal(np.asarray(c1), np.asarray(c0))
+
+    def test_init_time_use(self):
+        import jax.numpy as jnp
+        from genome_kmers_tpu import Kmers, SequenceCollection
+        from genome_kmers_tpu.ops.filters import VectorizedFilter
+
+        sc = SequenceCollection(
+            sequence_list=[("a", "ACGTAAGGCCATTA")], strands_to_load="forward"
+        )
+        vec = VectorizedFilter(
+            lambda s, pos, vl: jnp.take(s, pos.astype(jnp.int32)) == ord("A")
+        )
+        km = Kmers.from_strand(sc, min_kmer_len=3, max_kmer_len=3,
+                               kmer_filters=[vec])
+        seq = "ACGTAAGGCCATTA"
+        exp = [j for j in range(len(seq) - 2) if seq[j] == "A"]
+        assert km.kmer_sba_start_indices.tolist() == exp
