@@ -27,12 +27,14 @@ from .kmers import (
     kmer_has_required_len,
     kmer_info_by_group_generator,
 )
+from .large_kmers import LargeKmers
 from .sequence_collection import SequenceCollection
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Kmers",
+    "LargeKmers",
     "SequenceCollection",
     "compare_sba_kmers_always_less_than",
     "compare_sba_kmers_lexicographically",

@@ -542,10 +542,9 @@ class Kmers:
         num_kmers = self._get_unfiltered_kmer_count()
         if num_kmers > 2**32 - 1:
             # Parity: the reference's hard ceiling (reference kmers.py:805-808).
-            # Beyond it, use the 64-bit distributed regime directly:
-            # parallel.sample_sort_positions_large{,_ragged} +
-            # parallel.distributed_group_size_histogram_large_ragged over
-            # strided packs (ops/large.py) — exact past 2^32 coordinates.
+            # Beyond it, use the 64-bit regime: genome_kmers_tpu.LargeKmers
+            # (strided packs + (hi, lo) position pairs, exact past 2^32
+            # coordinates; ops/large.py + parallel/large.py underneath).
             msg = "the size of the required kmers array exceeds the limit set by a uint32"
             raise NotImplementedError(msg)
 

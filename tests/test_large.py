@@ -252,3 +252,105 @@ class TestPast2p32:
         )
         np.testing.assert_array_equal(counts, want_counts)
         assert total == want_total
+
+
+class TestLargeKmersFacade:
+    """LargeKmers: the 64-bit regime behind the familiar class surface.
+    Small-genome runs must agree exactly with the uint32 Kmers engine."""
+
+    SEQS = [("a", "ACGTACGTACGGTTAC"), ("b", "GGCCAATTACGTAC")]
+
+    def test_matches_kmers_engine(self):
+        from genome_kmers_tpu import Kmers, LargeKmers, SequenceCollection
+
+        sc = SequenceCollection(sequence_list=self.SEQS, strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=4, max_kmer_len=4)
+        km.sort()
+        want_counts, want_total = km.get_kmer_group_counts(4, max_counts_bin=20)
+
+        lk = LargeKmers.from_records(self.SEQS, 4, 4)
+        assert lk.two_bit and len(lk) == len(km)
+        mesh = make_mesh(4)
+        lk.sort(mesh)
+        np.testing.assert_array_equal(
+            lk.sorted_positions(),
+            km.kmer_sba_start_indices.astype(np.uint64),
+        )
+        counts, total = lk.get_kmer_group_counts(4, max_counts_bin=20)
+        np.testing.assert_array_equal(
+            np.asarray(counts)[:21].astype(np.int64), np.asarray(want_counts)[:21]
+        )
+        assert total == want_total
+        assert lk.get_kmer_count(4) == want_total
+        # shorter-kmer refinement + group-size filters
+        c2, t2 = km.get_kmer_group_counts(3, min_group_size=2, max_counts_bin=20)
+        c3, t3 = lk.get_kmer_group_counts(3, min_group_size=2, max_counts_bin=20)
+        np.testing.assert_array_equal(np.asarray(c3)[:21].astype(np.int64), np.asarray(c2)[:21])
+        assert t3 == t2
+
+    def test_four_bit_autodetect(self):
+        from genome_kmers_tpu import Kmers, LargeKmers, SequenceCollection
+
+        seqs = [("n1", "ACGTNNACGTAC"), ("n2", "GGNNCCATACGG")]
+        lk = LargeKmers.from_records(seqs, 3, 3)
+        assert not lk.two_bit
+        sc = SequenceCollection(sequence_list=seqs, strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=3, max_kmer_len=3)
+        km.sort()
+        mesh = make_mesh(2)
+        lk.sort(mesh)
+        np.testing.assert_array_equal(
+            lk.sorted_positions(), km.kmer_sba_start_indices.astype(np.uint64)
+        )
+        c1, t1 = lk.get_kmer_group_counts(3, max_counts_bin=20)
+        c2, t2 = km.get_kmer_group_counts(3, max_counts_bin=20)
+        np.testing.assert_array_equal(np.asarray(c1)[:21].astype(np.int64), np.asarray(c2)[:21])
+        assert t1 == t2
+
+    def test_both_strands_matches_from_strand(self):
+        from genome_kmers_tpu import Kmers, LargeKmers, SequenceCollection
+
+        sc = SequenceCollection(sequence_list=self.SEQS, strands_to_load="both")
+        km = Kmers.from_strand(sc, min_kmer_len=4, max_kmer_len=4,
+                               source_strand="both")
+        km.sort()
+        want_counts, want_total = km.get_kmer_group_counts(4, max_counts_bin=20)
+
+        lk = LargeKmers.from_records(self.SEQS, 4, 4, both_strands=True)
+        assert len(lk) == len(km)
+        mesh = make_mesh(2)
+        lk.sort(mesh)
+        np.testing.assert_array_equal(
+            lk.sorted_positions(), km.kmer_sba_start_indices.astype(np.uint64)
+        )
+        counts, total = lk.get_kmer_group_counts(4, max_counts_bin=20)
+        np.testing.assert_array_equal(
+            np.asarray(counts)[:21].astype(np.int64), np.asarray(want_counts)[:21]
+        )
+        assert total == want_total
+
+    def test_from_sequence_collection(self):
+        from genome_kmers_tpu import LargeKmers, SequenceCollection
+
+        sc = SequenceCollection(sequence_list=self.SEQS, strands_to_load="forward")
+        lk = LargeKmers.from_sequence_collection(sc, 4, 4)
+        lk2 = LargeKmers.from_records(self.SEQS, 4, 4)
+        np.testing.assert_array_equal(lk.packed_words, lk2.packed_words)
+        np.testing.assert_array_equal(lk.seg_starts, lk2.seg_starts)
+
+    def test_errors(self):
+        from genome_kmers_tpu import LargeKmers
+
+        with pytest.raises(NotImplementedError, match="bounded"):
+            LargeKmers.from_records(self.SEQS, 4, None, two_bit=True)
+        with pytest.raises(NotImplementedError, match="bounded"):
+            LargeKmers.from_records(self.SEQS, 4, 65, two_bit=True)
+        with pytest.raises(ValueError, match="min_kmer_len"):
+            LargeKmers.from_records(self.SEQS, 0, 4, two_bit=True)
+        with pytest.raises(ValueError, match="empty"):
+            LargeKmers.from_records([("a", "")], 1, 4, two_bit=True)
+        lk = LargeKmers.from_records(self.SEQS, 4, 4)
+        with pytest.raises(ValueError, match="sorted"):
+            lk.sorted_positions()
+        with pytest.raises(AssertionError, match="sorted"):
+            lk.get_kmer_group_counts(4)
