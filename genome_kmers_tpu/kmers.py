@@ -467,10 +467,14 @@ class Kmers:
         min_seq_len = None
         num_records = 0
         # "both": record lengths are strand-symmetric, so validate on the
-        # forward segments (iter_records needs an explicit strand then);
-        # the strand-match check moves ahead of the iteration so a
-        # mismatched collection fails with the reference's message
-        if source_strand == "both" and seq_coll.strands_loaded() != "both":
+        # forward segments (iter_records needs an explicit strand then).
+        # For extension construction the strand-match check moves ahead of
+        # the iteration so ANY mismatched collection fails with the
+        # reference's message instead of iter_records' internal error; the
+        # plain constructor keeps the reference's exact error order.
+        if (source_strand == "both" or init_extension) and (
+            seq_coll.strands_loaded() != source_strand
+        ):
             raise ValueError(
                 f"source_strand ({source_strand}) does not match sequence_collection loaded strand ({seq_coll.strands_loaded()})"
             )
@@ -581,11 +585,14 @@ class Kmers:
 
         chunks = []
         total = 0
+        scan_cache = {}
         for s, e in self._iter_segments():
             pos = np.arange(s, e - self.min_kmer_len + 2, dtype=np.uint32)
             if kmer_filters:
                 valid_len = (np.int64(e) - pos.astype(np.int64) + 1).astype(np.uint32)
-                mask = self._init_filter_mask(pos, kmer_filters, valid_len=valid_len)
+                mask = self._init_filter_mask(
+                    pos, kmer_filters, valid_len=valid_len, scan_cache=scan_cache
+                )
                 count = int(mask.sum())
             else:
                 mask = None
@@ -605,13 +612,43 @@ class Kmers:
             raise AssertionError("logic error filling kmer_sba_start_indices")
         self.kmer_sba_start_indices = out
 
+    def _callable_mask(self, f: Callable, positions) -> np.ndarray:
+        """Host bool mask from an arbitrary reference-signature callable
+        (the documented slow path). In both mode each position is presented
+        in ITS strand's own SBA coordinates, preserving the reference's
+        single-strand filter contract."""
+        n = len(positions)
+        if self.kmer_source_strand == "both":
+            off = self._revcomp_offset()
+            fwd, rc = self.seq_coll.forward_sba, self.seq_coll.revcomp_sba
+            return np.fromiter(
+                (
+                    bool(
+                        f(fwd, "forward", int(p))
+                        if int(p) < off
+                        else f(rc, "reverse_complement", int(p) - off)
+                    )
+                    for p in positions
+                ),
+                dtype=bool,
+                count=n,
+            )
+        sba = self._host_sba()
+        strand = self._strand_to_use()
+        return np.fromiter(
+            (bool(f(sba, strand, int(p))) for p in positions),
+            dtype=bool,
+            count=n,
+        )
+
     def _init_filter_mask(
-        self, positions: np.ndarray, kmer_filters, valid_len=None
+        self, positions: np.ndarray, kmer_filters, valid_len=None, scan_cache=None
     ) -> np.ndarray:
         """AND of every init-time filter over the given positions (host bool
-        mask). Library filters run as one vectorized device mask; arbitrary
-        reference-signature callables take the host loop (per-strand
-        dispatch in both mode, like ``_survivors``)."""
+        mask). Library filters share ONE FilterContext (so the genome-wide
+        scans compute once per call, and — via ``scan_cache`` — once across
+        double_pass's per-record chunks); arbitrary reference-signature
+        callables take the host loop (``_callable_mask``)."""
         import jax.numpy as jnp
 
         sba = self._host_sba()
@@ -626,36 +663,21 @@ class Kmers:
             valid_len = (seg_e - positions.astype(np.int64) + 1).astype(np.uint32)
 
         mask = np.ones(len(positions), dtype=bool)
-        pos_dev = vl_dev = None
+        ctx = None
+        _CACHED = ("_sba_dev", "_gc_cumsum", "_run_len", "_next_amb")
         for f in kmer_filters:
             if isinstance(f, KmerFilter):
-                if pos_dev is None:
-                    pos_dev = jnp.asarray(positions)
-                    vl_dev = jnp.asarray(valid_len)
-                ctx = FilterContext(sba, pos_dev, vl_dev)
+                if ctx is None:
+                    ctx = FilterContext(sba, jnp.asarray(positions), jnp.asarray(valid_len))
+                    if scan_cache:
+                        for field in _CACHED:
+                            setattr(ctx, field, scan_cache.get(field))
                 mask &= np.asarray(f.batch_mask(ctx))
-            elif self.kmer_source_strand == "both":
-                off = self._revcomp_offset()
-                fwd, rc = self.seq_coll.forward_sba, self.seq_coll.revcomp_sba
-                mask &= np.fromiter(
-                    (
-                        bool(
-                            f(fwd, "forward", int(p))
-                            if int(p) < off
-                            else f(rc, "reverse_complement", int(p) - off)
-                        )
-                        for p in positions
-                    ),
-                    dtype=bool,
-                    count=len(positions),
-                )
             else:
-                strand = self._strand_to_use()
-                mask &= np.fromiter(
-                    (bool(f(sba, strand, int(p))) for p in positions),
-                    dtype=bool,
-                    count=len(positions),
-                )
+                mask &= self._callable_mask(f, positions)
+        if ctx is not None and scan_cache is not None:
+            for field in _CACHED:
+                scan_cache[field] = getattr(ctx, field)
         return mask
 
     def _build_positions_host(self) -> np.ndarray:
@@ -874,7 +896,6 @@ class Kmers:
 
         dc = self._dc()
         positions = self._device_positions()
-        n = positions.shape[0]
         valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
 
         if isinstance(kmer_filter_func, KeepAllFilter):
@@ -883,33 +904,8 @@ class Kmers:
         if isinstance(kmer_filter_func, KmerFilter):
             ctx = FilterContext(self._host_sba(), positions, valid_len, sba_dev=dc.sba)
             mask = np.asarray(kmer_filter_func.batch_mask(ctx))
-        elif self.kmer_source_strand == "both":
-            # user callables keep the reference's single-strand contract:
-            # each position is presented in ITS strand's own SBA coordinates
-            off = self._revcomp_offset()
-            fwd, rc = self.seq_coll.forward_sba, self.seq_coll.revcomp_sba
-            mask = np.fromiter(
-                (
-                    bool(
-                        kmer_filter_func(fwd, "forward", int(p))
-                        if int(p) < off
-                        else kmer_filter_func(rc, "reverse_complement", int(p) - off)
-                    )
-                    for p in self.kmer_sba_start_indices
-                ),
-                dtype=bool,
-                count=n,
-            )
         else:
-            sba = self._host_sba()
-            mask = np.fromiter(
-                (
-                    bool(kmer_filter_func(sba, self._strand_to_use(), int(p)))
-                    for p in self.kmer_sba_start_indices
-                ),
-                dtype=bool,
-                count=n,
-            )
+            mask = self._callable_mask(kmer_filter_func, self.kmer_sba_start_indices)
         surv_nums = np.flatnonzero(mask)
         idx_dev = jnp.asarray(surv_nums.astype(np.int32))
         return surv_nums, jnp.take(positions, idx_dev), jnp.take(valid_len, idx_dev)

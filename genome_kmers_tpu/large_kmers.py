@@ -107,16 +107,21 @@ class LargeKmers:
         ``records`` must be re-iterable (a list); pass an explicit bool to
         stream a one-shot iterator.
         """
-        if two_bit is None:
+        if two_bit is None or both_strands:
             records = list(records)
+        if two_bit is None:
             two_bit = all(
                 _is_acgt_only(s.encode() if isinstance(s, str) else bytes(s))
                 for _, s in records
             )
 
-        bases_per_word = 16 if two_bit else 8
         pack = pack_rank2_strided_np if two_bit else pack_rank_strided_np
         comp = bytes.maketrans(b"ACGTRYSWKMBDHVN$", b"TGCAYRSWMKVHDBN$")
+        # the pack tables map any disallowed byte to rank 0 — the Kmers path
+        # rejects such bytes in SequenceCollection validation, so the same
+        # gate must run here or lowercase/soft-masked input silently
+        # corrupts the sort (uppercase IUPAC only; ACGT only on 2-bit)
+        allowed = _ACGT if two_bit else frozenset(b"ACGTRYSWKMBDHVN")
 
         def byte_stream():
             first = True
@@ -125,21 +130,24 @@ class LargeKmers:
                 yield name, sb, first
                 first = False
             if both_strands:
-                for name, seq in reversed(list(records)):
+                for name, seq in reversed(records):
                     sb = seq.encode() if isinstance(seq, str) else bytes(seq)
                     yield name, sb.translate(comp)[::-1], False
 
-        if both_strands:
-            records = list(records)
-
         word_chunks = []
         buf = bytearray()
-        packed_bases = 0
         starts, ends, names = [], [], []
         offset = 0
         for name, sb, first in byte_stream():
             if len(sb) == 0:
                 raise ValueError(f"record ({name}) has an empty sequence")
+            bad = set(sb) - allowed
+            if bad:
+                raise ValueError(
+                    f"record ({name}) contains disallowed characters "
+                    f"{sorted(chr(b) for b in bad)} "
+                    f"({'ACGT only on the 2-bit pack' if two_bit else 'uppercase IUPAC only'})"
+                )
             if not first:
                 buf += b"$"
                 offset += 1
@@ -152,7 +160,6 @@ class LargeKmers:
                 chunk = np.frombuffer(bytes(buf[:_CHUNK]), dtype=np.uint8)
                 word_chunks.append(pack(chunk, extra_words=0))
                 del buf[:_CHUNK]
-                packed_bases += _CHUNK
         if buf:
             chunk = np.frombuffer(bytes(buf), dtype=np.uint8)
             word_chunks.append(pack(chunk, extra_words=0))

@@ -338,6 +338,21 @@ class TestLargeKmersFacade:
         np.testing.assert_array_equal(lk.packed_words, lk2.packed_words)
         np.testing.assert_array_equal(lk.seg_starts, lk2.seg_starts)
 
+    def test_alphabet_validation(self):
+        """Invalid bytes must raise, never silently pack as rank 0 (the
+        Kmers path rejects them in SequenceCollection validation)."""
+        from genome_kmers_tpu import LargeKmers
+
+        with pytest.raises(ValueError, match="disallowed characters"):
+            LargeKmers.from_records([("a", "acgtacgt")], 3, 3)  # soft-masked
+        with pytest.raises(ValueError, match="disallowed characters"):
+            LargeKmers.from_records([("a", "ACGTNACGT")], 3, 3, two_bit=True)
+        with pytest.raises(ValueError, match="disallowed characters"):
+            LargeKmers.from_records([("a", "ACGT$ACGT")], 3, 3, two_bit=True)
+        # N autodetects onto the 4-bit pack and works
+        lk = LargeKmers.from_records([("a", "ACGTNACGT")], 3, 3)
+        assert not lk.two_bit
+
     def test_errors(self):
         from genome_kmers_tpu import LargeKmers
 

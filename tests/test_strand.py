@@ -119,3 +119,13 @@ class TestReverseComplementStrand:
         )
         with pytest.raises(ValueError, match="does not match"):
             Kmers.from_strand(sc_f, source_strand="reverse_complement")
+        # a both-loaded collection must also fail with the reference's
+        # mismatch message for single-strand from_strand requests (not
+        # iter_records' internal sba_strand error)
+        sc_b = SequenceCollection(
+            sequence_list=[("a", "ACGTACGT")], strands_to_load="both"
+        )
+        with pytest.raises(ValueError, match="does not match"):
+            Kmers.from_strand(sc_b, source_strand="reverse_complement")
+        with pytest.raises(ValueError, match="does not match"):
+            Kmers.from_strand(sc_b, source_strand="forward")
