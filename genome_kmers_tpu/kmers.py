@@ -459,6 +459,7 @@ class Kmers:
         self._pos_dev = None
         self._init_geometry = None
         self._dist_cache = None
+        self._lanes_cache = None
 
         if seq_coll is None:
             return
@@ -772,6 +773,7 @@ class Kmers:
         self._pos_dev = None
         self._init_geometry = None
         self._dist_cache = None
+        self._lanes_cache = None
 
     def __len__(self):
         if self._pos_host is not None:
@@ -927,14 +929,29 @@ class Kmers:
             return surv_nums, surv_pos, jnp.zeros(0, dtype=bool)
 
         if self._is_sorted:
-            cap = cap_lengths(surv_vl, kmer_len)
-            use2 = kmer_len is not None and kmer_len <= 64
-            packed2 = dc.packed2 if use2 else None
-            packed = dc.packed if packed2 is None else None
-            uniform = kmer_len is not None and self.min_kmer_len >= kmer_len
-            boundary = adjacent_boundaries(
-                packed, surv_pos, cap, kmer_len, packed2=packed2, uniform_cap=uniform
-            )
+            lanes = getattr(self, "_lanes_cache", None)
+            if (
+                surv_nums is None
+                and lanes is not None
+                and kmer_len is not None
+                and kmer_len <= lanes["built_k"]
+            ):
+                # retained sorted key lanes: boundary = adjacent compare,
+                # no genome gathers (ops/sort.boundaries_from_sorted_lanes)
+                from .ops.sort import boundaries_from_sorted_lanes
+
+                boundary = boundaries_from_sorted_lanes(
+                    lanes["words"], lanes["cap"], kmer_len, lanes["two_bit"]
+                )
+            else:
+                cap = cap_lengths(surv_vl, kmer_len)
+                use2 = kmer_len is not None and kmer_len <= 64
+                packed2 = dc.packed2 if use2 else None
+                packed = dc.packed if packed2 is None else None
+                uniform = kmer_len is not None and self.min_kmer_len >= kmer_len
+                boundary = adjacent_boundaries(
+                    packed, surv_pos, cap, kmer_len, packed2=packed2, uniform_cap=uniform
+                )
             if self.track_strands_separately:
                 # strand joins group identity. Within an equal-string run the
                 # position tie-break orders every "+" entry (index < offset)
@@ -1720,6 +1737,7 @@ class Kmers:
         from .ops.keys import cap_lengths, compute_valid_len
         from .ops.sort import sort_positions
 
+        self._lanes_cache = None  # every branch below re-establishes or clears
         dc = self._dc()
         positions = self._device_positions()
         valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
@@ -1758,6 +1776,7 @@ class Kmers:
                 self._pos_dev = None
                 self._pos_host = None
                 self._init_geometry = None
+                self._lanes_cache = None
                 self._is_sorted = True
                 return
             from .parallel import sample_sort_positions_unbounded
@@ -1779,9 +1798,14 @@ class Kmers:
             # on v5e: its partition step costs more than the key-lane savings
             # (docs/development.md). It remains available for callers on
             # hardware where the trade-off differs.
-            sorted_pos = sort_positions(
+            # The sorted key lanes are retained (bounded k only): boundary
+            # masks for any kmer_len <= max_kmer_len then need no genome
+            # gathers (ops/sort.boundaries_from_sorted_lanes) — measured
+            # ~65% of the stats cost. Costs n_words extra uint32 arrays of
+            # HBM while the index lives.
+            sorted_pos, self._lanes_cache = sort_positions(
                 packed, positions, cap, self.max_kmer_len, packed2=packed2,
-                uniform_cap=uniform,
+                uniform_cap=uniform, return_lanes=True,
             )
         # keep the result device-resident; the host view materializes lazily
         # (an eager transfer would cost a full index round-trip per sort)

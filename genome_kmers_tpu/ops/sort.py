@@ -80,8 +80,11 @@ def _sort_one_window2(packed2, positions, cap_len, n_words, uniform_cap=False):
     else:
         cap_key = jnp.where(pad, ones, cap_len)
         ops = words + (cap_key, positions)
-    res = jax.lax.sort(ops, num_keys=len(ops))
-    return res[-1]
+    # the full sorted lane tuple is returned (not just positions): callers
+    # may retain the sorted key lanes so group-boundary masks become pure
+    # adjacent compares with no genome gathers (measured: the boundary
+    # re-gather is ~65% of the stats cost at 2^24 rows on v5e)
+    return jax.lax.sort(ops, num_keys=len(ops))
 
 
 @partial(jax.jit, static_argnames=("n_words",))
@@ -92,8 +95,7 @@ def _sort_one_window(packed, positions, cap_len, is_pad, n_words):
     padding sorts after every real row.
     """
     words = build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
-    res = jax.lax.sort((is_pad,) + words + (positions,), num_keys=n_words + 2)
-    return res[-1]
+    return jax.lax.sort((is_pad,) + words + (positions,), num_keys=n_words + 2)
 
 
 def _adjacent_eq(words: tuple[jax.Array, ...], base_eq: jax.Array) -> jax.Array:
@@ -140,8 +142,9 @@ def _sort_round(packed, positions, cap_len, group_id, offset, n_words, first):
 
 
 def sort_positions(
-    packed, positions, cap_len, max_kmer_len, packed2=None, uniform_cap=False
-) -> jax.Array:
+    packed, positions, cap_len, max_kmer_len, packed2=None, uniform_cap=False,
+    return_lanes=False,
+):
     """Sort k-mer start positions lexicographically by their (capped) suffix.
 
     Args:
@@ -152,9 +155,13 @@ def sort_positions(
         packed2: optional 2-bit packed words (keys.pack_rank2_words) — the
             ACGT-only fast path with half the key lanes; caller must ensure
             the SBA alphabet is a subset of {A,C,G,T,$}
+        return_lanes: also return the SORTED key lanes (see
+            ``boundaries_from_sorted_lanes``), or None on the iterative-
+            refinement path where no single-window lanes exist.
 
     Returns:
-        uint32 sorted positions (ties broken by position — deterministic).
+        uint32 sorted positions (ties broken by position — deterministic);
+        with ``return_lanes``, a ``(positions, lanes_dict_or_None)`` pair.
 
     Inputs are shape-bucketed to the next power of two so nearby sizes share
     one compiled executable; padded rows carry an is_pad leading key and are
@@ -162,22 +169,41 @@ def sort_positions(
     """
     n = positions.shape[0]
     if n <= 1:
-        return positions
+        return (positions, None) if return_lanes else positions
     n_pad = _bucket(n)
     positions = _pad_to(positions, n_pad, _PAD_POS)
     cap_len = _pad_to(cap_len, n_pad, jnp.uint32(0))
 
     if packed2 is not None and max_kmer_len is not None and max_kmer_len <= 64:
-        out = _sort_one_window2(
-            packed2, positions, cap_len, _cdiv(max_kmer_len, 16), uniform_cap
-        )
-        return out[:n]
+        n_words = _cdiv(max_kmer_len, 16)
+        res = _sort_one_window2(packed2, positions, cap_len, n_words, uniform_cap)
+        out = res[-1][:n]
+        if not return_lanes:
+            return out
+        # pads sort strictly last, so [:n] keeps exactly the real rows
+        lanes = {
+            "two_bit": True,
+            "built_k": max_kmer_len,
+            "words": tuple(w[:n] for w in res[:n_words]),
+            "cap": None if uniform_cap else res[n_words][:n],
+        }
+        return out, lanes
 
     is_pad = _pad_to(jnp.zeros(n, dtype=jnp.uint32), n_pad, jnp.uint32(1))
 
     if max_kmer_len is not None and max_kmer_len <= WINDOW_BASES:
-        out = _sort_one_window(packed, positions, cap_len, is_pad, _cdiv(max_kmer_len, 8))
-        return out[:n]
+        n_words = _cdiv(max_kmer_len, 8)
+        res = _sort_one_window(packed, positions, cap_len, is_pad, n_words)
+        out = res[-1][:n]
+        if not return_lanes:
+            return out
+        lanes = {
+            "two_bit": False,
+            "built_k": max_kmer_len,
+            "words": tuple(w[:n] for w in res[1 : 1 + n_words]),
+            "cap": None,  # the 4-bit encoding carries termination in-word
+        }
+        return out, lanes
 
     pos, cap, gid, unresolved = _sort_round(
         packed, positions, cap_len, is_pad, jnp.uint32(0), WINDOW_WORDS, True
@@ -188,7 +214,41 @@ def sort_positions(
             packed, pos, cap, gid, jnp.uint32(offset), WINDOW_WORDS, False
         )
         offset += WINDOW_BASES
-    return pos[:n]
+    return (pos[:n], None) if return_lanes else pos[:n]
+
+
+@partial(jax.jit, static_argnames=("kmer_len", "two_bit"))
+def boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit):
+    """Group-boundary mask from RETAINED sorted key lanes — a pure adjacent
+    compare with ZERO genome gathers (measured: rebuilding the words via
+    gathers is ~65% of the stats cost at 2^24 rows on v5e; this path removes
+    it entirely).
+
+    ``words``/``cap`` are the sorted lanes ``sort_positions(...,
+    return_lanes=True)`` produced at some built length K. Any
+    ``kmer_len <= K`` is recoverable: word content beyond each row's cap is
+    already zero, so masking the last needed word to ``kmer_len`` bases and
+    clamping the cap lane to ``min(cap, kmer_len)`` yields exactly the lanes
+    a fresh build at kmer_len would produce. ``cap=None`` = the uniform-cap
+    (or 4-bit, termination-in-word) case with no cap identity lane.
+    """
+    bases_per_word = 16 if two_bit else 8
+    bits = 2 if two_bit else 4
+    n_words = _cdiv(kmer_len, bases_per_word)
+    keep_bits = bits * kmer_len - 32 * (n_words - 1)
+    use = list(words[:n_words])
+    if keep_bits < 32:
+        mask = jnp.uint32((0xFFFFFFFF << (32 - keep_bits)) & 0xFFFFFFFF)
+        use[-1] = use[-1] & mask
+    lanes = tuple(use)
+    if cap is not None:
+        lanes = lanes + (jnp.minimum(cap, jnp.uint32(kmer_len)),)
+    n = words[0].shape[0]
+    eq = jnp.ones(n, dtype=bool)
+    for w in lanes:
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eq = eq & (w == prev)
+    return (~eq).at[0].set(True)
 
 
 @partial(jax.jit, static_argnames=("n_words",))
