@@ -101,12 +101,11 @@ def main():
     # (including the driver's) start in seconds. Verified to hit across
     # processes on axon (second bench process reaches first measurement in
     # seconds, not minutes).
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from genome_kmers_tpu.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
     kmers_per_s = measure(n_bp, k, reps, chain)
 

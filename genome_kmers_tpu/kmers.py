@@ -1219,7 +1219,7 @@ class Kmers:
 
         import jax.numpy as jnp
 
-        from .ops.groups import group_size_histogram, group_sizes_at_boundaries
+        from .ops.groups import group_sizes_at_boundaries, group_total_count
 
         boundary = self._boundary_device(kmer_len, kmer_filter_func)
         if boundary.shape[0] == 0:
@@ -1228,9 +1228,7 @@ class Kmers:
         max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
             _UINT32_SENTINEL
         )
-        _, total = group_size_histogram(
-            boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=1
-        )
+        total = group_total_count(boundary, size, jnp.uint32(min_group_size), max_gs)
         return int(total)
 
     def get_kmer_group_counts(

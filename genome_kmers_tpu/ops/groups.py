@@ -82,6 +82,16 @@ def group_size_histogram(
 
 
 @jax.jit
+def group_total_count(boundary: jax.Array, size: jax.Array, min_group_size, max_group_size):
+    """Total k-mers in qualifying groups — the reduce-only sibling of
+    ``group_size_histogram`` for count queries that never read the
+    histogram (the scatter-add is ~147 ms/16.7M rows on v5e regardless of
+    bin count; a sum is essentially free)."""
+    qualifies = boundary & (size >= min_group_size) & (size <= max_group_size)
+    return jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
+
+
+@jax.jit
 def selection_masks(
     boundary: jax.Array,
     size: jax.Array,

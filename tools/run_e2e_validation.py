@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
+from genome_kmers_tpu.runtime import enable_persistent_compilation_cache  # noqa: E402
+
+enable_persistent_compilation_cache()
+
 SCALES = {"ecoli": (4_600_000, 31), "chr21": (46_000_000, 31)}
 
 

@@ -16,6 +16,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from genome_kmers_tpu import profiling  # noqa: E402
+from genome_kmers_tpu.runtime import enable_persistent_compilation_cache  # noqa: E402
+
+enable_persistent_compilation_cache()
 
 logger = logging.getLogger("run_profiling")
 
