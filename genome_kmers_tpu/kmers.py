@@ -969,6 +969,24 @@ class Kmers:
         _, _, boundary = self._boundary_parts(kmer_len, kmer_filter_func)
         return boundary
 
+    def _lanes_fast(self, kmer_len, kmer_filter_func):
+        """The retained-sorted-lanes dict when the whole stats query can run
+        as one fused program over it (unfiltered, bounded kmer_len within
+        the built length, no strand-split term), else None."""
+        from .ops.filters import KeepAllFilter
+
+        lanes = getattr(self, "_lanes_cache", None)
+        if (
+            self._is_sorted
+            and lanes is not None
+            and not self.track_strands_separately
+            and isinstance(kmer_filter_func, KeepAllFilter)
+            and kmer_len is not None
+            and kmer_len <= lanes["built_k"]
+        ):
+            return lanes
+        return None
+
     def _group_device(self, kmer_len, kmer_filter_func):
         """Survivor selection + full group geometry on device.
 
@@ -1221,13 +1239,23 @@ class Kmers:
 
         from .ops.groups import group_sizes_at_boundaries, group_total_count
 
+        max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
+            _UINT32_SENTINEL
+        )
+        lanes = self._lanes_fast(kmer_len, kmer_filter_func)
+        if lanes is not None:
+            from .ops.groups import lanes_group_total
+
+            total = lanes_group_total(
+                lanes["words"], lanes["cap"], jnp.uint32(min_group_size), max_gs,
+                kmer_len, lanes["two_bit"],
+            )
+            return int(total)
+
         boundary = self._boundary_device(kmer_len, kmer_filter_func)
         if boundary.shape[0] == 0:
             return 0
         size = group_sizes_at_boundaries(boundary)
-        max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
-            _UINT32_SENTINEL
-        )
         total = group_total_count(boundary, size, jnp.uint32(min_group_size), max_gs)
         return int(total)
 
@@ -1269,13 +1297,23 @@ class Kmers:
 
         from .ops.groups import group_size_histogram, group_sizes_at_boundaries
 
+        max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
+            _UINT32_SENTINEL
+        )
+        lanes = self._lanes_fast(kmer_len, kmer_filter_func)
+        if lanes is not None:
+            from .ops.groups import lanes_group_histogram
+
+            counts, total = lanes_group_histogram(
+                lanes["words"], lanes["cap"], jnp.uint32(min_group_size), max_gs,
+                kmer_len, lanes["two_bit"], max_counts_bin,
+            )
+            return np.asarray(counts).astype(np.int64), int(total)
+
         boundary = self._boundary_device(kmer_len, kmer_filter_func)
         if boundary.shape[0] == 0:
             return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
         size = group_sizes_at_boundaries(boundary)
-        max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
-            _UINT32_SENTINEL
-        )
         counts, total = group_size_histogram(
             boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=max_counts_bin
         )

@@ -91,6 +91,33 @@ def group_total_count(boundary: jax.Array, size: jax.Array, min_group_size, max_
     return jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
 
 
+@partial(jax.jit, static_argnames=("kmer_len", "two_bit", "max_counts_bin"))
+def lanes_group_histogram(
+    words, cap, min_group_size, max_group_size, kmer_len, two_bit, max_counts_bin
+):
+    """Boundary -> sizes -> histogram as ONE compiled program over retained
+    sorted key lanes (ops/sort.boundaries_from_sorted_lanes): XLA fuses the
+    stages, so the bool boundary and uint32 size intermediates never round-
+    trip HBM between dispatches."""
+    from .sort import boundaries_from_sorted_lanes
+
+    boundary = boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit)
+    size = group_sizes_at_boundaries(boundary)
+    return group_size_histogram(
+        boundary, size, min_group_size, max_group_size, max_counts_bin
+    )
+
+
+@partial(jax.jit, static_argnames=("kmer_len", "two_bit"))
+def lanes_group_total(words, cap, min_group_size, max_group_size, kmer_len, two_bit):
+    """Reduce-only sibling of ``lanes_group_histogram`` for count queries."""
+    from .sort import boundaries_from_sorted_lanes
+
+    boundary = boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit)
+    size = group_sizes_at_boundaries(boundary)
+    return group_total_count(boundary, size, min_group_size, max_group_size)
+
+
 @jax.jit
 def selection_masks(
     boundary: jax.Array,
