@@ -316,13 +316,20 @@ class _DistIndexCache:
     the globally sorted positions in the ragged per-shard-padded layout
     (``sample_sort_positions_ragged``), so a following mesh statistics or
     query call composes on-device — one sort + one stats pass across the
-    pipeline, no host round trip and no re-sort."""
+    pipeline, no host round trip and no re-sort. ``lanes``/``lanes_two_bit``
+    optionally hold the sorted word lanes + their encoding so statistics
+    skip the per-shard key re-gather (mesh analog of the single-chip
+    retained-lane path)."""
 
-    def __init__(self, mesh, positions, is_pad, n_real: int):
+    def __init__(self, mesh, positions, is_pad, n_real: int,
+                 lanes=None, lanes_two_bit=None, built_k=None):
         self.mesh = mesh
         self.positions = positions
         self.is_pad = is_pad
         self.n_real = n_real
+        self.lanes = lanes
+        self.lanes_two_bit = lanes_two_bit
+        self.built_k = built_k
 
 
 class Kmers:
@@ -1358,12 +1365,24 @@ class Kmers:
         packed = dc.packed if packed2 is None else None
 
         cache = self._dist_cache
+        sorted_words = None
         if (
             cache is not None
             and cache.mesh == mesh
             and isinstance(kmer_filter_func, KmerFilter)
         ):
             rag_pos, rag_pad = cache.positions, cache.is_pad
+            if (
+                isinstance(kmer_filter_func, KeepAllFilter)
+                and cache.lanes is not None
+                and cache.lanes_two_bit == (packed2 is not None)
+                and kmer_len is not None
+                and cache.built_k is not None
+                and kmer_len <= cache.built_k
+            ):
+                # unfiltered stats over the retained layout: reuse the
+                # sorted word lanes too (skips the per-shard key re-gather)
+                sorted_words = cache.lanes
             if not isinstance(kmer_filter_func, KeepAllFilter):
                 from .ops.filters import FilterContext
 
@@ -1403,15 +1422,15 @@ class Kmers:
                 rag_pos, rag_pad = compact_ragged(rag_pos, new_pad, mesh)
         else:
             _, surv_pos, _ = self._survivors(kmer_filter_func)
-            rag_pos, rag_pad = sample_sort_positions_ragged(
+            rag_pos, rag_pad, sorted_words = sample_sort_positions_ragged(
                 packed, surv_pos, dc.seg_starts, dc.seg_ends, kmer_len, mesh,
-                packed2=packed2,
+                packed2=packed2, return_lanes=True,
             )
         counts, total = distributed_group_size_histogram_ragged(
             packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
             mesh, min_group_size=min_group_size, max_group_size=max_group_size,
             max_counts_bin=max_counts_bin, packed2=packed2,
-            strand_split=strand_split,
+            strand_split=strand_split, sorted_words=sorted_words,
         )
         return np.asarray(counts), int(total)
 
@@ -1799,15 +1818,18 @@ class Kmers:
             if self.max_kmer_len is not None and self.max_kmer_len <= limit:
                 from .parallel import sample_sort_positions_ragged
 
-                rag_pos, rag_pad = sample_sort_positions_ragged(
+                rag_pos, rag_pad, rag_lanes = sample_sort_positions_ragged(
                     m_packed, positions, dc.seg_starts, dc.seg_ends,
                     self.max_kmer_len, mesh, packed2=m_packed2,
-                    uniform_cap=uniform,
+                    uniform_cap=uniform, return_lanes=True,
                 )
                 # retain the device-resident layout: a following mesh stats
-                # or query call reuses it instead of re-sorting
+                # or query call reuses it instead of re-sorting (and the
+                # sorted word lanes, so stats skip the key re-gather)
                 self._dist_cache = _DistIndexCache(
-                    mesh, rag_pos, rag_pad, int(positions.shape[0])
+                    mesh, rag_pos, rag_pad, int(positions.shape[0]),
+                    lanes=rag_lanes, lanes_two_bit=m_packed2 is not None,
+                    built_k=self.max_kmer_len,
                 )
                 self._pos_dev = None
                 self._pos_host = None

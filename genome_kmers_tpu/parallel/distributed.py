@@ -227,8 +227,8 @@ def distributed_sort_positions(
 
 
 def _dist_group_stats_local(
-    packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split, n_words,
-    max_counts_bin, two_bit,
+    packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
+    sorted_words, n_words, max_counts_bin, two_bit, keep_bits,
 ):
     """shard_map body for the distributed group-size histogram.
 
@@ -263,7 +263,17 @@ def _dist_group_stats_local(
 
     # intra-shard adjacency (valid rows form a prefix, so row i-1 of a valid
     # row i>0 is its true predecessor)
-    words = _words_for(packed, positions, cap_len, n_words, two_bit)
+    if sorted_words is None:
+        words = _words_for(packed, positions, cap_len, n_words, two_bit)
+    else:
+        # lanes retained by the sample sort (built at its max_kmer_len):
+        # word content beyond each row's cap is already zero, so masking the
+        # last needed word recovers the kmer_len-base identity without any
+        # genome gather (the mesh analog of boundaries_from_sorted_lanes)
+        use = list(sorted_words[:n_words])
+        if keep_bits < 32:
+            use[-1] = use[-1] & jnp.uint32((0xFFFFFFFF << (32 - keep_bits)) & 0xFFFFFFFF)
+        words = tuple(use)
     lanes = words + ((cap_len,) if two_bit else ())
     # track_strands_separately (both-strand extension): positions at or past
     # strand_split are "-"-strand k-mers and never share a group with "+"
@@ -319,10 +329,10 @@ def _dist_group_stats_local(
     return counts, total
 
 
-@partial(jax.jit, static_argnames=("n_words", "max_counts_bin", "two_bit", "mesh"))
+@partial(jax.jit, static_argnames=("n_words", "max_counts_bin", "two_bit", "keep_bits", "mesh"))
 def _distributed_group_hist_jit(
-    packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split, n_words,
-    max_counts_bin, two_bit, mesh,
+    packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
+    sorted_words, n_words, max_counts_bin, two_bit, keep_bits, mesh,
 ):
     fn = shard_map(
         partial(
@@ -330,12 +340,13 @@ def _distributed_group_hist_jit(
             n_words=n_words,
             max_counts_bin=max_counts_bin,
             two_bit=two_bit,
+            keep_bits=keep_bits,
         ),
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(AXIS)),
         out_specs=(P(), P()),
     )
-    return fn(packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split)
+    return fn(packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split, sorted_words)
 
 
 def distributed_group_size_histogram(
@@ -391,9 +402,11 @@ def distributed_group_size_histogram(
         np.uint32(min_group_size),
         max_gs,
         split,
+        None,
         n_words,
         max_counts_bin,
         two_bit,
+        32,
         mesh,
     )
     return counts, total
@@ -412,13 +425,17 @@ def distributed_group_size_histogram_ragged(
     max_counts_bin: int = 1000000,
     packed2: jax.Array | None = None,
     strand_split: int | None = None,
+    sorted_words=None,
 ):
     """Device-resident variant of ``distributed_group_size_histogram`` for
     the ragged per-shard-padded layout that
     ``sample_sort_positions_ragged`` returns — the full distributed pipeline
     (sort -> stats) then never leaves the mesh. Group sizes are computed in
     valid-row coordinates, so padding rows may sit at the tail of every
-    shard. ``strand_split``: see ``distributed_group_size_histogram``."""
+    shard. ``strand_split``: see ``distributed_group_size_histogram``.
+    ``sorted_words``: lanes retained by ``sample_sort_positions_ragged(...,
+    return_lanes=True)`` on the SAME encoding — the per-shard key re-gather
+    is then skipped entirely (kmer_len may be <= the lanes' built length)."""
     limit = 64 if packed2 is not None else 32
     if kmer_len is None or kmer_len > limit:
         raise NotImplementedError(f"distributed stats require kmer_len <= {limit}")
@@ -427,7 +444,14 @@ def distributed_group_size_histogram_ragged(
     )
     two_bit = packed2 is not None
     genome = packed2 if two_bit else packed
-    n_words = _cdiv(kmer_len, 16 if two_bit else 8)
+    bases_per_word = 16 if two_bit else 8
+    n_words = _cdiv(kmer_len, bases_per_word)
+    keep_bits = 32
+    if sorted_words is not None:
+        if len(sorted_words) < n_words:
+            raise ValueError("sorted_words shorter than kmer_len requires")
+        bits = 2 if two_bit else 4
+        keep_bits = bits * kmer_len - 32 * (n_words - 1)
 
     genome = put_global(genome, NamedSharding(mesh, P()))
     max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
@@ -440,8 +464,10 @@ def distributed_group_size_histogram_ragged(
         np.uint32(min_group_size),
         max_gs,
         split,
+        sorted_words,
         n_words,
         max_counts_bin,
         two_bit,
+        keep_bits,
         mesh,
     )

@@ -176,7 +176,11 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
     if gid is not None:
         # refinement callers need the old run ids aligned to the new order
         return out_pos, out_is_pad, merged[1], ov
-    return out_pos, out_is_pad, ov
+    # sorted word (+cap) lanes ride along so downstream statistics can skip
+    # the per-shard key re-gather (same trick as the single-chip
+    # ops/sort.boundaries_from_sorted_lanes path)
+    out_lanes = tuple(merged[1 : len(merged) - len(pos_lanes)])
+    return out_pos, out_is_pad, out_lanes, ov
 
 
 @partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity",
@@ -198,7 +202,7 @@ def _sample_sort_jit(genome, pos_lanes, cap_len, is_pad, n_words, two_bit,
         mesh=mesh,
         # P(AXIS)/P() are pytree prefixes: one spec covers every position lane
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
     )
     return fn(genome, pos_lanes, cap_len, is_pad)
 
@@ -441,9 +445,15 @@ def sample_sort_positions_ragged(
     n_samples: int = 256,
     capacity_factor: float = 1.5,
     uniform_cap: bool = False,
+    return_lanes: bool = False,
 ):
     """Device-resident variant: returns (positions, is_pad) of length
-    n_dev * capacity, globally sorted with per-shard trailing pads."""
+    n_dev * capacity, globally sorted with per-shard trailing pads.
+
+    ``return_lanes`` additionally returns the sorted word lanes (sharded
+    like the positions; pads folded to all-ones) so distributed statistics
+    can skip the per-shard key re-gather — the mesh analog of the
+    single-chip retained-lane path."""
     limit = 64 if packed2 is not None else 32
     if max_kmer_len is None or max_kmer_len > limit:
         raise NotImplementedError(
@@ -473,11 +483,15 @@ def sample_sort_positions_ragged(
     factor = capacity_factor
     while True:
         capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
-        out_pos, out_is_pad, overflow = _sample_sort_jit(
+        out_pos, out_is_pad, out_lanes, overflow = _sample_sort_jit(
             genome, (positions_p,), cap_p, is_pad, n_words, two_bit, n_samples,
             capacity, uniform_cap, False, mesh,
         )
         if int(overflow) == 0:
+            if return_lanes:
+                # word lanes only (a trailing cap lane, present when
+                # uniform_cap is False, is recomputed by consumers)
+                return out_pos[0], out_is_pad, out_lanes[:n_words]
             return out_pos[0], out_is_pad
         if capacity >= m:
             raise AssertionError("sample sort overflow at full capacity (bug)")
@@ -551,7 +565,7 @@ def sample_sort_positions_large_ragged(
     factor = capacity_factor
     while True:
         capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
-        out_pos, out_is_pad, overflow = _sample_sort_jit(
+        out_pos, out_is_pad, _lanes, overflow = _sample_sort_jit(
             genome, (hi_p, lo_p), cap_p, is_pad, n_words, two_bit, n_samples,
             capacity, uniform_cap, True, mesh,
         )

@@ -130,6 +130,38 @@ class TestComposedPipeline:
         qs = [seq[i : i + 9] for i in (0, 77, 300)] + ["A" * 9]
         assert np.array_equal(km.count_queries(qs, mesh=mesh8), km_chip.count_queries(qs))
 
+    def test_stats_reuse_lanes_shorter_k(self, mesh8, monkeypatch):
+        # retained mesh lanes built at max_kmer_len serve stats at ANY
+        # kmer_len <= built length (last word masked to kmer_len bases)
+        seq_list = [("c1", random_seq(520, 22)), ("c2", random_seq(140, 23))]
+        km_mesh = build(seq_list, 2, 11)
+        km_chip = build(seq_list, 2, 11)
+        km_mesh.sort(mesh=mesh8)
+        km_chip.sort()
+        assert km_mesh._dist_cache is not None and km_mesh._dist_cache.lanes
+        _no_resort(monkeypatch)
+        for k in (2, 5, 8, 11):
+            h_m, t_m = km_mesh.get_kmer_group_counts(k, max_counts_bin=30, mesh=mesh8)
+            h_c, t_c = km_chip.get_kmer_group_counts(k, max_counts_bin=30)
+            assert t_m == t_c, k
+            assert np.array_equal(h_m, h_c), k
+
+    def test_stats_reuse_lanes_4bit(self, mesh8, monkeypatch):
+        # ambiguous bases force the 4-bit encoding; lane reuse must hold there
+        seq_list = [("c1", random_seq(430, 24, "ACGTN")), ("c2", random_seq(150, 25, "ACGTN"))]
+        km_mesh = build(seq_list, 3, 10)
+        km_chip = build(seq_list, 3, 10)
+        km_mesh.sort(mesh=mesh8)
+        km_chip.sort()
+        cache = km_mesh._dist_cache
+        assert cache is not None and cache.lanes and not cache.lanes_two_bit
+        _no_resort(monkeypatch)
+        for k in (3, 7, 10):
+            h_m, t_m = km_mesh.get_kmer_group_counts(k, max_counts_bin=30, mesh=mesh8)
+            h_c, t_c = km_chip.get_kmer_group_counts(k, max_counts_bin=30)
+            assert t_m == t_c, k
+            assert np.array_equal(h_m, h_c), k
+
     def test_sort_mesh_skips_4bit_pack_on_acgt(self, mesh8):
         km = build([("c", random_seq(300, 61))], 7, 7)
         dc = km.seq_coll.device_cache("forward")
