@@ -37,6 +37,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.groups import clipped_counts
 from ..ops.keys import build_key2_words, build_key_words, cap_lengths, compute_valid_len
 from ..ops.sort import _PAD_POS, _cdiv
 
@@ -319,9 +320,8 @@ def _dist_group_stats_local(
     size = jnp.where(boundary, jnp.minimum(next_after, total_valid) - vidx, jnp.uint32(0))
 
     qualifies = boundary & (size >= min_gs) & (size <= max_gs)
-    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin)).astype(jnp.int32)
-    counts = jnp.zeros(max_counts_bin + 1, dtype=jnp.uint32)
-    counts = counts.at[clipped].add(qualifies.astype(jnp.uint32))
+    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
+    counts = clipped_counts(qualifies, clipped, max_counts_bin)
     total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
 
     counts = jax.lax.psum(counts, AXIS)

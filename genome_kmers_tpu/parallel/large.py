@@ -40,6 +40,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
+from ..ops.groups import clipped_counts
 from ..ops.large import (
     add64,
     add64_u32,
@@ -154,9 +155,8 @@ def _large_stats_local(
     # histogram (sizes past the top bin clip into it, reference kmers.py:514-518)
     clipped = jnp.where(
         s_hi > 0, jnp.uint32(max_counts_bin), jnp.minimum(s_lo, jnp.uint32(max_counts_bin))
-    ).astype(jnp.int32)
-    counts = jnp.zeros(max_counts_bin + 1, dtype=jnp.uint32)
-    counts = counts.at[clipped].add(qualifies.astype(jnp.uint32))
+    )
+    counts = clipped_counts(qualifies, clipped, max_counts_bin)
 
     # exact pair total of qualifying sizes (scan; last element = shard sum).
     # Everything returns per-shard (P(AXIS)) — the cross-shard reduction

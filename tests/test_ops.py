@@ -133,6 +133,24 @@ class TestGroupOps:
         assert int(total) == 2
         assert np.asarray(counts)[2] == 1
 
+    def test_histogram_strategies_agree(self):
+        # clipped_counts picks broadcast-compare below _COMPARE_HIST_MAX_BINS
+        # and scatter-add above; both must produce the identical histogram
+        from genome_kmers_tpu.ops import groups as G
+
+        rng = np.random.default_rng(3)
+        boundary = jnp.asarray(rng.random(4096) < 0.4)
+        boundary = boundary.at[0].set(True)
+        _, _, size, _ = group_geometry(boundary)
+        for bins in (5, G._COMPARE_HIST_MAX_BINS - 1, G._COMPARE_HIST_MAX_BINS):
+            qualifies = boundary & (size >= 1)
+            clipped = jnp.minimum(size, jnp.uint32(bins))
+            compare = np.asarray(G.clipped_counts(qualifies, clipped, bins))
+            masked = jnp.where(qualifies, clipped, jnp.uint32(0))
+            scatter = np.zeros(bins + 1, dtype=np.uint32)
+            np.add.at(scatter, np.asarray(masked), np.asarray(qualifies).astype(np.uint32))
+            assert np.array_equal(compare, scatter), bins
+
     def test_selection_masks(self):
         boundary = jnp.asarray(np.array([1, 0, 0, 1, 1, 0], dtype=bool))
         _, _, size, rank = group_geometry(boundary)
