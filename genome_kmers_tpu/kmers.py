@@ -311,6 +311,35 @@ def get_kmer_group_size_hist(
 _UINT32_SENTINEL = np.uint32(0xFFFFFFF0)
 
 
+def _pow2_bucket(n: int) -> int:
+    """Round up to a power of two (min 8) — bounds the number of distinct
+    slice shapes (=> compiled executables) the trimmed download can create."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def _trimmed_hist_to_host(counts_dev, stats_dev, max_counts_bin: int):
+    """Materialize a device histogram on host, transferring only the prefix
+    that can be nonzero.
+
+    ``stats_dev`` is the uint32 ``[total, hi]`` digest from
+    ``ops.groups.group_size_histogram_trimmed``: every bin above ``hi`` is
+    zero by construction, so only ``counts[:hi+1]`` (power-of-two bucketed)
+    crosses the device->host link. At the reference's default
+    ``max_counts_bin=1e6`` this replaces a ~4 MB transfer with a few KB —
+    ~1 s saved per call on a remote-tunnel backend (~4 MB/s measured).
+    """
+    st = np.asarray(stats_dev)
+    total = int(st[0])
+    hi = int(st[1])
+    out = np.zeros(max_counts_bin + 1, dtype=np.int64)
+    b = min(_pow2_bucket(hi + 1), max_counts_bin + 1)
+    out[:b] = np.asarray(counts_dev[:b]).astype(np.int64)
+    return out, total
+
+
 class _DistIndexCache:
     """Device-resident distributed index retained by ``sort(mesh=...)``:
     the globally sorted positions in the ragged per-shard-padded layout
@@ -994,6 +1023,47 @@ class Kmers:
             return lanes
         return None
 
+    def _filtered_device_stats(self, kmer_len, kmer_filter_func):
+        """(all-rows boundary, device survivor mask) for the device-only
+        filtered stats path, or None when it doesn't apply.
+
+        Eligible when the filter is a vectorized ``KmerFilter`` (not
+        keep-all) and group identity at ``kmer_len`` is contiguous in the
+        current index order: unsorted (every k-mer its own group), sorted
+        with ``kmer_len`` within the sorted compare length, or suffix-sorted
+        (``max_kmer_len=None``). Contiguity makes survivor groups equal to
+        all-rows groups restricted to survivors — the reference's
+        previous-survivor walk semantics (kmers.py:597-601) — so filtered
+        counts/histograms run with no survivor compaction and no O(N) host
+        round-trips (the old path downloaded the mask and re-uploaded
+        survivor indices: ~5 N bytes over the device link per query).
+        """
+        from .ops.filters import FilterContext, KeepAllFilter, KmerFilter
+        from .ops.keys import compute_valid_len
+
+        if not isinstance(kmer_filter_func, KmerFilter) or isinstance(
+            kmer_filter_func, KeepAllFilter
+        ):
+            return None
+        if self._is_sorted and not (
+            self.max_kmer_len is None
+            or (kmer_len is not None and kmer_len <= self.max_kmer_len)
+        ):
+            return None
+
+        # boundary over ALL rows (keep-all view), including the retained-
+        # lanes fast path and the strand-split term
+        _, _, boundary = self._boundary_parts(kmer_len, kmer_filter_keep_all)
+        dc = self._dc()
+        positions = self._device_positions()
+        valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
+        ctx = FilterContext(
+            self._host_sba(), positions, valid_len, sba_dev=lambda: dc.sba
+        )
+        kmer_filter_func.check_batch(ctx)  # device-side error checks
+        mask = kmer_filter_func.mask_pure(ctx)
+        return boundary, mask
+
     def _group_device(self, kmer_len, kmer_filter_func):
         """Survivor selection + full group geometry on device.
 
@@ -1259,6 +1329,17 @@ class Kmers:
             )
             return int(total)
 
+        fd = self._filtered_device_stats(kmer_len, kmer_filter_func)
+        if fd is not None:
+            from .ops.groups import filtered_group_total
+
+            boundary, mask = fd
+            if boundary.shape[0] == 0:
+                return 0
+            return int(
+                filtered_group_total(boundary, mask, jnp.uint32(min_group_size), max_gs)
+            )
+
         boundary = self._boundary_device(kmer_len, kmer_filter_func)
         if boundary.shape[0] == 0:
             return 0
@@ -1302,29 +1383,41 @@ class Kmers:
 
         import jax.numpy as jnp
 
-        from .ops.groups import group_size_histogram, group_sizes_at_boundaries
+        from .ops.groups import group_size_histogram_trimmed, group_sizes_at_boundaries
 
         max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
             _UINT32_SENTINEL
         )
         lanes = self._lanes_fast(kmer_len, kmer_filter_func)
         if lanes is not None:
-            from .ops.groups import lanes_group_histogram
+            from .ops.groups import lanes_group_histogram_trimmed
 
-            counts, total = lanes_group_histogram(
+            counts, stats = lanes_group_histogram_trimmed(
                 lanes["words"], lanes["cap"], jnp.uint32(min_group_size), max_gs,
                 kmer_len, lanes["two_bit"], max_counts_bin,
             )
-            return np.asarray(counts).astype(np.int64), int(total)
+            return _trimmed_hist_to_host(counts, stats, max_counts_bin)
+
+        fd = self._filtered_device_stats(kmer_len, kmer_filter_func)
+        if fd is not None:
+            from .ops.groups import filtered_group_histogram_trimmed
+
+            boundary, mask = fd
+            if boundary.shape[0] == 0:
+                return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
+            counts, stats = filtered_group_histogram_trimmed(
+                boundary, mask, jnp.uint32(min_group_size), max_gs, max_counts_bin
+            )
+            return _trimmed_hist_to_host(counts, stats, max_counts_bin)
 
         boundary = self._boundary_device(kmer_len, kmer_filter_func)
         if boundary.shape[0] == 0:
             return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
         size = group_sizes_at_boundaries(boundary)
-        counts, total = group_size_histogram(
+        counts, stats = group_size_histogram_trimmed(
             boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=max_counts_bin
         )
-        return np.asarray(counts).astype(np.int64), int(total)
+        return _trimmed_hist_to_host(counts, stats, max_counts_bin)
 
     def _mesh_group_hist(
         self, kmer_len, kmer_filter_func, min_group_size, max_group_size,
@@ -2040,9 +2133,9 @@ class Kmers:
 
         import jax.numpy as jnp
 
-        from .ops.canonical import canonical_boundaries, canonical_sort
-        from .ops.groups import group_geometry, group_size_histogram
+        from .ops.canonical import canonical_group_histogram
         from .ops.keys import compute_valid_len
+        from .ops.sort import _PAD_POS, _bucket, _pad_to
 
         dc = self._dc()
         if dc.packed2 is None:
@@ -2050,23 +2143,20 @@ class Kmers:
                 "canonical k-mer statistics require an ACGT-only genome"
             )
         positions = self._device_positions()
-        valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
-        keep = np.flatnonzero(np.asarray(valid_len) >= kmer_len)
-        full = jnp.take(positions, jnp.asarray(keep.astype(np.int32)))
-        if full.shape[0] == 0:
+        n = int(positions.shape[0])
+        if n == 0:
             return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
-
-        _, sorted_words = canonical_sort(dc.packed2, full, kmer_len)
-        boundary = canonical_boundaries(sorted_words)
-        _, _, size, _ = group_geometry(boundary)
-        counts, total = group_size_histogram(
-            boundary,
-            size,
-            jnp.uint32(1),
-            jnp.asarray(_UINT32_SENTINEL),
-            max_counts_bin=max_counts_bin,
+        valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
+        # shape-bucket (padding rows carry valid_len 0 => invalid lane) so
+        # nearby sizes share one executable; truncated k-mers are excluded
+        # on device — no valid_len download, no survivor-index upload
+        n_pad = _bucket(n)
+        positions = _pad_to(positions, n_pad, _PAD_POS)
+        valid_len = _pad_to(valid_len, n_pad, jnp.uint32(0))
+        counts, stats = canonical_group_histogram(
+            dc.packed2, positions, valid_len, kmer_len, max_counts_bin
         )
-        return np.asarray(counts).astype(np.int64), int(total)
+        return _trimmed_hist_to_host(counts, stats, max_counts_bin)
 
     def to_csv(self, kmer_len, output_file_path, fields=["kmer"]):
         """Write k-mers to CSV.

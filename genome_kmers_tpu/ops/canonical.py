@@ -92,6 +92,57 @@ def canonical_key_words(packed2: jax.Array, positions: jax.Array, k: int) -> tup
     return tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
 
 
+@partial(jax.jit, static_argnames=("k", "max_counts_bin"))
+def canonical_group_histogram(
+    packed2: jax.Array,
+    positions: jax.Array,
+    valid_len: jax.Array,
+    k: int,
+    max_counts_bin: int,
+):
+    """Canonical group-size histogram + ``[total, hi]`` trimmed-download
+    digest over ALL positions, as ONE compiled program.
+
+    Truncated k-mers (valid_len < k, including shape-bucketing padding rows
+    whose valid_len is 0) ride a leading invalid lane that sorts them after
+    every real row with zeroed key words; the invalid tail block is excluded
+    by the qualifies mask. This replaces the old host-side full-length
+    selection, which downloaded valid_len and re-uploaded survivor indices
+    (~8 N bytes of round-trip over the device link).
+    """
+    from .groups import clipped_counts, group_sizes_at_boundaries
+
+    n_words = -(-k // 16)
+    valid = valid_len >= jnp.uint32(k)
+    lead = (~valid).astype(jnp.uint32)
+    cap = jnp.where(valid, jnp.uint32(k), jnp.uint32(0))
+    fwd = build_key2_words(packed2, positions, cap, n_words, jnp.uint32(0))
+    rc = revcomp_key_words(fwd, k)
+    lt = jnp.zeros(positions.shape, dtype=bool)
+    eq = jnp.ones(positions.shape, dtype=bool)
+    for a, b in zip(rc, fwd):
+        lt = lt | (eq & (a < b))
+        eq = eq & (a == b)
+    words = tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
+
+    res = jax.lax.sort((lead,) + words + (positions,), num_keys=n_words + 2)
+    s_lead = res[0]
+    s_words = res[1 : 1 + n_words]
+
+    eqb = jnp.ones(positions.shape[0], dtype=bool)
+    for w in (s_lead,) + tuple(s_words):
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eqb = eqb & (w == prev)
+    boundary = (~eqb).at[0].set(True)
+    size = group_sizes_at_boundaries(boundary)
+    qualifies = boundary & (s_lead == jnp.uint32(0))
+    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
+    counts = clipped_counts(qualifies, clipped, max_counts_bin)
+    total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
+    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
+    return counts, jnp.stack([total, hi])
+
+
 def canonical_sort(packed2: jax.Array, positions: jax.Array, k: int):
     """Sort positions by canonical key; returns (sorted_positions,
     sorted_key_words). Ties break by position (deterministic)."""

@@ -67,6 +67,10 @@ class FilterContext:
 
     @property
     def sba(self):
+        if callable(self._sba_dev):
+            # lazy provider (e.g. the SequenceCollection device cache) so a
+            # filter that never reads SBA bytes never triggers the upload
+            self._sba_dev = self._sba_dev()
         if self._sba_dev is None:
             self._sba_dev = jnp.asarray(self.sba_np)
         return self._sba_dev
@@ -127,6 +131,48 @@ def _next_ambiguous(sba):
     )
     marked = jnp.where(is_amb, idx, _BIG)
     return jax.lax.cummin(marked, reverse=True)
+
+
+def _any_row(ctx: FilterContext, cond) -> bool:
+    """True iff any (valid) row satisfies ``cond``.
+
+    ``cond`` may be a device bool array — the single-chip paths, where this
+    costs ONE scalar sync instead of an O(N) download — or derive from a
+    host-array context (the mesh error-check path, which carries numpy
+    positions plus a ``valid_rows`` mask), where the previous host logic is
+    kept verbatim.
+    """
+    if isinstance(ctx.positions, np.ndarray):
+        return bool(ctx._rows(np.asarray(cond)).any())
+    if ctx.valid_rows is not None:  # defensive: device ctx with a row mask
+        cond = cond & jnp.asarray(ctx.valid_rows)
+    return bool(jnp.any(cond))
+
+
+def _first_true_pos(ctx: FilterContext, cond):
+    """Position (in array order) of the first row satisfying ``cond``, or
+    None. Device contexts pay one scalar sync when clean and two more only
+    on the error path (argmax + gather) — never an O(N) download."""
+    if isinstance(ctx.positions, np.ndarray):
+        rows = ctx._rows(np.asarray(cond))
+        if not rows.any():
+            return None
+        return int(ctx.positions[rows][0])
+    if ctx.valid_rows is not None:
+        cond = cond & jnp.asarray(ctx.valid_rows)
+    if not bool(jnp.any(cond)):
+        return None
+    i = jnp.argmax(cond)
+    return int(jnp.take(ctx.positions, i))
+
+
+def _overflow_cond(ctx: FilterContext, last_offset: int):
+    """Rows where position + last_offset >= sba_len, computed without int64
+    (pos >= sba_len - last_offset never under/overflows in uint32)."""
+    thr = ctx.sba_len - last_offset
+    if thr <= 0:
+        return ctx.positions >= np.uint32(0)  # every row overflows
+    return ctx.positions >= np.uint32(thr)
 
 
 class KmerFilter:
@@ -240,18 +286,12 @@ class HomopolymerFilter(KmerFilter):
         # raises only when k >= max_h (the reference early-returns True for
         # short k-mers before its '$' scan, kmers.py:66-74). Both raise the
         # same message. valid_len < k covers both the '$' and array-end cases.
-        pos_np = np.asarray(ctx.positions)
         if k < max_h:
-            overflow = ctx._rows(pos_np.astype(np.int64) + k - 1 >= ctx.sba_len)
-            if overflow.any():
-                bad = int(pos_np[overflow][0])
-                raise ValueError(
-                    f"The kmer_len ({k}) requested is too large for kmer_sba_start_idx ({bad})"
-                )
-            return
-        truncated = ctx._rows(np.asarray(ctx.valid_len) < k)
-        if truncated.any():
-            bad = int(pos_np[truncated][0])
+            cond = _overflow_cond(ctx, k - 1)
+        else:
+            cond = ctx.valid_len < np.uint32(k)
+        bad = _first_true_pos(ctx, cond)
+        if bad is not None:
             raise ValueError(
                 f"The kmer_len ({k}) requested is too large for kmer_sba_start_idx ({bad})"
             )
@@ -350,9 +390,8 @@ class GcContentFilter(KmerFilter):
         # exceed the max first (reference scans left to right, kmers.py:170-185).
         gc_before_end, truncated = self._gc_window(ctx)
         raises = truncated & (gc_before_end <= jnp.uint32(self.max_allowed_gc_count))
-        raises_np = ctx._rows(np.asarray(raises))
-        if raises_np.any():
-            bad = int(np.asarray(ctx.positions)[raises_np][0])
+        bad = _first_true_pos(ctx, raises)
+        if bad is not None:
             raise ValueError(
                 f"The kmer_len ({k}) requested is too larger for kmer_sba_start_idx ({bad})"
             )
@@ -405,14 +444,13 @@ class NoAmbiguousBasesFilter(KmerFilter):
 
     def check_batch(self, ctx):
         k = self.kmer_len
-        pos_np = np.asarray(ctx.positions)
-        if pos_np.size and ctx._rows(pos_np.astype(np.int64) + k > ctx.sba_len).any():
+        if ctx.positions.shape[0] and _any_row(ctx, _overflow_cond(ctx, k - 1)):
             raise ValueError(f"kmer_len ({k}) is invalid. It extends beyond len(sba)")
         # A '$' found before an ambiguous base raises; an ambiguous base found
         # first just fails the k-mer (reference kmers.py:216-227).
         d, a = self._amb_offsets(ctx)
         raises = (d < jnp.uint32(k)) & (d < a)
-        if ctx._rows(np.asarray(raises)).any():
+        if _any_row(ctx, raises):
             raise ValueError(f"end of segment was reached. kmer_len ({k}) invalid.")
 
     def mask_pure(self, ctx):
@@ -438,8 +476,7 @@ class CrisprNggPamFilter(KmerFilter):
         ] == ord("G")
 
     def check_batch(self, ctx):
-        pos_np = np.asarray(ctx.positions)
-        if pos_np.size and ctx._rows(pos_np.astype(np.int64) + 23 > ctx.sba_len).any():
+        if ctx.positions.shape[0] and _any_row(ctx, _overflow_cond(ctx, 22)):
             raise ValueError("The guide defined at this start index extends beyond the sba")
 
     def mask_pure(self, ctx):
