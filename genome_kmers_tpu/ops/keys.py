@@ -128,6 +128,43 @@ def cap_lengths(valid_len: jax.Array, max_kmer_len) -> jax.Array:
 
 
 # --------------------------------------------------------------------------- #
+# strided-pack expansion: per-position words from a host-built strided pack.
+# The strided pack (ops/large.pack_rank{2,}_strided_np) is 1/4 (2-bit) or 1/2
+# (4-bit) the bytes of the ASCII SBA, so uploading it instead of the bytes
+# cuts the host->device ingest transfer accordingly (measured ~4 MB/s on the
+# remote-tunnel backend — the transfer, not the pack, is the ingest cost).
+# The expansion is a funnel shift: out[i] = S[i/bpw] << r | S[i/bpw+1] >> 32-r.
+# --------------------------------------------------------------------------- #
+
+
+def _expand_strided(packed_s: jax.Array, n: int, log2_bpw: int, bits: int) -> jax.Array:
+    i = jnp.arange(n, dtype=jnp.uint32)
+    q = (i >> jnp.uint32(log2_bpw)).astype(jnp.int32)
+    r = (i & jnp.uint32((1 << log2_bpw) - 1)) * jnp.uint32(bits)
+    a = jnp.take(packed_s, q, mode="clip")
+    b = jnp.take(packed_s, q + 1, mode="clip")
+    # guard the undefined >>32 at r == 0
+    return jnp.where(r == 0, a, (a << r) | (b >> (jnp.uint32(32) - r)))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def expand_strided2(packed2_s: jax.Array, n: int) -> jax.Array:
+    """Per-position 2-bit words from a strided pack — bit-identical to
+    ``pack_rank2_words`` of the original bytes. ``packed2_s`` must carry at
+    least one trailing zero word (the host packers append 8) so the clipped
+    ``q+1`` gather at the array edge reads rank 0."""
+    return _expand_strided(packed2_s, n, 4, 2)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def expand_strided4(packed_s: jax.Array, n: int) -> jax.Array:
+    """Per-position 4-bit words from a strided pack — bit-identical to
+    ``pack_rank_words`` of the original bytes (same trailing-zero-word
+    requirement as ``expand_strided2``)."""
+    return _expand_strided(packed_s, n, 3, 4)
+
+
+# --------------------------------------------------------------------------- #
 # 2-bit fast path (see encoding.py: requires alphabet subset of {A,C,G,T,$}
 # and an explicit cap key lane alongside the words)
 # --------------------------------------------------------------------------- #

@@ -139,8 +139,37 @@ class _DeviceCache:
         from .ops.keys import pack_rank_words
 
         if self._packed is None:
-            self._packed = pack_rank_words(self.sba)
+            built = None
+            if self._sba_dev is None:
+                # ASCII bytes are not on device yet: upload the 2x-smaller
+                # host strided pack and expand per-position words on device
+                # (the flagship sort/stats pipeline then never uploads the
+                # byte SBA at all — it only crosses the link if a byte-
+                # reading filter asks for it)
+                built = self._build_from_strided(bits=4)
+            if built is None:
+                built = pack_rank_words(self.sba)
+            self._packed = built
         return self._packed
+
+    def _build_from_strided(self, bits: int):
+        """Per-position packed words via host strided pack + device
+        expansion (4x / 2x less upload than the ASCII bytes), or None if
+        anything fails (callers fall back to the byte-SBA path)."""
+        try:
+            import jax.numpy as jnp
+
+            from .ops.keys import expand_strided2, expand_strided4
+            from .ops.large import pack_rank2_strided_np, pack_rank_strided_np
+
+            n = len(self._sba_np)
+            if bits == 2:
+                strided = jnp.asarray(pack_rank2_strided_np(self._sba_np))
+                return expand_strided2(strided, n)
+            strided = jnp.asarray(pack_rank_strided_np(self._sba_np))
+            return expand_strided4(strided, n)
+        except Exception:
+            return None
 
     @property
     def is_acgt_only(self) -> bool:
@@ -165,15 +194,22 @@ class _DeviceCache:
             return None
         if self._packed2 is None:
             built = None
-            try:
-                import jax
+            if self._sba_dev is None:
+                # bytes not on device: a strided upload (1/4 the bytes) +
+                # device expansion beats uploading the SBA for the Pallas
+                # kernel — on the remote tunnel (~4 MB/s) the transfer, not
+                # the pack, is the cost
+                built = self._build_from_strided(bits=2)
+            if built is None:
+                try:
+                    import jax
 
-                if jax.default_backend() == "tpu" and len(self._sba_np) >= (1 << 16):
-                    from .ops.pallas_kernels import pack_rank2_words_pallas
+                    if jax.default_backend() == "tpu" and len(self._sba_np) >= (1 << 16):
+                        from .ops.pallas_kernels import pack_rank2_words_pallas
 
-                    built = pack_rank2_words_pallas(self.sba)
-            except Exception:
-                built = None
+                        built = pack_rank2_words_pallas(self.sba)
+                except Exception:
+                    built = None
             if built is None:
                 built = pack_rank2_words(self.sba)
             self._packed2 = built
