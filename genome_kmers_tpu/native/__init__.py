@@ -76,6 +76,11 @@ def get_lib():
     lib.gk_fasta_fill_mt.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, u8p, i64p, i64p,
     ]
+    lib.gk_pack_strided.restype = None
+    lib.gk_pack_strided.argtypes = [
+        u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
     _lib = lib
     return _lib
 
@@ -193,6 +198,37 @@ def _parse_fasta_bytes_mt(data: bytes, lib):
         seg_starts[1:] = (np.cumsum(seq_lens[:-1] + 1)).astype(np.uint32)
     header_spans = list(zip(header_starts[:num_records], header_ends[:num_records]))
     return sba, seg_starts, header_spans
+
+
+def pack_strided_native(
+    sba: np.ndarray, table: np.ndarray, bits: int, extra_words: int = 8
+) -> np.ndarray | None:
+    """Strided rank pack via the native library (multithreaded), or None if
+    unavailable. Bit-identical to the NumPy pack in ops/large.py (same
+    big-endian field order, rank-0 tail, ``extra_words`` trailing zeros)."""
+    lib = get_lib()
+    if lib is None or bits not in (2, 4):
+        return None
+    import os
+
+    sba = np.ascontiguousarray(sba, dtype=np.uint8)
+    table = np.ascontiguousarray(table, dtype=np.uint8)
+    n = len(sba)
+    bpw = 32 // bits
+    n_words = -(-n // bpw)
+    out = np.zeros(n_words + extra_words, dtype=np.uint32)
+    if n == 0:
+        return out
+    n_threads = 1 if n < (4 << 20) else min(os.cpu_count() or 1, 8)
+    lib.gk_pack_strided(
+        _u8(sba),
+        ctypes.c_int64(n),
+        _u8(table),
+        ctypes.c_int64(bits),
+        ctypes.c_int64(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
 
 
 def validate_alphabet_native(sba: np.ndarray, allowed_bytes: set) -> int | None:

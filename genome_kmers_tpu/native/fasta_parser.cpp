@@ -296,3 +296,56 @@ void gk_reverse_complement(const uint8_t* in, int64_t n, const uint8_t* table,
 }
 
 }  // extern "C"
+
+namespace {
+
+// Pack ranks of bases [w*bpw, (w+1)*bpw) into out[w], first base in the top
+// field; tail bases beyond n pack as rank 0 (matches the NumPy strided pack
+// in ops/large.py).
+void pack_chunk(const uint8_t* data, int64_t n, const uint8_t* table,
+                int64_t bits, int64_t w0, int64_t w1, uint32_t* out) {
+    const int64_t bpw = 32 / bits;
+    const int64_t shift_top = 32 - bits;
+    for (int64_t w = w0; w < w1; w++) {
+        uint32_t word = 0;
+        const int64_t base = w * bpw;
+        int64_t m = n - base;
+        if (m > bpw) m = bpw;
+        for (int64_t j = 0; j < m; j++) {
+            word |= static_cast<uint32_t>(table[data[base + j]])
+                    << (shift_top - bits * j);
+        }
+        out[w] = word;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Strided rank pack (the host half of the device ingest path: the strided
+// words are 1/4 or 1/2 the bytes of the SBA and expand to per-position key
+// words on device).  bits in {2, 4}; table maps byte -> rank.  out must
+// hold ceil(n / (32/bits)) words (any zero-padded tail beyond that is the
+// caller's).
+void gk_pack_strided(const uint8_t* data, int64_t n, const uint8_t* table,
+                     int64_t bits, int64_t n_threads, uint32_t* out) {
+    const int64_t bpw = 32 / bits;
+    const int64_t n_words = (n + bpw - 1) / bpw;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1) {
+        pack_chunk(data, n, table, bits, 0, n_words, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; t++) {
+        const int64_t w0 = n_words * t / n_threads;
+        const int64_t w1 = n_words * (t + 1) / n_threads;
+        if (w0 < w1) {
+            ts.emplace_back(pack_chunk, data, n, table, bits, w0, w1, out);
+        }
+    }
+    for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

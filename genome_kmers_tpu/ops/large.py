@@ -136,6 +136,16 @@ _CHUNK = 1 << 26  # 64M bases per chunk keeps the transient uint32 ranks small
 
 def _pack_strided_np(sba_u8: np.ndarray, bases_per_word: int, bits: int,
                      table: np.ndarray, extra_words: int) -> np.ndarray:
+    try:
+        # native multithreaded pack (~10x the NumPy path at genome scale);
+        # falls through to NumPy when the toolchain/library is unavailable
+        from ..native import pack_strided_native
+
+        out = pack_strided_native(sba_u8, table, bits, extra_words)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     n = len(sba_u8)
     n_words = -(-n // bases_per_word)
     out = np.zeros(n_words + extra_words, dtype=np.uint32)

@@ -108,3 +108,30 @@ class TestMultithreadedParse:
         lib = get_lib()
         with pytest.raises(ValueError):
             _parse_fasta_bytes_mt(b">a\nACGT\n>b\n>c\nGG\n", lib)
+
+
+class TestPackStrided:
+    """Native strided rank pack must be bit-identical to the NumPy pack."""
+
+    @pytest.mark.parametrize("n", [0, 1, 15, 16, 17, 1000, 4097])
+    @pytest.mark.parametrize("bits", [2, 4])
+    def test_pack_parity(self, n, bits):
+        from genome_kmers_tpu.native import pack_strided_native
+        from genome_kmers_tpu.ops.encoding import RANK2_TABLE, RANK_TABLE
+
+        rng = np.random.default_rng(n * 7 + bits)
+        sba = rng.choice(np.frombuffer(b"ACGTN$", dtype=np.uint8), size=n)
+        table = RANK2_TABLE if bits == 2 else RANK_TABLE
+        bpw = 32 // bits
+        nat = pack_strided_native(sba, table, bits)
+        assert nat is not None
+        ranks = table[sba].astype(np.uint32)
+        pad = (-len(ranks)) % bpw
+        if pad:
+            ranks = np.concatenate([ranks, np.zeros(pad, dtype=np.uint32)])
+        grid = ranks.reshape(-1, bpw)
+        word = np.zeros(grid.shape[0], dtype=np.uint32)
+        for j in range(bpw):
+            word |= grid[:, j] << np.uint32(32 - bits - bits * j)
+        ref = np.concatenate([word, np.zeros(8, dtype=np.uint32)])
+        np.testing.assert_array_equal(nat, ref)
