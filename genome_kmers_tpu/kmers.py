@@ -940,7 +940,10 @@ class Kmers:
             return None, positions, valid_len
 
         if isinstance(kmer_filter_func, KmerFilter):
-            ctx = FilterContext(self._host_sba(), positions, valid_len, sba_dev=dc.sba)
+            ctx = FilterContext(
+                self._host_sba(), positions, valid_len,
+                sba_dev=lambda: dc.sba, scans=dc,
+            )
             mask = np.asarray(kmer_filter_func.batch_mask(ctx))
         else:
             mask = self._callable_mask(kmer_filter_func, self.kmer_sba_start_indices)
@@ -1058,7 +1061,8 @@ class Kmers:
         positions = self._device_positions()
         valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
         ctx = FilterContext(
-            self._host_sba(), positions, valid_len, sba_dev=lambda: dc.sba
+            self._host_sba(), positions, valid_len, sba_dev=lambda: dc.sba,
+            scans=dc,
         )
         kmer_filter_func.check_batch(ctx)  # device-side error checks
         mask = kmer_filter_func.mask_pure(ctx)
@@ -1519,13 +1523,19 @@ class Kmers:
                 packed, surv_pos, dc.seg_starts, dc.seg_ends, kmer_len, mesh,
                 packed2=packed2, return_lanes=True,
             )
-        counts, total = distributed_group_size_histogram_ragged(
+        counts, total, hi = distributed_group_size_histogram_ragged(
             packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
             mesh, min_group_size=min_group_size, max_group_size=max_group_size,
             max_counts_bin=max_counts_bin, packed2=packed2,
             strand_split=strand_split, sorted_words=sorted_words,
+            return_digest=True,
         )
-        return np.asarray(counts), int(total)
+        # trimmed download: bins above hi are zero (replicated psum result,
+        # so the prefix slice is valid on every process)
+        out = np.zeros(max_counts_bin + 1, dtype=np.uint32)
+        b = min(_pow2_bucket(int(hi) + 1), max_counts_bin + 1)
+        out[:b] = np.asarray(counts[:b])
+        return out, int(total)
 
     # ------------------------------------------------------------------ #
     # full-info closure (reference kmers.py:1180-1264)

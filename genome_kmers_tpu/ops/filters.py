@@ -44,7 +44,7 @@ class FilterContext:
     """
 
     def __init__(self, sba_u8: np.ndarray, positions, valid_len, sba_dev=None,
-                 valid_rows=None):
+                 valid_rows=None, scans=None):
         self.sba_np = sba_u8
         self.sba_len = int(len(sba_u8))
         self._sba_dev = sba_dev
@@ -55,6 +55,10 @@ class FilterContext:
         # carry padding rows whose positions/valid_len are sentinels; the
         # device mask (mask_pure) is computed for every row regardless.
         self.valid_rows = valid_rows
+        # scans: optional provider with gc_cumsum/run_len/next_amb properties
+        # (the SequenceCollection device cache) so the O(N) genome scans are
+        # computed once per strand, not once per query
+        self._scans = scans
         self._gc_cumsum = None
         self._run_len = None
         self._next_amb = None
@@ -78,19 +82,28 @@ class FilterContext:
     @property
     def gc_cumsum(self):
         if self._gc_cumsum is None:
-            self._gc_cumsum = _gc_cumsum(self.sba)
+            if self._scans is not None:
+                self._gc_cumsum = self._scans.gc_cumsum
+            else:
+                self._gc_cumsum = _gc_cumsum(self.sba)
         return self._gc_cumsum
 
     @property
     def run_len(self):
         if self._run_len is None:
-            self._run_len = _run_lengths(self.sba)
+            if self._scans is not None:
+                self._run_len = self._scans.run_len
+            else:
+                self._run_len = _run_lengths(self.sba)
         return self._run_len
 
     @property
     def next_amb(self):
         if self._next_amb is None:
-            self._next_amb = _next_ambiguous(self.sba)
+            if self._scans is not None:
+                self._next_amb = self._scans.next_amb
+            else:
+                self._next_amb = _next_ambiguous(self.sba)
         return self._next_amb
 
 

@@ -138,11 +138,14 @@ def cap_lengths(valid_len: jax.Array, max_kmer_len) -> jax.Array:
 
 
 def _expand_strided(packed_s: jax.Array, n: int, log2_bpw: int, bits: int) -> jax.Array:
-    i = jnp.arange(n, dtype=jnp.uint32)
-    q = (i >> jnp.uint32(log2_bpw)).astype(jnp.int32)
-    r = (i & jnp.uint32((1 << log2_bpw) - 1)) * jnp.uint32(bits)
-    a = jnp.take(packed_s, q, mode="clip")
-    b = jnp.take(packed_s, q + 1, mode="clip")
+    # repeat/shift formulation, NOT a gather: jnp.take(S, i >> log2_bpw) is
+    # 12x slower on v5e (311 ms vs 25 ms at 2^24 — TPU gathers serialize,
+    # while repeat lowers to broadcast+reshape on the VPU)
+    bpw = 1 << log2_bpw
+    nw = -(-n // bpw) if n else 0
+    a = jnp.repeat(packed_s[:nw], bpw)[:n]
+    b = jnp.repeat(packed_s[1 : nw + 1], bpw)[:n]
+    r = (jnp.arange(n, dtype=jnp.uint32) & jnp.uint32(bpw - 1)) * jnp.uint32(bits)
     # guard the undefined >>32 at r == 0
     return jnp.where(r == 0, a, (a << r) | (b >> (jnp.uint32(32) - r)))
 

@@ -324,9 +324,15 @@ def _dist_group_stats_local(
     counts = clipped_counts(qualifies, clipped, max_counts_bin)
     total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
 
+    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
+
     counts = jax.lax.psum(counts, AXIS)
     total = jax.lax.psum(total, AXIS)
-    return counts, total
+    # trimmed-download digest: largest clipped bin any qualifying group
+    # lands in — every bin above it is zero, so hosts can transfer
+    # counts[:hi+1] and zero-fill (see ops/groups.group_size_histogram_trimmed)
+    hi = jax.lax.pmax(hi, AXIS)
+    return counts, total, hi
 
 
 @partial(jax.jit, static_argnames=("n_words", "max_counts_bin", "two_bit", "keep_bits", "mesh"))
@@ -344,7 +350,7 @@ def _distributed_group_hist_jit(
         ),
         mesh=mesh,
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(AXIS)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
     )
     return fn(packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split, sorted_words)
 
@@ -394,7 +400,7 @@ def distributed_group_size_histogram(
     # jit treats them as replicated host constants on every process
     max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
     split = np.uint32(strand_split) if strand_split is not None else np.uint32(0xFFFFFFFF)
-    counts, total = _distributed_group_hist_jit(
+    counts, total, _ = _distributed_group_hist_jit(
         genome,
         positions_p,
         cap_p,
@@ -426,6 +432,7 @@ def distributed_group_size_histogram_ragged(
     packed2: jax.Array | None = None,
     strand_split: int | None = None,
     sorted_words=None,
+    return_digest: bool = False,
 ):
     """Device-resident variant of ``distributed_group_size_histogram`` for
     the ragged per-shard-padded layout that
@@ -456,7 +463,7 @@ def distributed_group_size_histogram_ragged(
     genome = put_global(genome, NamedSharding(mesh, P()))
     max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
     split = np.uint32(strand_split) if strand_split is not None else np.uint32(0xFFFFFFFF)
-    return _distributed_group_hist_jit(
+    counts, total, hi = _distributed_group_hist_jit(
         genome,
         sorted_positions,
         cap_len,
@@ -471,3 +478,8 @@ def distributed_group_size_histogram_ragged(
         keep_bits,
         mesh,
     )
+    if return_digest:
+        # hi = largest clipped bin any qualifying group lands in; hosts can
+        # transfer counts[:hi+1] and zero-fill the rest
+        return counts, total, hi
+    return counts, total

@@ -121,6 +121,8 @@ class _DeviceCache:
         self._packed2 = None
         self._packed2_any = None
         self._next_amb = None
+        self._gc_cumsum = None
+        self._run_len = None
         self._is_acgt_only = None
         self._sba_dev = None
         self._seg_starts_dev = None
@@ -236,6 +238,24 @@ class _DeviceCache:
         if self._next_amb is None:
             self._next_amb = _next_ambiguous(self.sba)
         return self._next_amb
+
+    @property
+    def gc_cumsum(self):
+        """Prefix G/C counts (filter scan, cached across queries)."""
+        from .ops.filters import _gc_cumsum
+
+        if self._gc_cumsum is None:
+            self._gc_cumsum = _gc_cumsum(self.sba)
+        return self._gc_cumsum
+
+    @property
+    def run_len(self):
+        """Equal-byte run lengths (filter scan, cached across queries)."""
+        from .ops.filters import _run_lengths
+
+        if self._run_len is None:
+            self._run_len = _run_lengths(self.sba)
+        return self._run_len
 
     @property
     def seg_starts(self):
