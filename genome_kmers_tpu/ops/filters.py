@@ -384,8 +384,15 @@ class GcContentFilter(KmerFilter):
         return False
 
     def _gc_window(self, ctx):
-        """(gc count up to min(valid_len, k) bases, truncated flag) — device."""
+        """(gc count up to min(valid_len, k) bases, truncated flag) — device.
+
+        Memoized on the context: check_batch and mask_pure both need it, and
+        its two 16.7M-row gathers are the dominant cost (~150 ms each on
+        v5e)."""
         k = self.kmer_len
+        cached = getattr(ctx, "_gc_window_cache", None)
+        if cached is not None and cached[0] == k:
+            return cached[1]
         pos = ctx.positions
         vl = ctx.valid_len
         gc = ctx.gc_cumsum
@@ -393,7 +400,9 @@ class GcContentFilter(KmerFilter):
         gc_before_end = jnp.take(gc, (pos + d).astype(jnp.int32)) - jnp.take(
             gc, pos.astype(jnp.int32)
         )
-        return gc_before_end, vl < jnp.uint32(k)
+        out = (gc_before_end, vl < jnp.uint32(k))
+        ctx._gc_window_cache = (k, out)
+        return out
 
     def check_batch(self, ctx):
         k = self.kmer_len
@@ -447,13 +456,19 @@ class NoAmbiguousBasesFilter(KmerFilter):
 
     def _amb_offsets(self, ctx):
         """(first '$' offset within window (k if none), first ambiguous
-        offset within window (k if none)) — device."""
+        offset within window (k if none)) — device. Memoized on the context
+        (shared by check_batch and mask_pure; the gather dominates)."""
         k = self.kmer_len
+        cached = getattr(ctx, "_amb_offsets_cache", None)
+        if cached is not None and cached[0] == k:
+            return cached[1]
         pos = ctx.positions
         d = jnp.minimum(ctx.valid_len, jnp.uint32(k))
         na = jnp.take(ctx.next_amb, pos.astype(jnp.int32))
         a = jnp.minimum(na - pos, jnp.uint32(k))
-        return d, a
+        out = (d, a)
+        ctx._amb_offsets_cache = (k, out)
+        return out
 
     def check_batch(self, ctx):
         k = self.kmer_len

@@ -202,7 +202,10 @@ def survivor_sizes_at_boundaries(boundary: jax.Array, mask: jax.Array) -> jax.Ar
     ce = jnp.concatenate(
         [jnp.zeros(1, dtype=jnp.uint32), jnp.cumsum(mask.astype(jnp.uint32))]
     )
-    start_c = jnp.take(ce, idx.astype(jnp.int32))
+    # ce at a row's own index is a plain slice (ce[:-1]); only the group-end
+    # lookup is a real gather (TPU gathers cost ~150 ms/16.7M — halving them
+    # matters more than the code symmetry)
+    start_c = ce[:-1]
     end_c = jnp.take(ce, jnp.minimum(end, jnp.uint32(n)).astype(jnp.int32))
     return jnp.where(boundary, end_c - start_c, jnp.uint32(0))
 

@@ -164,7 +164,10 @@ def _large_stats_local(
     q_hi = jnp.where(qualifies, s_hi, jnp.uint32(0))
     q_lo = jnp.where(qualifies, s_lo, jnp.uint32(0))
     th, tl = jax.lax.associative_scan(_pair_add, (q_hi, q_lo))
-    return counts, th[-1:], tl[-1:]
+    # trimmed-download digest: largest clipped bin any qualifying group
+    # lands in, across all shards — bins above it are zero everywhere
+    hib = jax.lax.pmax(jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0))), AXIS)
+    return counts, th[-1:], tl[-1:], hib
 
 
 @partial(jax.jit, static_argnames=("kmer_len", "n_words", "max_counts_bin",
@@ -186,7 +189,7 @@ def _large_stats_jit(pos_hi, pos_lo, is_pad, genome, seg_tables, min_gs,
         body,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * 8,
-        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
     )
     return fn(pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi,
               ends_lo, min_gs, max_gs_hi, max_gs_lo)
@@ -233,15 +236,27 @@ def distributed_group_size_histogram_large_ragged(
         mgs_hi = np.uint32(int(max_group_size) >> 32)
         mgs_lo = np.uint32(int(max_group_size) & 0xFFFFFFFF)
 
-    all_counts, tot_hi, tot_lo = _large_stats_jit(
+    all_counts, tot_hi, tot_lo, hi_digest = _large_stats_jit(
         pos_hi, pos_lo, is_pad, genome, seg_tables,
         np.uint32(min_group_size), mgs_hi, mgs_lo,
         kmer_len, n_words, max_counts_bin, two_bit, mesh,
     )
     n_dev = mesh.shape[AXIS]
-    counts = (
-        np.asarray(all_counts).astype(np.uint64).reshape(n_dev, -1).sum(axis=0)
-    )
+    # trimmed download: per-shard uint32 counts stay on device (a psum could
+    # wrap uint32 in this regime); only the counts[:, :b] prefix crosses the
+    # link, b = next-pow2(hi+1) — every higher bin is zero on every shard
+    b = max_counts_bin + 1
+    hi_i = int(hi_digest)
+    if hi_i < max_counts_bin:
+        b = 8
+        while b < hi_i + 1:
+            b *= 2
+        b = min(b, max_counts_bin + 1)
+    prefix = np.asarray(
+        all_counts.reshape(n_dev, max_counts_bin + 1)[:, :b]
+    ).astype(np.uint64).sum(axis=0)
+    counts = np.zeros(max_counts_bin + 1, dtype=np.uint64)
+    counts[:b] = prefix
     hi = np.asarray(tot_hi).astype(np.uint64)
     lo = np.asarray(tot_lo).astype(np.uint64)
     total = int(((hi << np.uint64(32)) | lo).sum())
