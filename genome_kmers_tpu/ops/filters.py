@@ -131,6 +131,32 @@ def _run_lengths(sba):
 
 
 @jax.jit
+def _gc_cumsum_ranks2(packed2):
+    """``_gc_cumsum`` from per-position 2-bit packed words: each word's top
+    field is its own base's rank (A=0 C=1 G=2 T=3, '$'/past-end=0), so
+    G/C-ness is an elementwise compare — no byte SBA required."""
+    r = packed2 >> jnp.uint32(30)
+    is_gc = (r == jnp.uint32(1)) | (r == jnp.uint32(2))
+    c = jnp.cumsum(is_gc.astype(jnp.uint32))
+    return jnp.concatenate([jnp.zeros(1, dtype=jnp.uint32), c])
+
+
+@jax.jit
+def _run_lengths_ranks2(packed2, is_dollar):
+    """``_run_lengths`` from 2-bit ranks. '$' packs as rank 0 (== A), so the
+    byte semantics — a separator differs from every base and breaks runs on
+    both sides — are restored with explicit breaks at '$' rows."""
+    n = packed2.shape[0]
+    r = packed2 >> jnp.uint32(30)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    prev_r = jnp.concatenate([r[:1], r[:-1]])
+    prev_d = jnp.concatenate([is_dollar[:1], is_dollar[:-1]])
+    changed = ((r != prev_r) | is_dollar | prev_d).at[0].set(True)
+    last_change = jax.lax.cummax(jnp.where(changed, idx, jnp.uint32(0)))
+    return idx - last_change + jnp.uint32(1)
+
+
+@jax.jit
 def _next_ambiguous(sba):
     """na[i] = smallest j >= i whose byte is neither A/C/G/T nor '$' (else BIG)."""
     n = sba.shape[0]
@@ -509,6 +535,15 @@ class CrisprNggPamFilter(KmerFilter):
 
     def mask_pure(self, ctx):
         pos = ctx.positions
+        p2 = getattr(ctx._scans, "packed2", None) if ctx._scans is not None else None
+        if p2 is not None and not isinstance(pos, np.ndarray):
+            # 2-bit ranks carry base identity ('$'/past-end pack as rank 0,
+            # which is not G — same outcome as the raw-byte read); avoids
+            # uploading the byte SBA on ACGT genomes
+            g2 = jnp.uint32(2)
+            r21 = jnp.take(p2, (pos + jnp.uint32(21)).astype(jnp.int32)) >> jnp.uint32(30)
+            r22 = jnp.take(p2, (pos + jnp.uint32(22)).astype(jnp.int32)) >> jnp.uint32(30)
+            return (r21 == g2) & (r22 == g2)
         g = jnp.uint8(ord("G"))
         b21 = jnp.take(ctx.sba, (pos + jnp.uint32(21)).astype(jnp.int32))
         b22 = jnp.take(ctx.sba, (pos + jnp.uint32(22)).astype(jnp.int32))

@@ -231,30 +231,74 @@ class _DeviceCache:
         return self._packed2_any
 
     @property
+    def is_dollar(self):
+        """Device bool mask of '$' separator rows — built from the host
+        segment table (a tiny n_segments-row scatter), never from the byte
+        SBA, so scans that need it don't trigger the N-byte upload."""
+        import jax.numpy as jnp
+
+        if getattr(self, "_is_dollar", None) is None:
+            n = len(self._sba_np)
+            dollars = self._seg_starts_np[1:].astype(np.int64) - 1
+            out = jnp.zeros(n, dtype=bool)
+            if len(dollars):
+                out = out.at[jnp.asarray(dollars.astype(np.int32))].set(True)
+            self._is_dollar = out
+        return self._is_dollar
+
+    @property
     def next_amb(self):
-        """next_amb[i] = smallest j >= i with a non-ACGT, non-'$' byte."""
+        """next_amb[i] = smallest j >= i with a non-ACGT, non-'$' byte.
+
+        ACGT-only genomes have none: the scan is a constant sentinel built
+        without touching the byte SBA.
+        """
         from .ops.filters import _next_ambiguous
 
         if self._next_amb is None:
-            self._next_amb = _next_ambiguous(self.sba)
+            if self.is_acgt_only:
+                import jax.numpy as jnp
+
+                self._next_amb = jnp.full(
+                    len(self._sba_np), jnp.uint32(0xFFFFFFF0), dtype=jnp.uint32
+                )
+            else:
+                self._next_amb = _next_ambiguous(self.sba)
         return self._next_amb
 
     @property
     def gc_cumsum(self):
-        """Prefix G/C counts (filter scan, cached across queries)."""
-        from .ops.filters import _gc_cumsum
+        """Prefix G/C counts (filter scan, cached across queries).
+
+        On ACGT-only genomes this reads the 2-bit packed words (rank 1 = C,
+        2 = G sit in each word's top field; '$' packs as rank 0) instead of
+        the byte SBA — filtered queries then never upload the bytes.
+        """
+        from .ops.filters import _gc_cumsum, _gc_cumsum_ranks2
 
         if self._gc_cumsum is None:
-            self._gc_cumsum = _gc_cumsum(self.sba)
+            if self.is_acgt_only:
+                self._gc_cumsum = _gc_cumsum_ranks2(self.packed2)
+            else:
+                self._gc_cumsum = _gc_cumsum(self.sba)
         return self._gc_cumsum
 
     @property
     def run_len(self):
-        """Equal-byte run lengths (filter scan, cached across queries)."""
-        from .ops.filters import _run_lengths
+        """Equal-byte run lengths (filter scan, cached across queries).
+
+        On ACGT-only genomes runs are computed from the 2-bit ranks with
+        explicit breaks at '$' rows ('$' packs as rank 0 == A, so the byte
+        semantics — a separator breaks runs on both sides — are restored via
+        the segment table), again avoiding the byte upload.
+        """
+        from .ops.filters import _run_lengths, _run_lengths_ranks2
 
         if self._run_len is None:
-            self._run_len = _run_lengths(self.sba)
+            if self.is_acgt_only:
+                self._run_len = _run_lengths_ranks2(self.packed2, self.is_dollar)
+            else:
+                self._run_len = _run_lengths(self.sba)
         return self._run_len
 
     @property
