@@ -26,6 +26,7 @@ Exact-parity notes (verified against reference control flow):
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -170,6 +171,132 @@ def _next_ambiguous(sba):
     )
     marked = jnp.where(is_amb, idx, _BIG)
     return jax.lax.cummin(marked, reverse=True)
+
+
+# --------------------------------------------------------------------------- #
+# genome-order flag planes.
+#
+# Each filter's per-position outcome over the WHOLE genome — bit 0 = passes,
+# bit 1 = would raise — is computable with scans and fixed-offset slices
+# only (no gathers): window sums become shifted slices of prefix sums, and
+# per-segment truncation becomes a reverse cummin of the prefix value at '$'
+# rows. A filtered query then gathers ONE uint8 plane at its positions
+# instead of 2-3 uint32 gathers (TPU gathers cost ~150 ms/16.7M rows), and
+# the plane caches on the device cache across queries.
+# --------------------------------------------------------------------------- #
+
+
+def _prefix_at_next_dollar(prefix, is_dollar):
+    """v[p] = prefix[nd(p)] where nd(p) = first '$' row at/after p (or n).
+
+    ``prefix`` has length n+1 and is non-decreasing, so the value at the
+    nearest following '$' is a reverse cummin over the '$'-row values.
+    """
+    n = is_dollar.shape[0]
+    v = jnp.where(is_dollar, prefix[:n], jnp.uint32(0xFFFFFFFF))
+    vv = jnp.concatenate([v, prefix[n:]])
+    return jax.lax.cummin(vv, reverse=True)[:n]
+
+
+def _pad_prefix(prefix, k: int):
+    """prefix (length n+1) extended so prefix_pad[j] = prefix[min(j, n)] for
+    j up to n + k — turns clamped lookups into plain shifted slices."""
+    return jnp.concatenate([prefix, jnp.broadcast_to(prefix[-1:], (k,))])
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _gc_flags_genome(gc_cumsum, is_dollar, vl_g, min_c, max_c, k):
+    """GC filter flag plane. gc_end[p] = G/C count in the first
+    min(k, bases-to-segment-end) bases = min(ce[p+k], ce[nd(p)]) - ce[p]."""
+    n = is_dollar.shape[0]
+    ce = gc_cumsum
+    ce_pk = _pad_prefix(ce, k)[k : k + n]
+    ce_nd = _prefix_at_next_dollar(ce, is_dollar)
+    gc_end = jnp.minimum(ce_pk, ce_nd) - ce[:n]
+    trunc = vl_g < jnp.uint32(k)
+    ok = (gc_end >= min_c) & (gc_end <= max_c)
+    mask = (~trunc) & ok
+    raises = trunc & (gc_end <= max_c)
+    return mask.astype(jnp.uint8) | (raises.astype(jnp.uint8) << 1)
+
+
+@partial(jax.jit, static_argnames=("k", "max_h"))
+def _homopolymer_flags_genome(run_len, vl_g, k, max_h):
+    """Homopolymer flag plane for k >= max_h (shorter k short-circuits to
+    True before any '$' scan, reference kmers.py:66-74)."""
+    n = run_len.shape[0]
+    bad = (run_len > jnp.uint32(max_h)).astype(jnp.uint32)
+    cs = jnp.concatenate([jnp.zeros(1, dtype=jnp.uint32), jnp.cumsum(bad)])
+    cs_pad = _pad_prefix(cs, k)
+    hi = cs_pad[k : k + n]        # cs[min(p + k, n)]
+    lo = cs_pad[max_h : max_h + n]  # cs[min(p + max_h, n)]
+    any_bad = hi > lo  # prefix sums are monotone, so > replaces subtraction
+    mask = ~any_bad
+    raises = vl_g < jnp.uint32(k)
+    return mask.astype(jnp.uint8) | (raises.astype(jnp.uint8) << 1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _no_ambiguous_flags_genome(next_amb, vl_g, k):
+    """No-ambiguous flag plane. bit 1 = '$' reached before any ambiguous
+    base (raises); overflow past the array end is checked separately per
+    row (different message, checked first — reference kmers.py:216-227)."""
+    n = next_amb.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    d = jnp.minimum(vl_g, jnp.uint32(k))
+    a = jnp.minimum(next_amb - idx, jnp.uint32(k))
+    mask = a >= jnp.uint32(k)
+    raises = (d < jnp.uint32(k)) & (d < a)
+    return mask.astype(jnp.uint8) | (raises.astype(jnp.uint8) << 1)
+
+
+@jax.jit
+def _crispr_flags_genome(packed2):
+    """CRISPR NGG plane from 2-bit ranks: base p's rank is word p's top
+    field; positions past the end read rank 0 (not G) — the raw-byte read
+    the reference does never sees those rows because the overflow check
+    raises first."""
+    n = packed2.shape[0]
+    r = packed2 >> jnp.uint32(30)
+    rpad = jnp.concatenate([r, jnp.zeros(23, dtype=r.dtype)])
+    g = jnp.uint32(2)
+    mask = (rpad[21 : 21 + n] == g) & (rpad[22 : 22 + n] == g)
+    return mask.astype(jnp.uint8)
+
+
+@jax.jit
+def _crispr_flags_genome_bytes(sba):
+    """Byte-SBA variant of the CRISPR plane (IUPAC genomes)."""
+    n = sba.shape[0]
+    pad = jnp.concatenate([sba, jnp.zeros(23, dtype=sba.dtype)])
+    g = jnp.uint8(ord("G"))
+    mask = (pad[21 : 21 + n] == g) & (pad[22 : 22 + n] == g)
+    return mask.astype(jnp.uint8)
+
+
+def _genome_flags(ctx: FilterContext, key, build):
+    """Cached genome-order flag plane gathered at ctx.positions, or None
+    when the context can't support it (host-array/mesh contexts, or no
+    device-cache scans). The plane caches on the device cache across
+    queries; the gathered rows memoize on the context (check_batch and
+    mask_pure share them)."""
+    scans = ctx._scans
+    if scans is None or isinstance(ctx.positions, np.ndarray):
+        return None
+    store = getattr(scans, "filter_flags", None)
+    if store is None:
+        return None
+    hit = getattr(ctx, "_flags_rows_cache", None)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    if key not in store:
+        try:
+            store[key] = build(scans)
+        except Exception:
+            return None
+    rows = jnp.take(store[key], ctx.positions.astype(jnp.int32), mode="clip")
+    ctx._flags_rows_cache = (key, rows)
+    return rows
 
 
 def _any_row(ctx: FilterContext, cond) -> bool:
@@ -319,6 +446,17 @@ class HomopolymerFilter(KmerFilter):
                 size = 1
         return True
 
+    def _flags(self, ctx):
+        k, max_h = self.kmer_len, self.max_homopolymer_size
+        if k < max_h:
+            return None
+        return _genome_flags(
+            ctx, ("homopoly", k, max_h),
+            lambda sc: _homopolymer_flags_genome(
+                sc.run_len, sc.valid_len_genome, k, max_h
+            ),
+        )
+
     def check_batch(self, ctx):
         k, max_h = self.kmer_len, self.max_homopolymer_size
         # Overflow past the array end always raises; a '$' inside the window
@@ -328,7 +466,11 @@ class HomopolymerFilter(KmerFilter):
         if k < max_h:
             cond = _overflow_cond(ctx, k - 1)
         else:
-            cond = ctx.valid_len < np.uint32(k)
+            fl = self._flags(ctx)
+            if fl is not None:
+                cond = (fl & jnp.uint8(2)) != 0
+            else:
+                cond = ctx.valid_len < np.uint32(k)
         bad = _first_true_pos(ctx, cond)
         if bad is not None:
             raise ValueError(
@@ -339,6 +481,9 @@ class HomopolymerFilter(KmerFilter):
         k, max_h = self.kmer_len, self.max_homopolymer_size
         if k < max_h:
             return jnp.ones(ctx.positions.shape[0], dtype=bool)
+        fl = self._flags(ctx)
+        if fl is not None:
+            return (fl & jnp.uint8(1)) != 0
         return _homopolymer_mask(ctx.run_len, ctx.positions, k, max_h)
 
 
@@ -430,14 +575,32 @@ class GcContentFilter(KmerFilter):
         ctx._gc_window_cache = (k, out)
         return out
 
+    def _flags(self, ctx):
+        k = self.kmer_len
+        key = ("gc", k, self.min_allowed_gc_count, self.max_allowed_gc_count)
+        mn = jnp.uint32(self.min_allowed_gc_count)
+        mx = jnp.uint32(self.max_allowed_gc_count)
+        return _genome_flags(
+            ctx, key,
+            lambda sc: _gc_flags_genome(
+                sc.gc_cumsum, sc.is_dollar, sc.valid_len_genome, mn, mx, k
+            ),
+        )
+
     def check_batch(self, ctx):
         k = self.kmer_len
         if self.max_allowed_gc_count < self.min_allowed_gc_count:
             return
         # A k-mer that hits '$'/array-end raises only if its GC count did not
         # exceed the max first (reference scans left to right, kmers.py:170-185).
-        gc_before_end, truncated = self._gc_window(ctx)
-        raises = truncated & (gc_before_end <= jnp.uint32(self.max_allowed_gc_count))
+        fl = self._flags(ctx)
+        if fl is not None:
+            raises = (fl & jnp.uint8(2)) != 0
+        else:
+            gc_before_end, truncated = self._gc_window(ctx)
+            raises = truncated & (
+                gc_before_end <= jnp.uint32(self.max_allowed_gc_count)
+            )
         bad = _first_true_pos(ctx, raises)
         if bad is not None:
             raise ValueError(
@@ -447,6 +610,9 @@ class GcContentFilter(KmerFilter):
     def mask_pure(self, ctx):
         if self.max_allowed_gc_count < self.min_allowed_gc_count:
             return jnp.zeros(ctx.positions.shape[0], dtype=bool)
+        fl = self._flags(ctx)
+        if fl is not None:
+            return (fl & jnp.uint8(1)) != 0
         count, truncated = self._gc_window(ctx)  # count == full-window count where not truncated
         return (
             (~truncated)
@@ -496,18 +662,34 @@ class NoAmbiguousBasesFilter(KmerFilter):
         ctx._amb_offsets_cache = (k, out)
         return out
 
+    def _flags(self, ctx):
+        k = self.kmer_len
+        return _genome_flags(
+            ctx, ("noamb", k),
+            lambda sc: _no_ambiguous_flags_genome(
+                sc.next_amb, sc.valid_len_genome, k
+            ),
+        )
+
     def check_batch(self, ctx):
         k = self.kmer_len
         if ctx.positions.shape[0] and _any_row(ctx, _overflow_cond(ctx, k - 1)):
             raise ValueError(f"kmer_len ({k}) is invalid. It extends beyond len(sba)")
         # A '$' found before an ambiguous base raises; an ambiguous base found
         # first just fails the k-mer (reference kmers.py:216-227).
-        d, a = self._amb_offsets(ctx)
-        raises = (d < jnp.uint32(k)) & (d < a)
+        fl = self._flags(ctx)
+        if fl is not None:
+            raises = (fl & jnp.uint8(2)) != 0
+        else:
+            d, a = self._amb_offsets(ctx)
+            raises = (d < jnp.uint32(k)) & (d < a)
         if _any_row(ctx, raises):
             raise ValueError(f"end of segment was reached. kmer_len ({k}) invalid.")
 
     def mask_pure(self, ctx):
+        fl = self._flags(ctx)
+        if fl is not None:
+            return (fl & jnp.uint8(1)) != 0
         _, a = self._amb_offsets(ctx)
         return a >= jnp.uint32(self.kmer_len)
 
@@ -533,17 +715,23 @@ class CrisprNggPamFilter(KmerFilter):
         if ctx.positions.shape[0] and _any_row(ctx, _overflow_cond(ctx, 22)):
             raise ValueError("The guide defined at this start index extends beyond the sba")
 
-    def mask_pure(self, ctx):
-        pos = ctx.positions
-        p2 = getattr(ctx._scans, "packed2", None) if ctx._scans is not None else None
-        if p2 is not None and not isinstance(pos, np.ndarray):
+    def _flags(self, ctx):
+        def build(sc):
             # 2-bit ranks carry base identity ('$'/past-end pack as rank 0,
-            # which is not G — same outcome as the raw-byte read); avoids
-            # uploading the byte SBA on ACGT genomes
-            g2 = jnp.uint32(2)
-            r21 = jnp.take(p2, (pos + jnp.uint32(21)).astype(jnp.int32)) >> jnp.uint32(30)
-            r22 = jnp.take(p2, (pos + jnp.uint32(22)).astype(jnp.int32)) >> jnp.uint32(30)
-            return (r21 == g2) & (r22 == g2)
+            # not G — same outcome as the raw-byte read, whose out-of-range
+            # rows raise in check_batch before any mask is consumed); the
+            # byte plane serves IUPAC genomes
+            if getattr(sc, "packed2", None) is not None:
+                return _crispr_flags_genome(sc.packed2)
+            return _crispr_flags_genome_bytes(sc.sba)
+
+        return _genome_flags(ctx, ("crispr",), build)
+
+    def mask_pure(self, ctx):
+        fl = self._flags(ctx)
+        if fl is not None:
+            return (fl & jnp.uint8(1)) != 0
+        pos = ctx.positions
         g = jnp.uint8(ord("G"))
         b21 = jnp.take(ctx.sba, (pos + jnp.uint32(21)).astype(jnp.int32))
         b22 = jnp.take(ctx.sba, (pos + jnp.uint32(22)).astype(jnp.int32))

@@ -194,20 +194,18 @@ def survivor_sizes_at_boundaries(boundary: jax.Array, mask: jax.Array) -> jax.Ar
     filtered query). Groups with zero survivors never existed for the walk:
     callers must require surv >= 1 to qualify.
     """
-    n = boundary.shape[0]
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    marked = jnp.where(boundary, idx, jnp.uint32(n))
-    nxt = jnp.concatenate([marked[1:], jnp.array([n], dtype=jnp.uint32)])
-    end = jax.lax.cummin(nxt, reverse=True)  # one past each group's last row
-    ce = jnp.concatenate(
-        [jnp.zeros(1, dtype=jnp.uint32), jnp.cumsum(mask.astype(jnp.uint32))]
-    )
-    # ce at a row's own index is a plain slice (ce[:-1]); only the group-end
-    # lookup is a real gather (TPU gathers cost ~150 ms/16.7M — halving them
-    # matters more than the code symmetry)
-    start_c = ce[:-1]
-    end_c = jnp.take(ce, jnp.minimum(end, jnp.uint32(n)).astype(jnp.int32))
-    return jnp.where(boundary, end_c - start_c, jnp.uint32(0))
+    # gather-free: survivors-before-row (exclusive cumsum) is non-decreasing,
+    # so its value at each group's END (= the next boundary row, or n)
+    # propagates backward with one reverse cummin — TPU gathers cost
+    # ~150 ms/16.7M rows, scans are ~10x cheaper
+    m = mask.astype(jnp.uint32)
+    ci = jnp.cumsum(m)
+    ce_excl = ci - m  # survivors strictly before each row
+    total = ci[-1:]
+    marked = jnp.where(boundary, ce_excl, jnp.uint32(0xFFFFFFFF))
+    nxt = jnp.concatenate([marked[1:], total])
+    end_c = jax.lax.cummin(nxt, reverse=True)
+    return jnp.where(boundary, end_c - ce_excl, jnp.uint32(0))
 
 
 @partial(jax.jit, static_argnames=("max_counts_bin",))

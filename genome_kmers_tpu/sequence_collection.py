@@ -124,6 +124,10 @@ class _DeviceCache:
         self._gc_cumsum = None
         self._run_len = None
         self._is_acgt_only = None
+        self._vl_genome = None
+        # genome-order filter flag planes, keyed by (filter, params, k) —
+        # built once per strand, reused across queries (ops/filters.py)
+        self.filter_flags = {}
         self._sba_dev = None
         self._seg_starts_dev = None
         self._seg_ends_dev = None
@@ -229,6 +233,22 @@ class _DeviceCache:
         if self._packed2_any is None:
             self._packed2_any = pack_rank2_words(self.sba)
         return self._packed2_any
+
+    @property
+    def valid_len_genome(self):
+        """Bases to segment end for EVERY genome position (garbage at '$'
+        rows, which no k-mer position ever references) — the genome-order
+        input the filter flag planes slice against."""
+        from .ops.keys import compute_valid_len
+
+        if self._vl_genome is None:
+            import jax.numpy as jnp
+
+            n = len(self._sba_np)
+            self._vl_genome = compute_valid_len(
+                jnp.arange(n, dtype=jnp.uint32), self.seg_starts, self.seg_ends
+            )
+        return self._vl_genome
 
     @property
     def is_dollar(self):
