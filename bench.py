@@ -18,7 +18,9 @@ t_chain / CHAIN amortizes that to <1%.
 
 Env overrides: GKT_BENCH_BP (default 2**24), GKT_BENCH_K (default 31),
 GKT_BENCH_REPS (default 3), GKT_BENCH_CHAIN (default 3), GKT_BENCH_LARGE
-(default 1: also measure BP=2**27 — the scaling cliff track; 0 to skip).
+(default 1: also measure BP=2**27 — the scaling cliff track; 0 to skip),
+GKT_BENCH_FILTERED (default 1: also measure the warm GC-filtered
+group-count query through the public API; 0 to skip).
 The default size matches per-chip shard granularity in multi-chip production
 runs (a 3.1-Gbp genome over a v5p-16 gives ~16M-kmer shards); measured
 single-chip scaling: ~43M kmers/s at 2^24 kmers, ~16M at 2^27 (lax.sort is
@@ -88,6 +90,35 @@ def measure(n_bp: int, k: int, reps: int, chain: int) -> float:
     return n_kmers / float(np.median(times))
 
 
+def measure_filtered(n_bp: int, k: int, reps: int) -> float:
+    """Median filtered group-count query time through the PUBLIC API (warm).
+
+    Measures the marginal cost of ``get_kmer_group_counts(k, GC filter)`` on
+    an already-sorted index: genome-order flag plane cached on the device
+    cache (ops/filters.py), so each query is one uint8 gather + survivor
+    stats + the trimmed digest download. Returns kmers/s (n_kmers / t)."""
+    from genome_kmers_tpu import Kmers, SequenceCollection
+    from genome_kmers_tpu.ops.filters import GcContentFilter
+
+    rng = np.random.default_rng(0)
+    ranks = rng.integers(0, 4, n_bp).astype(np.uint8)
+    seq = np.frombuffer(b"ACGT", dtype=np.uint8)[ranks].tobytes().decode("ascii")
+    sc = SequenceCollection(sequence_list=[("chr1", seq)], strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=k, max_kmer_len=k)
+    km.sort()
+    filt = GcContentFilter(0.3, 0.7, k)
+    n_kmers = n_bp - k + 1
+
+    km.get_kmer_group_counts(k, kmer_filter_func=filt)  # compile + plane build
+    km.get_kmer_group_counts(k, kmer_filter_func=filt)  # steady-state warmup
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        km.get_kmer_group_counts(k, kmer_filter_func=filt)
+        times.append(time.perf_counter() - t0)
+    return n_kmers / float(np.median(times))
+
+
 def main():
     n_bp = int(os.environ.get("GKT_BENCH_BP", 2**24))
     k = int(os.environ.get("GKT_BENCH_K", 31))
@@ -136,6 +167,19 @@ def main():
             }
         except Exception as e:  # never lose the headline line to the cliff
             out["large_n"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # filtered track: steady-state filtered group-count query (public API,
+    # cached flag plane) — the measured win of the one-gather filter design
+    if os.environ.get("GKT_BENCH_FILTERED", "1") != "0":
+        try:
+            filt = measure_filtered(n_bp, k, max(1, reps - 1))
+            out["filtered"] = {
+                "bp": n_bp,
+                "value": round(filt, 1),
+                "unit": "kmers/s/chip (GC-filtered group counts, warm query)",
+            }
+        except Exception as e:
+            out["filtered"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps(out))
 

@@ -163,11 +163,55 @@ def fig_unique_vs_k():
     print("wrote docs/resources/unique_vs_k.png")
 
 
+def fig_group_size_dist():
+    """k=31 group-size distribution of the planted-repeat chr21-scale genome
+    (tools/run_applications.py --app group_size_dist output) — the analog of
+    the reference's GRCh38 figure (docs/resources/
+    GRCh38.p14-kmer-group-size-dist.png), whose signature is the heavy
+    repeat tail on log-log axes."""
+    path = os.path.join(CSV_DIR, "v5e-chr21-group_size_dist.csv")
+    if not os.path.exists(path):
+        print("skip group-size-dist figure (no v5e-chr21-group_size_dist.csv yet)")
+        return
+    rows = _read("v5e-chr21-group_size_dist.csv")
+    size = [int(r["group_size"]) for r in rows]
+    count = [int(r["num_groups"]) for r in rows]
+
+    fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=150)
+    ax.scatter(size, count, s=12, color=BLUE, linewidths=0)
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    _style(
+        ax,
+        "k=31 group-size distribution — 46 Mbp with planted repeat families",
+        "group size (occurrences of a distinct 31-mer, log)",
+        "number of groups (log)",
+    )
+    # selective direct labels: the unique head and the repeat tail
+    ax.annotate(
+        f"unique: {count[0]:,}",
+        (size[0], count[0]),
+        textcoords="offset points", xytext=(8, -3), color=INK, fontsize=9,
+    )
+    i_tail = max(range(len(size)), key=lambda i: size[i])
+    ax.annotate(
+        "repeat families",
+        (size[i_tail], count[i_tail]),
+        textcoords="offset points", xytext=(-8, 8), ha="right",
+        color=INK, fontsize=9,
+    )
+    fig.tight_layout()
+    fig.savefig(os.path.join(OUT_DIR, "group_size_dist.png"))
+    plt.close(fig)
+    print("wrote docs/resources/group_size_dist.png")
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     fig_sort_scaling()
     fig_ingest()
     fig_unique_vs_k()
+    fig_group_size_dist()
 
 
 if __name__ == "__main__":
