@@ -42,3 +42,54 @@ for seed in range(500, 500 + N_DIST):
     if not np.array_equal(got, truth):
         print("DFAIL", seed, min_k, max_k); dfails += 1
 print(f"distributed soak (incl. suffix/long-k): {N_DIST-dfails}/{N_DIST} ok")
+
+# filtered-stats soak: random library filters vs the scalar-oracle walk
+# (flag-plane path engaged through the public API; raise parity included)
+N_FILT = int(_sys.argv[3]) if len(_sys.argv) > 3 else 60
+from oracle import expected_hist
+from genome_kmers_tpu.ops.filters import (
+    GcContentFilter, HomopolymerFilter, NoAmbiguousBasesFilter,
+)
+
+ffails = 0
+for seed in range(900, 900 + N_FILT):
+    seq_list, min_k, max_k = random_case(seed)
+    sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=min_k, max_kmer_len=max_k); km.sort()
+    rng = np.random.default_rng(seed * 7 + 1)
+    hi = max_k if max_k is not None else min(len(s) for _, s in seq_list)
+    k = int(rng.integers(min_k, hi + 1))
+    which = seed % 3
+    if which == 0:
+        lo_f, hi_f = sorted(rng.random(2))
+        filt = GcContentFilter(float(lo_f), float(hi_f), k)
+    elif which == 1:
+        filt = HomopolymerFilter(int(rng.integers(1, k + 2)), k)
+    else:
+        filt = NoAmbiguousBasesFilter(k)
+    sba = km._host_sba()
+    _, _, sorted_kmers, _ = expected_kmers(seq_list, min_k, max_k)
+    sorted_pos = list(km.kmer_sba_start_indices)
+
+    exp_err = got_err = None
+    exp = got = None
+    try:
+        # the oracle evaluates the scalar filter at every sorted position;
+        # truncation raises exactly where the reference's walk would
+        keep_mask = [None] * len(sorted_pos)
+        for i, p in enumerate(sorted_pos):
+            keep_mask[i] = bool(filt(sba, "+", int(p)))
+        exp = expected_hist(sorted_kmers, k, keep=lambda i: keep_mask[i])
+    except ValueError as e:
+        exp_err = str(e)
+    try:
+        got = km.get_kmer_group_counts(k, kmer_filter_func=filt)
+    except ValueError as e:
+        got_err = str(e)
+    ok = (exp_err == got_err) if (exp_err or got_err) else (
+        np.array_equal(np.asarray(got[0], dtype=np.int64), exp[0])
+        and int(got[1]) == int(exp[1])
+    )
+    if not ok:
+        print("FFAIL", seed, type(filt).__name__, k, exp_err, got_err); ffails += 1
+print(f"filtered soak: {N_FILT-ffails}/{N_FILT} ok")
