@@ -1509,12 +1509,29 @@ class Kmers:
                 kmer_filter_func.check_batch(ctx_check)
                 # device mask over the sharded rows; survivors of a sorted
                 # sequence stay sorted, so no re-sort — just re-compact pads
-                # to each shard's tail (the stats' layout invariant)
-                sba_rep = put_global(dc.sba, NamedSharding(mesh, P()))
-                ctx_mask = FilterContext(
-                    self._host_sba(), rag_pos, valid_len, sba_dev=sba_rep
-                )
-                mask = kmer_filter_func.mask_pure(ctx_mask)
+                # to each shard's tail (the stats' layout invariant).
+                # Library filters with a flag-plane form replicate the
+                # N-byte plane (built/cached on the single-device cache)
+                # and gather bit 0 at the sharded rows — one uint8 gather
+                # instead of the window kernels' 2-3 uint32 gathers
+                from .ops.filters import flag_plane
+
+                mask = None
+                spec = kmer_filter_func._plane_spec()
+                if spec is not None:
+                    plane = flag_plane(dc, spec[0], spec[1])
+                    if plane is not None:
+                        plane_rep = put_global(plane, NamedSharding(mesh, P()))
+                        rows = jnp.take(
+                            plane_rep, rag_pos.astype(jnp.int32), mode="clip"
+                        )
+                        mask = (rows & jnp.uint8(1)) != 0
+                if mask is None:
+                    sba_rep = put_global(dc.sba, NamedSharding(mesh, P()))
+                    ctx_mask = FilterContext(
+                        self._host_sba(), rag_pos, valid_len, sba_dev=sba_rep
+                    )
+                    mask = kmer_filter_func.mask_pure(ctx_mask)
                 new_pad = jnp.where(mask, rag_pad, jnp.uint32(1))
                 rag_pos, rag_pad = compact_ragged(rag_pos, new_pad, mesh)
         else:

@@ -274,27 +274,40 @@ def _crispr_flags_genome_bytes(sba):
     return mask.astype(jnp.uint8)
 
 
-def _genome_flags(ctx: FilterContext, key, build):
-    """Cached genome-order flag plane gathered at ctx.positions, or None
-    when the context can't support it (host-array/mesh contexts, or no
-    device-cache scans). The plane caches on the device cache across
-    queries; the gathered rows memoize on the context (check_batch and
-    mask_pure share them)."""
-    scans = ctx._scans
-    if scans is None or isinstance(ctx.positions, np.ndarray):
+def flag_plane(scans, key, build):
+    """Build (or fetch) a filter's cached genome-order flag plane on a
+    scans provider (the SequenceCollection device cache). Returns the uint8
+    plane, or None when the provider can't support it. The mesh path calls
+    this directly and replicates the N-byte plane over the mesh — still
+    cheaper than the 2-3 uint32 gathers the window kernels cost."""
+    if scans is None:
         return None
     store = getattr(scans, "filter_flags", None)
     if store is None:
         return None
-    hit = getattr(ctx, "_flags_rows_cache", None)
-    if hit is not None and hit[0] == key:
-        return hit[1]
     if key not in store:
         try:
             store[key] = build(scans)
         except Exception:
             return None
-    rows = jnp.take(store[key], ctx.positions.astype(jnp.int32), mode="clip")
+    return store[key]
+
+
+def _genome_flags(ctx: FilterContext, key, build):
+    """Cached genome-order flag plane gathered at ctx.positions, or None
+    when the context can't support it (host-array contexts, or no
+    device-cache scans). The plane caches on the device cache across
+    queries; the gathered rows memoize on the context (check_batch and
+    mask_pure share them)."""
+    if isinstance(ctx.positions, np.ndarray):
+        return None
+    hit = getattr(ctx, "_flags_rows_cache", None)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    plane = flag_plane(ctx._scans, key, build)
+    if plane is None:
+        return None
+    rows = jnp.take(plane, ctx.positions.astype(jnp.int32), mode="clip")
     ctx._flags_rows_cache = (key, rows)
     return rows
 
@@ -366,6 +379,18 @@ class KmerFilter:
     def batch_mask(self, ctx: FilterContext):
         self.check_batch(ctx)
         return self.mask_pure(ctx)
+
+    def _plane_spec(self):
+        """(cache key, scans -> uint8 plane builder) for this filter's
+        genome-order flag plane, or None when the filter has no plane form
+        (bit 0 = position passes, bit 1 = position would raise)."""
+        return None
+
+    def _flags(self, ctx):
+        spec = self._plane_spec()
+        if spec is None:
+            return None
+        return _genome_flags(ctx, spec[0], spec[1])
 
 
 class KeepAllFilter(KmerFilter):
@@ -446,15 +471,12 @@ class HomopolymerFilter(KmerFilter):
                 size = 1
         return True
 
-    def _flags(self, ctx):
+    def _plane_spec(self):
         k, max_h = self.kmer_len, self.max_homopolymer_size
         if k < max_h:
             return None
-        return _genome_flags(
-            ctx, ("homopoly", k, max_h),
-            lambda sc: _homopolymer_flags_genome(
-                sc.run_len, sc.valid_len_genome, k, max_h
-            ),
+        return ("homopoly", k, max_h), lambda sc: _homopolymer_flags_genome(
+            sc.run_len, sc.valid_len_genome, k, max_h
         )
 
     def check_batch(self, ctx):
@@ -575,16 +597,13 @@ class GcContentFilter(KmerFilter):
         ctx._gc_window_cache = (k, out)
         return out
 
-    def _flags(self, ctx):
+    def _plane_spec(self):
         k = self.kmer_len
         key = ("gc", k, self.min_allowed_gc_count, self.max_allowed_gc_count)
         mn = jnp.uint32(self.min_allowed_gc_count)
         mx = jnp.uint32(self.max_allowed_gc_count)
-        return _genome_flags(
-            ctx, key,
-            lambda sc: _gc_flags_genome(
-                sc.gc_cumsum, sc.is_dollar, sc.valid_len_genome, mn, mx, k
-            ),
+        return key, lambda sc: _gc_flags_genome(
+            sc.gc_cumsum, sc.is_dollar, sc.valid_len_genome, mn, mx, k
         )
 
     def check_batch(self, ctx):
@@ -662,13 +681,10 @@ class NoAmbiguousBasesFilter(KmerFilter):
         ctx._amb_offsets_cache = (k, out)
         return out
 
-    def _flags(self, ctx):
+    def _plane_spec(self):
         k = self.kmer_len
-        return _genome_flags(
-            ctx, ("noamb", k),
-            lambda sc: _no_ambiguous_flags_genome(
-                sc.next_amb, sc.valid_len_genome, k
-            ),
+        return ("noamb", k), lambda sc: _no_ambiguous_flags_genome(
+            sc.next_amb, sc.valid_len_genome, k
         )
 
     def check_batch(self, ctx):
@@ -715,7 +731,7 @@ class CrisprNggPamFilter(KmerFilter):
         if ctx.positions.shape[0] and _any_row(ctx, _overflow_cond(ctx, 22)):
             raise ValueError("The guide defined at this start index extends beyond the sba")
 
-    def _flags(self, ctx):
+    def _plane_spec(self):
         def build(sc):
             # 2-bit ranks carry base identity ('$'/past-end pack as rank 0,
             # not G — same outcome as the raw-byte read, whose out-of-range
@@ -725,7 +741,7 @@ class CrisprNggPamFilter(KmerFilter):
                 return _crispr_flags_genome(sc.packed2)
             return _crispr_flags_genome_bytes(sc.sba)
 
-        return _genome_flags(ctx, ("crispr",), build)
+        return ("crispr",), build
 
     def mask_pure(self, ctx):
         fl = self._flags(ctx)

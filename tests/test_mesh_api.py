@@ -104,6 +104,11 @@ class TestComposedPipeline:
         assert km_mesh.get_kmer_count(k, kmer_filter_func=f, mesh=mesh8) == (
             km_chip.get_kmer_count(k, kmer_filter_func=f)
         )
+        # the mesh path served the mask from the replicated flag plane
+        # (built/cached on the device cache), not the window kernels
+        spec = f._plane_spec()
+        if spec is not None:
+            assert spec[0] in km_mesh._dc().filter_flags, name
 
     def test_crispr_filter_on_mesh(self, mesh8, monkeypatch):
         seq_list = [("c1", random_seq(900, 41))]
