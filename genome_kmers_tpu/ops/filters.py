@@ -158,6 +158,49 @@ def _run_lengths_ranks2(packed2, is_dollar):
 
 
 @jax.jit
+def _gc_cumsum_ranks4(packed):
+    """``_gc_cumsum`` from per-position 4-bit packed words (each word's top
+    nibble is its own byte's rank; ranks are ASCII-ordered over
+    ops/encoding.ALLOWED_CHARS, so C=3 and G=5) — IUPAC genomes get their
+    filter scans without uploading the byte SBA."""
+    r = packed >> jnp.uint32(28)
+    is_gc = (r == jnp.uint32(3)) | (r == jnp.uint32(5))
+    c = jnp.cumsum(is_gc.astype(jnp.uint32))
+    return jnp.concatenate([jnp.zeros(1, dtype=jnp.uint32), c])
+
+
+@jax.jit
+def _run_lengths_ranks4(packed):
+    """``_run_lengths`` from 4-bit ranks. Unlike the 2-bit case, ranks are a
+    bijection of the allowed bytes ('$' = rank 0 is its own symbol), so
+    adjacent-rank equality IS adjacent-byte equality — no '$' special case."""
+    n = packed.shape[0]
+    r = packed >> jnp.uint32(28)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    prev = jnp.concatenate([r[:1], r[:-1]])
+    changed = (r != prev).at[0].set(True)
+    last_change = jax.lax.cummax(jnp.where(changed, idx, jnp.uint32(0)))
+    return idx - last_change + jnp.uint32(1)
+
+
+@jax.jit
+def _next_ambiguous_ranks4(packed):
+    """``_next_ambiguous`` from 4-bit ranks (A=1, C=3, G=5, T=12, '$'=0)."""
+    n = packed.shape[0]
+    r = packed >> jnp.uint32(28)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    is_amb = ~(
+        (r == jnp.uint32(1))
+        | (r == jnp.uint32(3))
+        | (r == jnp.uint32(5))
+        | (r == jnp.uint32(12))
+        | (r == jnp.uint32(0))
+    )
+    marked = jnp.where(is_amb, idx, _BIG)
+    return jax.lax.cummin(marked, reverse=True)
+
+
+@jax.jit
 def _next_ambiguous(sba):
     """na[i] = smallest j >= i whose byte is neither A/C/G/T nor '$' (else BIG)."""
     n = sba.shape[0]
@@ -260,6 +303,18 @@ def _crispr_flags_genome(packed2):
     r = packed2 >> jnp.uint32(30)
     rpad = jnp.concatenate([r, jnp.zeros(23, dtype=r.dtype)])
     g = jnp.uint32(2)
+    mask = (rpad[21 : 21 + n] == g) & (rpad[22 : 22 + n] == g)
+    return mask.astype(jnp.uint8)
+
+
+@jax.jit
+def _crispr_flags_genome_ranks4(packed):
+    """CRISPR NGG plane from 4-bit ranks (G = rank 5; '$'/past-end = 0) —
+    the IUPAC-genome variant that skips the byte-SBA upload."""
+    n = packed.shape[0]
+    r = packed >> jnp.uint32(28)
+    rpad = jnp.concatenate([r, jnp.zeros(23, dtype=r.dtype)])
+    g = jnp.uint32(5)
     mask = (rpad[21 : 21 + n] == g) & (rpad[22 : 22 + n] == g)
     return mask.astype(jnp.uint8)
 
@@ -733,12 +788,14 @@ class CrisprNggPamFilter(KmerFilter):
 
     def _plane_spec(self):
         def build(sc):
-            # 2-bit ranks carry base identity ('$'/past-end pack as rank 0,
+            # packed ranks carry base identity ('$'/past-end pack as rank 0,
             # not G — same outcome as the raw-byte read, whose out-of-range
-            # rows raise in check_batch before any mask is consumed); the
-            # byte plane serves IUPAC genomes
+            # rows raise in check_batch before any mask is consumed); 2-bit
+            # on ACGT genomes, 4-bit on IUPAC, bytes as the last resort
             if getattr(sc, "packed2", None) is not None:
                 return _crispr_flags_genome(sc.packed2)
+            if getattr(sc, "packed", None) is not None:
+                return _crispr_flags_genome_ranks4(sc.packed)
             return _crispr_flags_genome_bytes(sc.sba)
 
         return ("crispr",), build

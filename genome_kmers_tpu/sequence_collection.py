@@ -273,7 +273,7 @@ class _DeviceCache:
         ACGT-only genomes have none: the scan is a constant sentinel built
         without touching the byte SBA.
         """
-        from .ops.filters import _next_ambiguous
+        from .ops.filters import _next_ambiguous_ranks4
 
         if self._next_amb is None:
             if self.is_acgt_only:
@@ -283,7 +283,9 @@ class _DeviceCache:
                     len(self._sba_np), jnp.uint32(0xFFFFFFF0), dtype=jnp.uint32
                 )
             else:
-                self._next_amb = _next_ambiguous(self.sba)
+                # 4-bit ranks (strided upload, N/2 bytes) instead of the
+                # byte SBA — IUPAC genomes share the sort's own pack
+                self._next_amb = _next_ambiguous_ranks4(self.packed)
         return self._next_amb
 
     @property
@@ -294,13 +296,13 @@ class _DeviceCache:
         2 = G sit in each word's top field; '$' packs as rank 0) instead of
         the byte SBA — filtered queries then never upload the bytes.
         """
-        from .ops.filters import _gc_cumsum, _gc_cumsum_ranks2
+        from .ops.filters import _gc_cumsum_ranks2, _gc_cumsum_ranks4
 
         if self._gc_cumsum is None:
             if self.is_acgt_only:
                 self._gc_cumsum = _gc_cumsum_ranks2(self.packed2)
             else:
-                self._gc_cumsum = _gc_cumsum(self.sba)
+                self._gc_cumsum = _gc_cumsum_ranks4(self.packed)
         return self._gc_cumsum
 
     @property
@@ -312,13 +314,15 @@ class _DeviceCache:
         semantics — a separator breaks runs on both sides — are restored via
         the segment table), again avoiding the byte upload.
         """
-        from .ops.filters import _run_lengths, _run_lengths_ranks2
+        from .ops.filters import _run_lengths_ranks2, _run_lengths_ranks4
 
         if self._run_len is None:
             if self.is_acgt_only:
                 self._run_len = _run_lengths_ranks2(self.packed2, self.is_dollar)
             else:
-                self._run_len = _run_lengths(self.sba)
+                # ranks are a bijection of the allowed bytes, so the 4-bit
+                # run scan needs no '$' special case
+                self._run_len = _run_lengths_ranks4(self.packed)
         return self._run_len
 
     @property
