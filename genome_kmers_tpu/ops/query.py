@@ -99,7 +99,7 @@ def count_queries(
     cap_len: jax.Array,
     q_words: tuple,
     kmer_len: int,
-) -> jax.Array:
+) -> np.ndarray:
     """Occurrence count per query k-mer (uint32 array, len == num queries).
 
     ``cap_len`` must be aligned with ``sorted_positions`` and capped at
@@ -107,18 +107,28 @@ def count_queries(
     ``get_compare_sba_kmers_func(kmer_len)`` (reference kmers.py:285-292).
     """
     n = sorted_positions.shape[0]
+    nq = q_words[0].shape[0]
     if n == 0:
-        return jnp.zeros(q_words[0].shape[0], dtype=jnp.uint32)
+        return np.zeros(nq, dtype=np.uint32)
     if n >= 2**31:
         # int32 search bounds; indexes past 2^31 would overflow
         raise NotImplementedError("count_queries supports indexes up to 2^31 entries")
     n_words = -(-kmer_len // 8)
     n_rounds = max(1, int(np.ceil(np.log2(n))) + 1)
-    q_words = tuple(jnp.asarray(w) for w in q_words)
+    # bucket the query count to the next power of two (floor 128) so nearby
+    # batch sizes share one compiled program (remote compiles cost minutes;
+    # a 2-query call after a 100-query call must not recompile) — pad
+    # queries are all-zero keys whose counts are sliced away
+    nq_pad = max(128, 1 << max(0, int(np.ceil(np.log2(max(nq, 1))))))
+    q_words = tuple(
+        jnp.asarray(np.pad(np.asarray(w), (0, nq_pad - nq))) for w in q_words
+    )
     lo = _bound_search(
         packed, sorted_positions, cap_len, q_words, n_words, n_rounds, upper=False
     )
     hi = _bound_search(
         packed, sorted_positions, cap_len, q_words, n_words, n_rounds, upper=True
     )
-    return (hi - lo).astype(jnp.uint32)
+    # slice the bucket padding away on host: a device-side [:nq] is an eager
+    # XLA program compiled per nq, which would defeat the bucketing
+    return np.asarray((hi - lo).astype(jnp.uint32))[:nq]

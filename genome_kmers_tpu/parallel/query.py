@@ -116,10 +116,16 @@ def distributed_count_queries(
     n_words = -(-kmer_len // 8)
     n_local = sorted_positions.shape[0] // mesh.shape[AXIS]
     n_rounds = max(1, int(np.ceil(np.log2(max(n_local, 2)))) + 1)
-    # numpy (not device-committed) so multi-process jit replicates them
-    q_words = tuple(encode_query_words(queries, kmer_len))
+    # numpy (not device-committed) so multi-process jit replicates them;
+    # query count bucketed to the next power of two so nearby batch sizes
+    # share one compiled program (pad queries = zero keys, sliced away)
+    nq = len(queries)
+    nq_pad = max(128, 1 << max(0, int(np.ceil(np.log2(max(nq, 1))))))
+    q_words = tuple(
+        np.pad(w, (0, nq_pad - nq)) for w in encode_query_words(queries, kmer_len)
+    )
     packed = put_global(packed, NamedSharding(mesh, P()))
     counts = _dist_counts_jit(
         packed, sorted_positions, cap_len, is_pad, q_words, n_words, n_rounds, mesh
     )
-    return np.asarray(counts)
+    return np.asarray(counts)[:nq]
