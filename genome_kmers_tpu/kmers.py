@@ -320,7 +320,17 @@ def _pow2_bucket(n: int) -> int:
     return b
 
 
-def _trimmed_hist_to_host(counts_dev, stats_dev, max_counts_bin: int):
+def _device_counts_bin(max_counts_bin: int) -> int:
+    """The bin count the DEVICE histogram runs at for a user-requested
+    ``max_counts_bin``: the next power-of-two length (floor 1024), so every
+    nearby user value shares one compiled program (a fresh bin count would
+    otherwise compile its own executable — minutes on a remote backend).
+    The host fold in ``_trimmed_hist_to_host`` restores the user's exact
+    clipping: device bins above the user's top bin sum into it."""
+    return max(1024, _pow2_bucket(max_counts_bin + 1)) - 1
+
+
+def _trimmed_hist_to_host(counts_dev, stats_dev, max_counts_bin: int, device_bin=None):
     """Materialize a device histogram on host, transferring only the prefix
     that can be nonzero.
 
@@ -330,13 +340,24 @@ def _trimmed_hist_to_host(counts_dev, stats_dev, max_counts_bin: int):
     crosses the device->host link. At the reference's default
     ``max_counts_bin=1e6`` this replaces a ~4 MB transfer with a few KB —
     ~1 s saved per call on a remote-tunnel backend (~4 MB/s measured).
+
+    ``device_bin``: the bucketed bin count the device actually clipped at
+    (``_device_counts_bin``); transferred bins past the user's
+    ``max_counts_bin`` fold into the top bin, reproducing the reference's
+    clipping exactly (reference kmers.py:514-518).
     """
+    dev_mcb = max_counts_bin if device_bin is None else device_bin
     st = np.asarray(stats_dev)
     total = int(st[0])
     hi = int(st[1])
+    b = min(_pow2_bucket(hi + 1), dev_mcb + 1)
+    buf = np.asarray(counts_dev[:b]).astype(np.int64)
     out = np.zeros(max_counts_bin + 1, dtype=np.int64)
-    b = min(_pow2_bucket(hi + 1), max_counts_bin + 1)
-    out[:b] = np.asarray(counts_dev[:b]).astype(np.int64)
+    if b > max_counts_bin + 1:
+        out[:] = buf[: max_counts_bin + 1]
+        out[max_counts_bin] += buf[max_counts_bin + 1 :].sum()
+    else:
+        out[:b] = buf
     return out, total
 
 
@@ -1392,15 +1413,20 @@ class Kmers:
         max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
             _UINT32_SENTINEL
         )
+        # the device histogram runs at a power-of-two bucketed bin count so
+        # every nearby max_counts_bin shares one executable; the host fold
+        # restores the exact user clipping
+        mcb_dev = _device_counts_bin(max_counts_bin)
+
         lanes = self._lanes_fast(kmer_len, kmer_filter_func)
         if lanes is not None:
             from .ops.groups import lanes_group_histogram_trimmed
 
             counts, stats = lanes_group_histogram_trimmed(
                 lanes["words"], lanes["cap"], jnp.uint32(min_group_size), max_gs,
-                kmer_len, lanes["two_bit"], max_counts_bin,
+                kmer_len, lanes["two_bit"], mcb_dev,
             )
-            return _trimmed_hist_to_host(counts, stats, max_counts_bin)
+            return _trimmed_hist_to_host(counts, stats, max_counts_bin, mcb_dev)
 
         fd = self._filtered_device_stats(kmer_len, kmer_filter_func)
         if fd is not None:
@@ -1410,18 +1436,18 @@ class Kmers:
             if boundary.shape[0] == 0:
                 return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
             counts, stats = filtered_group_histogram_trimmed(
-                boundary, mask, jnp.uint32(min_group_size), max_gs, max_counts_bin
+                boundary, mask, jnp.uint32(min_group_size), max_gs, mcb_dev
             )
-            return _trimmed_hist_to_host(counts, stats, max_counts_bin)
+            return _trimmed_hist_to_host(counts, stats, max_counts_bin, mcb_dev)
 
         boundary = self._boundary_device(kmer_len, kmer_filter_func)
         if boundary.shape[0] == 0:
             return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
         size = group_sizes_at_boundaries(boundary)
         counts, stats = group_size_histogram_trimmed(
-            boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=max_counts_bin
+            boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=mcb_dev
         )
-        return _trimmed_hist_to_host(counts, stats, max_counts_bin)
+        return _trimmed_hist_to_host(counts, stats, max_counts_bin, mcb_dev)
 
     def _mesh_group_hist(
         self, kmer_len, kmer_filter_func, min_group_size, max_group_size,
@@ -1540,18 +1566,25 @@ class Kmers:
                 packed, surv_pos, dc.seg_starts, dc.seg_ends, kmer_len, mesh,
                 packed2=packed2, return_lanes=True,
             )
+        mcb_dev = _device_counts_bin(max_counts_bin)
         counts, total, hi = distributed_group_size_histogram_ragged(
             packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
             mesh, min_group_size=min_group_size, max_group_size=max_group_size,
-            max_counts_bin=max_counts_bin, packed2=packed2,
+            max_counts_bin=mcb_dev, packed2=packed2,
             strand_split=strand_split, sorted_words=sorted_words,
             return_digest=True,
         )
         # trimmed download: bins above hi are zero (replicated psum result,
-        # so the prefix slice is valid on every process)
+        # so the prefix slice is valid on every process); device bins past
+        # the user's top bin fold into it (exact reference clipping)
+        b = min(_pow2_bucket(int(hi) + 1), mcb_dev + 1)
+        buf = np.asarray(counts[:b]).astype(np.int64)
         out = np.zeros(max_counts_bin + 1, dtype=np.uint32)
-        b = min(_pow2_bucket(int(hi) + 1), max_counts_bin + 1)
-        out[:b] = np.asarray(counts[:b])
+        if b > max_counts_bin + 1:
+            out[:] = buf[: max_counts_bin + 1]
+            out[max_counts_bin] += buf[max_counts_bin + 1 :].sum()
+        else:
+            out[:b] = buf
         return out, int(total)
 
     # ------------------------------------------------------------------ #
