@@ -236,27 +236,40 @@ def distributed_group_size_histogram_large_ragged(
         mgs_hi = np.uint32(int(max_group_size) >> 32)
         mgs_lo = np.uint32(int(max_group_size) & 0xFFFFFFFF)
 
+    # device bin count bucketed to the next power of two (floor 1024) so
+    # nearby max_counts_bin values share one compiled program; the host
+    # fold below restores the user's exact clipping
+    mcb_dev = 1024
+    while mcb_dev < max_counts_bin + 1:
+        mcb_dev *= 2
+    mcb_dev -= 1
+
     all_counts, tot_hi, tot_lo, hi_digest = _large_stats_jit(
         pos_hi, pos_lo, is_pad, genome, seg_tables,
         np.uint32(min_group_size), mgs_hi, mgs_lo,
-        kmer_len, n_words, max_counts_bin, two_bit, mesh,
+        kmer_len, n_words, mcb_dev, two_bit, mesh,
     )
     n_dev = mesh.shape[AXIS]
     # trimmed download: per-shard uint32 counts stay on device (a psum could
     # wrap uint32 in this regime); only the counts[:, :b] prefix crosses the
     # link, b = next-pow2(hi+1) — every higher bin is zero on every shard
-    b = max_counts_bin + 1
+    b = mcb_dev + 1
     hi_i = int(hi_digest)
-    if hi_i < max_counts_bin:
+    if hi_i < mcb_dev:
         b = 8
         while b < hi_i + 1:
             b *= 2
-        b = min(b, max_counts_bin + 1)
+        b = min(b, mcb_dev + 1)
     prefix = np.asarray(
-        all_counts.reshape(n_dev, max_counts_bin + 1)[:, :b]
+        all_counts.reshape(n_dev, mcb_dev + 1)[:, :b]
     ).astype(np.uint64).sum(axis=0)
     counts = np.zeros(max_counts_bin + 1, dtype=np.uint64)
-    counts[:b] = prefix
+    if b > max_counts_bin + 1:
+        # device bins past the user's top bin fold into it (exact clipping)
+        counts[:] = prefix[: max_counts_bin + 1]
+        counts[max_counts_bin] += prefix[max_counts_bin + 1 :].sum()
+    else:
+        counts[:b] = prefix
     hi = np.asarray(tot_hi).astype(np.uint64)
     lo = np.asarray(tot_lo).astype(np.uint64)
     total = int(((hi << np.uint64(32)) | lo).sum())
