@@ -128,7 +128,7 @@ def group_size_histogram_trimmed(
     return counts, jnp.stack([total, hi])
 
 
-@partial(jax.jit, static_argnames=("kmer_len", "two_bit", "max_counts_bin"))
+@partial(jax.jit, static_argnames=("two_bit", "max_counts_bin"))
 def lanes_group_histogram_trimmed(
     words, cap, min_group_size, max_group_size, kmer_len, two_bit, max_counts_bin
 ):
@@ -153,7 +153,7 @@ def group_total_count(boundary: jax.Array, size: jax.Array, min_group_size, max_
     return jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("kmer_len", "two_bit", "max_counts_bin"))
+@partial(jax.jit, static_argnames=("two_bit", "max_counts_bin"))
 def lanes_group_histogram(
     words, cap, min_group_size, max_group_size, kmer_len, two_bit, max_counts_bin
 ):
@@ -170,7 +170,7 @@ def lanes_group_histogram(
     )
 
 
-@partial(jax.jit, static_argnames=("kmer_len", "two_bit"))
+@partial(jax.jit, static_argnames=("two_bit",))
 def lanes_group_total(words, cap, min_group_size, max_group_size, kmer_len, two_bit):
     """Reduce-only sibling of ``lanes_group_histogram`` for count queries."""
     from .sort import boundaries_from_sorted_lanes

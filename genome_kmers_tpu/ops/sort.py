@@ -217,7 +217,7 @@ def sort_positions(
     return (pos[:n], None) if return_lanes else pos[:n]
 
 
-@partial(jax.jit, static_argnames=("kmer_len", "two_bit"))
+@partial(jax.jit, static_argnames=("two_bit",))
 def boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit):
     """Group-boundary mask from RETAINED sorted key lanes — a pure adjacent
     compare with ZERO genome gathers (measured: rebuilding the words via
@@ -227,27 +227,36 @@ def boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit):
     ``words``/``cap`` are the sorted lanes ``sort_positions(...,
     return_lanes=True)`` produced at some built length K. Any
     ``kmer_len <= K`` is recoverable: word content beyond each row's cap is
-    already zero, so masking the last needed word to ``kmer_len`` bases and
-    clamping the cap lane to ``min(cap, kmer_len)`` yields exactly the lanes
-    a fresh build at kmer_len would produce. ``cap=None`` = the uniform-cap
-    (or 4-bit, termination-in-word) case with no cap identity lane.
+    already zero, so masking each word to ``kmer_len`` bases and clamping
+    the cap lane to ``min(cap, kmer_len)`` yields exactly the lanes a fresh
+    build at kmer_len would produce. ``cap=None`` = the uniform-cap (or
+    4-bit, termination-in-word) case with no cap identity lane.
+
+    ``kmer_len`` may be a TRACED scalar: the per-word keep masks are
+    computed with shifts, so ONE compiled program serves every
+    ``kmer_len <= K`` (a k-sweep — the reference's flagship application —
+    stops paying a fresh compile per k).
     """
     bases_per_word = 16 if two_bit else 8
     bits = 2 if two_bit else 4
-    n_words = _cdiv(kmer_len, bases_per_word)
-    keep_bits = bits * kmer_len - 32 * (n_words - 1)
-    use = list(words[:n_words])
-    if keep_bits < 32:
-        mask = jnp.uint32((0xFFFFFFFF << (32 - keep_bits)) & 0xFFFFFFFF)
-        use[-1] = use[-1] & mask
-    lanes = tuple(use)
-    if cap is not None:
-        lanes = lanes + (jnp.minimum(cap, jnp.uint32(kmer_len)),)
+    k = jnp.asarray(kmer_len, dtype=jnp.int32)
     n = words[0].shape[0]
     eq = jnp.ones(n, dtype=bool)
-    for w in lanes:
-        prev = jnp.concatenate([w[:1], w[:-1]])
-        eq = eq & (w == prev)
+    full = jnp.uint32(0xFFFFFFFF)
+    for w_idx, w in enumerate(words):
+        keep = jnp.clip(k - w_idx * bases_per_word, 0, bases_per_word)
+        nbits = (bits * keep).astype(jnp.uint32)  # bits to keep, 0..32
+        # mask = 0xFFFFFFFF << (32 - nbits); a 32-bit shift is undefined,
+        # so the nbits == 0 (word entirely past k) case is selected out
+        shift = jnp.minimum(jnp.uint32(32) - nbits, jnp.uint32(31))
+        mask = jnp.where(nbits == 0, jnp.uint32(0), full << shift)
+        ww = w & mask
+        prev = jnp.concatenate([ww[:1], ww[:-1]])
+        eq = eq & (ww == prev)
+    if cap is not None:
+        c = jnp.minimum(cap, k.astype(jnp.uint32))
+        prev = jnp.concatenate([c[:1], c[:-1]])
+        eq = eq & (c == prev)
     return (~eq).at[0].set(True)
 
 
