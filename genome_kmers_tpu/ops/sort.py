@@ -39,11 +39,17 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _bucket(n: int) -> int:
-    """Round n up to the next power of two (min 8) so repeated sorts with
-    nearby sizes reuse one compiled executable — static shapes are an XLA
-    requirement, and per-genome-size recompiles would dominate small runs."""
+    """Round n up to the next half-power-of-two step (8, 12, 16, 24, 32, …)
+    so repeated sorts with nearby sizes reuse one compiled executable —
+    static shapes are an XLA requirement, and per-genome-size recompiles
+    would dominate small runs. Half-pow2 steps cap the padding waste at
+    ~33% instead of ~100%: lax.sort is O(n log² n) over the PADDED rows, so
+    a 46M-row genome sorting in a 48M bucket instead of 67M is a ~1.5×
+    end-to-end win at the cost of at most 2× the cached executables."""
     b = 8
     while b < n:
+        if b + b // 2 >= n:
+            return b + b // 2
         b *= 2
     return b
 
