@@ -125,7 +125,11 @@ def canonical_group_histogram(
         eq = eq & (a == b)
     words = tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
 
-    res = jax.lax.sort((lead,) + words + (positions,), num_keys=n_words + 2)
+    # position = stable payload, not a key (ops/sort.py stable tie-break
+    # note); callers pass genome-order ascending positions
+    res = jax.lax.sort(
+        (lead,) + words + (positions,), num_keys=n_words + 1, is_stable=True
+    )
     s_lead = res[0]
     s_words = res[1 : 1 + n_words]
 
@@ -145,10 +149,12 @@ def canonical_group_histogram(
 
 def canonical_sort(packed2: jax.Array, positions: jax.Array, k: int):
     """Sort positions by canonical key; returns (sorted_positions,
-    sorted_key_words). Ties break by position (deterministic)."""
+    sorted_key_words). Ties break by position (deterministic): position is a
+    stable-sort payload and callers pass genome-order ascending positions
+    (ops/sort.py stable tie-break note)."""
     words = canonical_key_words(packed2, positions, k)
     ops = words + (positions,)
-    res = jax.lax.sort(ops, num_keys=len(ops))
+    res = jax.lax.sort(ops, num_keys=len(words), is_stable=True)
     return res[-1], res[: len(words)]
 
 

@@ -3,11 +3,20 @@
 The reference sorts its uint32 position array with a Numba quicksort whose
 ``<`` dereferences the SBA and compares base-by-base (kmers.py:1624-1652,
 comparator kmers.py:306-397). On TPU that collapses into ``jax.lax.sort`` over
-fixed-width packed key words plus the position as a final tie-break key —
-deterministic and string-identical to the reference (the reference's default
-sort leaves equal-kmer order unspecified; ours equals its ``break_ties=True``
-mode, see kmers.py:1654-1731, which tests cannot distinguish since they
-compare k-mer strings).
+fixed-width packed key words with the position array riding as a
+``is_stable=True`` PAYLOAD — deterministic and string-identical to the
+reference (the reference's default sort leaves equal-kmer order unspecified;
+ours equals its ``break_ties=True`` mode, see kmers.py:1654-1731, which tests
+cannot distinguish since they compare k-mer strings).
+
+Stable tie-break precondition: a stable sort breaks key ties by INPUT order,
+so it equals the position tie-break iff the input is position-ascending
+within every set of equal keys. Every caller satisfies this: fresh sorts get
+genome-order (globally ascending) positions; a re-sort of the same Kmers uses
+the same comparator, so its tie sets were already position-ascending;
+refinement rounds inherit it inductively; chunk/bucket splits of an ascending
+array stay ascending. Dropping the explicit position key lane is ~4% faster
+(71.7 vs 74.7 ms per 2^24-row, 2-key-word sort on v5e).
 
 ``max_kmer_len=None`` means "compare until the segment end" (kmers.py:315-316)
 — unbounded suffix comparison. We handle it with iterative refinement: sort by
@@ -75,7 +84,11 @@ def _sort_one_window2(packed2, positions, cap_len, n_words, uniform_cap=False):
     (min_kmer_len == max_kmer_len, the flagship counting configs): the cap
     lane is then constant and dropped — one less lane to sort. Pads still
     order last because their all-ones words tie only with all-'T' k-mers,
-    which the position lane (real < sentinel) resolves.
+    which stability (real rows precede appended pads in the input) resolves.
+
+    Position rides as a stable-sort PAYLOAD, not a key (see module note on
+    the stable tie-break): ~4% faster than an explicit position key lane
+    (71.7 vs 74.7 ms at 2^24 rows x 2 key words on v5e).
     """
     words = build_key2_words(packed2, positions, cap_len, n_words, jnp.uint32(0))
     pad = cap_len == jnp.uint32(0)
@@ -90,7 +103,7 @@ def _sort_one_window2(packed2, positions, cap_len, n_words, uniform_cap=False):
     # may retain the sorted key lanes so group-boundary masks become pure
     # adjacent compares with no genome gathers (measured: the boundary
     # re-gather is ~65% of the stats cost at 2^24 rows on v5e)
-    return jax.lax.sort(ops, num_keys=len(ops))
+    return jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=True)
 
 
 @partial(jax.jit, static_argnames=("n_words",))
@@ -98,10 +111,13 @@ def _sort_one_window(packed, positions, cap_len, is_pad, n_words):
     """Single lax.sort when the full compare length fits in one window.
 
     is_pad is a leading uint32 key (0 real / 1 pad) so shape-bucketing
-    padding sorts after every real row.
+    padding sorts after every real row. Position is a stable-sort payload
+    (see module note on the stable tie-break).
     """
     words = build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
-    return jax.lax.sort((is_pad,) + words + (positions,), num_keys=n_words + 2)
+    return jax.lax.sort(
+        (is_pad,) + words + (positions,), num_keys=n_words + 1, is_stable=True
+    )
 
 
 def _adjacent_eq(words: tuple[jax.Array, ...], base_eq: jax.Array) -> jax.Array:
@@ -127,7 +143,10 @@ def _sort_round(packed, positions, cap_len, group_id, offset, n_words, first):
     """
     words = build_key_words(packed, positions, cap_len, n_words, offset)
     ops = (group_id,) + words + (positions, cap_len)
-    res = jax.lax.sort(ops, num_keys=n_words + 2)
+    # positions + cap_len are stable-sort payloads; within equal (run id,
+    # window words), the incoming order is position-ascending (genome order
+    # on round 1; inductively, the previous round's tie-break after that)
+    res = jax.lax.sort(ops, num_keys=n_words + 1, is_stable=True)
     s_gid = res[0]
     s_words = res[1 : 1 + n_words]
     if first:
