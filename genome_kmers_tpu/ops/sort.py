@@ -188,6 +188,10 @@ def sort_positions(
         uint32 sorted positions (ties broken by position — deterministic);
         with ``return_lanes``, a ``(positions, lanes_dict_or_None)`` pair.
 
+    Precondition: ``positions`` must be ascending within every set of
+    key-equal rows (stable tie-break, see module docstring). Globally
+    ascending input — what every caller passes — trivially satisfies it.
+
     Inputs are shape-bucketed to the next power of two so nearby sizes share
     one compiled executable; padded rows carry an is_pad leading key and are
     sliced off after the sort.

@@ -97,9 +97,9 @@ def compact_ragged(positions, is_pad, mesh):
     """
 
     def local(pos, pad):
-        m = pos.shape[0]
-        idx = jnp.arange(m, dtype=jnp.uint32)
-        s_pad, _, s_pos = jax.lax.sort((pad, idx, pos), num_keys=2)
+        # stable by the pad flag alone: valid rows keep their relative order
+        # with no iota tie-break lane (2 lanes instead of 3)
+        s_pad, s_pos = jax.lax.sort((pad, pos), num_keys=1, is_stable=True)
         return s_pos, s_pad
 
     fn = shard_map(

@@ -114,7 +114,11 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
         words = (jnp.where(padm, ones, gid),) + words
     pos_k = tuple(jnp.where(padm, ones, p) for p in pos_lanes)
 
-    # 1. local sort (cap lane dropped when every real cap equals the same k)
+    # 1. local sort (cap lane dropped when every real cap equals the same k).
+    # Position lanes stay KEYS here (unlike ops/sort.py's stable-payload
+    # trick): the sample sort accepts arbitrary-order position input (tests
+    # shuffle it), so stable input-order tie-break would not equal the
+    # position tie-break this function promises.
     if uniform_cap:
         lanes = words + pos_k
     else:
@@ -168,6 +172,7 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
     flat_valid = recv_valid.reshape(-1)
 
     # 5. local merge: is_pad leads so valid rows come first, in global order
+    # (positions stay keys — see the local-sort note above)
     out_pad = (flat_valid == 0).astype(jnp.uint32)
     merged = jax.lax.sort((out_pad,) + tuple(flat), num_keys=len(flat) + 1)
     out_is_pad = merged[0]
