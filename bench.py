@@ -39,41 +39,47 @@ LARGE_BP = 2**27
 
 
 def measure(n_bp: int, k: int, reps: int, chain: int) -> float:
-    """Median amortized k-mer sort throughput (kmers/s) at one size."""
+    """Median amortized fresh-index-build throughput (kmers/s) at one size.
+
+    Measures what ``Kmers.sort()`` runs on a fresh index: the gather-free
+    dense build (ops/sort.sort_positions_dense — shifted-slice key words +
+    scatter/cummax valid_len + one stable lax.sort), which replaced the
+    per-row key gathers that used to be ~80% of the build."""
     import jax
     import jax.numpy as jnp
 
     from genome_kmers_tpu.ops.keys import (
-        cap_lengths,
         compute_seg_ends,
-        compute_valid_len,
         pack_rank2_words,
         pack_rank_words,
     )
-    from genome_kmers_tpu.ops.sort import sort_positions
+    from genome_kmers_tpu.ops.sort import sort_positions_dense
 
     rng = np.random.default_rng(0)
     sba = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n_bp)
 
     sba_dev = jnp.asarray(sba)
     use2 = k <= 32
-    packed2 = pack_rank2_words(sba_dev) if use2 else None
-    packed = None if use2 else pack_rank_words(sba_dev)
+    packed_dev = pack_rank2_words(sba_dev) if use2 else pack_rank_words(sba_dev)
     seg_starts = jnp.zeros(1, dtype=jnp.uint32)
     seg_ends = compute_seg_ends(seg_starts, n_bp)
     n_kmers = n_bp - k + 1
-    positions = jnp.arange(n_kmers, dtype=jnp.uint32)
-    valid_len = compute_valid_len(positions, seg_starts, seg_ends)
-    cap = cap_lengths(valid_len, k)
 
     def run_chain(n_sorts):
-        # single segment, positions end k-1 early => every cap == k exactly.
+        # Each link rebuilds the full sorted index (the dense build ignores
+        # prior positions), with the previous result folded into seg_ends as
+        # a zero-valued data dependency so links execute sequentially.
         # A scalar-digest transfer forces real device completion; on remote
         # backends block_until_ready can return before execution finishes
         # (measured: 2.8 ms "sorts" of 16M keys), so never time against it.
-        p = positions
+        se = seg_ends
+        p = None
         for _ in range(n_sorts):
-            p = sort_positions(packed, p, cap, k, packed2=packed2, uniform_cap=use2)
+            p = sort_positions_dense(
+                packed_dev, seg_starts, se, n_kmers, k, k,
+                two_bit=use2, uniform_cap=True,
+            )
+            se = seg_ends + (p[0] & jnp.uint32(0))
         return float(jnp.sum(p))
 
     # two discarded runs: compile (or persistent-cache load, .jax_cache) then

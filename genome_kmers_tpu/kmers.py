@@ -1947,6 +1947,45 @@ class Kmers:
 
         self._lanes_cache = None  # every branch below re-establishes or clears
         dc = self._dc()
+
+        # Fresh-sort fast path (single-chip): while _init_geometry is live the
+        # index IS the canonical dense start set, so the sort can run
+        # gather-free over every SBA position (shifted-slice key build +
+        # scatter/cummax valid_len, invalid rows folded to the tail —
+        # ops/sort.sort_positions_dense; the per-row key gathers it avoids
+        # are ~80% of the fresh k=31 build at 2^24 rows on v5e). The position
+        # array is never materialized, and the reference's validate_kmers
+        # check (kmers.py:1715-1727) holds by construction.
+        if mesh is None and self._init_geometry is not None:
+            use2 = (
+                self.max_kmer_len is not None
+                and self.max_kmer_len <= 64
+                and dc.packed2 is not None
+            )
+            d_packed = dc.packed2 if use2 else dc.packed
+            limit = 64 if use2 else 32
+            if (
+                d_packed is not None
+                and self.max_kmer_len is not None
+                and self.max_kmer_len <= limit
+                and int(self._init_geometry[2]) > 1
+            ):
+                from .ops.sort import sort_positions_dense
+
+                uniform = self.min_kmer_len == self.max_kmer_len
+                sorted_pos, self._lanes_cache = sort_positions_dense(
+                    d_packed, dc.seg_starts, dc.seg_ends,
+                    int(self._init_geometry[2]),
+                    self.min_kmer_len, self.max_kmer_len,
+                    two_bit=use2, uniform_cap=uniform, return_lanes=True,
+                )
+                self._pos_dev = sorted_pos
+                self._pos_host = None
+                self._init_geometry = None
+                self._dist_cache = None
+                self._is_sorted = True
+                return
+
         positions = self._device_positions()
         valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
 
@@ -2000,10 +2039,10 @@ class Kmers:
             use2 = self.max_kmer_len is not None and self.max_kmer_len <= 64
             packed2 = dc.packed2 if use2 else None
             packed = dc.packed if packed2 is None else None
-            cap = cap_lengths(valid_len, self.max_kmer_len)
             uniform = (
                 self.max_kmer_len is not None and self.min_kmer_len == self.max_kmer_len
             )
+            cap = cap_lengths(valid_len, self.max_kmer_len)
             # N-containing genomes take the 4-bit path directly. The hybrid
             # 2-bit/4-bit split (ops/hybrid.py) is exact but measured SLOWER
             # on v5e: its partition step costs more than the key-lane savings

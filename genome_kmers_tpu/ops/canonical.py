@@ -125,8 +125,11 @@ def canonical_group_histogram(
         eq = eq & (a == b)
     words = tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
 
-    # position = stable payload, not a key (ops/sort.py stable tie-break
-    # note); callers pass genome-order ascending positions
+    # position = stable payload, not a key (one less sort lane). Tie ORDER
+    # within a canonical group is unobservable here — this kernel returns
+    # only group sizes and their histogram, which depend on the sorted KEYS
+    # alone — so input order doesn't matter (unlike ops/sort.py's gather
+    # paths, where the position tie-break is part of the output contract).
     res = jax.lax.sort(
         (lead,) + words + (positions,), num_keys=n_words + 1, is_stable=True
     )
@@ -149,12 +152,11 @@ def canonical_group_histogram(
 
 def canonical_sort(packed2: jax.Array, positions: jax.Array, k: int):
     """Sort positions by canonical key; returns (sorted_positions,
-    sorted_key_words). Ties break by position (deterministic): position is a
-    stable-sort payload and callers pass genome-order ascending positions
-    (ops/sort.py stable tie-break note)."""
+    sorted_key_words). Ties break by position (deterministic) — an explicit
+    key, so any input order is accepted."""
     words = canonical_key_words(packed2, positions, k)
     ops = words + (positions,)
-    res = jax.lax.sort(ops, num_keys=len(words), is_stable=True)
+    res = jax.lax.sort(ops, num_keys=len(ops))
     return res[-1], res[: len(words)]
 
 

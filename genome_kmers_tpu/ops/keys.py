@@ -128,6 +128,80 @@ def cap_lengths(valid_len: jax.Array, max_kmer_len) -> jax.Array:
 
 
 # --------------------------------------------------------------------------- #
+# dense key builds: key words for EVERY position 0..L-1 at once.
+#
+# ``build_key{2,}_words`` gather ``packed[positions + off]`` per row — fine
+# for arbitrary position sets, but TPU gathers serialize: at 2^24 rows the
+# two gathers of the k=31 build cost ~304 ms on v5e, ~80% of the whole
+# index build. When positions are ALL positions (the fresh-sort case —
+# Kmers always indexes the full canonical start set), the gather is a
+# shifted SLICE of the packed array (word w of position p = packed[p + bpw*w])
+# — measured 47 ms for the same two words. Invalid rows (separators,
+# segment tails shorter than min_kmer_len) are folded by the caller.
+# --------------------------------------------------------------------------- #
+
+
+def _dense_words(packed: jax.Array, cap_len, n_words: int, bases_per_word: int,
+                 bits: int) -> tuple[jax.Array, ...]:
+    L = packed.shape[0]
+    src = jnp.concatenate(
+        [packed, jnp.zeros((bases_per_word * n_words,), dtype=jnp.uint32)]
+    )
+    full = jnp.uint32(0xFFFFFFFF)
+    words = []
+    for w in range(n_words):
+        off = bases_per_word * w
+        word = jax.lax.slice(src, (off,), (off + L,))
+        # zero fields at/past cap_len: mask = 0xFFFFFFFF << (32 - bits*keep),
+        # computed with shifts (no mask-table gather); keep==0 selected out
+        # because a 32-bit shift is undefined
+        beyond = cap_len > jnp.uint32(off)
+        keep = jnp.where(
+            beyond,
+            jnp.minimum(cap_len - jnp.uint32(off), jnp.uint32(bases_per_word)),
+            jnp.uint32(0),
+        )
+        nbits = keep * jnp.uint32(bits)
+        shift = jnp.minimum(jnp.uint32(32) - nbits, jnp.uint32(31))
+        mask = jnp.where(nbits == 0, jnp.uint32(0), full << shift)
+        words.append(word & mask)
+    return tuple(words)
+
+
+def build_key2_words_dense(packed2: jax.Array, cap_len, n_words: int):
+    """2-bit key words for every position 0..L-1 (slice build, no gather).
+    Bit-identical to ``build_key2_words(packed2, arange(L), cap_len, n_words)``."""
+    return _dense_words(packed2, cap_len, n_words, BASES_PER_WORD2, 2)
+
+
+def build_key_words_dense(packed: jax.Array, cap_len, n_words: int):
+    """4-bit key words for every position 0..L-1 (slice build, no gather).
+    Bit-identical to ``build_key_words(packed, arange(L), cap_len, n_words)``."""
+    return _dense_words(packed, cap_len, n_words, BASES_PER_WORD, 4)
+
+
+@jax.jit
+def valid_len_all(seg_starts: jax.Array, seg_ends: jax.Array, iota: jax.Array):
+    """valid_len for EVERY position 0..L-1 without a searchsorted gather.
+
+    Scatter each segment's inclusive end at its start index, forward-fill
+    with cummax (seg_ends are strictly increasing), then
+    vl[p] = end_fill[p] - p + 1 where p <= end_fill else 0 — separators and
+    any padding past the last segment land at 0. Equals
+    ``compute_valid_len(arange(L), seg_starts, seg_ends)`` on real positions.
+    """
+    L = iota.shape[0]
+    markers = (
+        jnp.zeros((L,), dtype=jnp.uint32)
+        .at[seg_starts.astype(jnp.int32)]
+        .max(seg_ends)
+    )
+    end_fill = jax.lax.cummax(markers)
+    inside = iota <= end_fill
+    return jnp.where(inside, end_fill - iota + jnp.uint32(1), jnp.uint32(0))
+
+
+# --------------------------------------------------------------------------- #
 # strided-pack expansion: per-position words from a host-built strided pack.
 # The strided pack (ops/large.pack_rank{2,}_strided_np) is 1/4 (2-bit) or 1/2
 # (4-bit) the bytes of the ASCII SBA, so uploading it instead of the bytes

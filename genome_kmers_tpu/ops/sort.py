@@ -3,20 +3,21 @@
 The reference sorts its uint32 position array with a Numba quicksort whose
 ``<`` dereferences the SBA and compares base-by-base (kmers.py:1624-1652,
 comparator kmers.py:306-397). On TPU that collapses into ``jax.lax.sort`` over
-fixed-width packed key words with the position array riding as a
-``is_stable=True`` PAYLOAD — deterministic and string-identical to the
-reference (the reference's default sort leaves equal-kmer order unspecified;
-ours equals its ``break_ties=True`` mode, see kmers.py:1654-1731, which tests
-cannot distinguish since they compare k-mer strings).
+fixed-width packed key words plus the position as a final tie-break key —
+deterministic and string-identical to the reference (the reference's default
+sort leaves equal-kmer order unspecified; ours equals its ``break_ties=True``
+mode, see kmers.py:1654-1731, which tests cannot distinguish since they
+compare k-mer strings).
 
-Stable tie-break precondition: a stable sort breaks key ties by INPUT order,
-so it equals the position tie-break iff the input is position-ascending
-within every set of equal keys. Every caller satisfies this: fresh sorts get
-genome-order (globally ascending) positions; a re-sort of the same Kmers uses
-the same comparator, so its tie sets were already position-ascending;
-refinement rounds inherit it inductively; chunk/bucket splits of an ascending
-array stay ascending. Dropping the explicit position key lane is ~4% faster
-(71.7 vs 74.7 ms per 2^24-row, 2-key-word sort on v5e).
+Stable tie-break note: ``lax.sort(is_stable=True)`` with position as a
+PAYLOAD instead of a key is ~4% faster (71.7 vs 74.7 ms per 2^24-row
+2-key-word sort on v5e) but breaks ties by INPUT order, which equals the
+position tie-break only when the input is position-ascending within every
+set of equal keys. ``sort_positions`` callers do NOT all satisfy that —
+``from_strand`` reverse-complement instances iterate segments in record
+order, which is DESCENDING in revcomp-SBA coordinates — so the gather-path
+sorts here keep the explicit position key. Only ``sort_positions_dense``
+(input = iota, ascending by construction) uses the stable-payload form.
 
 ``max_kmer_len=None`` means "compare until the segment end" (kmers.py:315-316)
 — unbounded suffix comparison. We handle it with iterative refinement: sort by
@@ -32,7 +33,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .keys import build_key2_words, build_key_words
+from .keys import (
+    build_key2_words,
+    build_key2_words_dense,
+    build_key_words,
+    build_key_words_dense,
+    valid_len_all,
+)
 
 WINDOW_WORDS = 4  # 32 bases per refinement round
 WINDOW_BASES = WINDOW_WORDS * 8
@@ -84,11 +91,11 @@ def _sort_one_window2(packed2, positions, cap_len, n_words, uniform_cap=False):
     (min_kmer_len == max_kmer_len, the flagship counting configs): the cap
     lane is then constant and dropped — one less lane to sort. Pads still
     order last because their all-ones words tie only with all-'T' k-mers,
-    which stability (real rows precede appended pads in the input) resolves.
+    which the position lane (real < sentinel) resolves.
 
-    Position rides as a stable-sort PAYLOAD, not a key (see module note on
-    the stable tie-break): ~4% faster than an explicit position key lane
-    (71.7 vs 74.7 ms at 2^24 rows x 2 key words on v5e).
+    Position stays an explicit KEY (not a stable payload — module note):
+    callers may pass non-ascending positions (revcomp-strand instances,
+    user-set indices).
     """
     words = build_key2_words(packed2, positions, cap_len, n_words, jnp.uint32(0))
     pad = cap_len == jnp.uint32(0)
@@ -103,7 +110,7 @@ def _sort_one_window2(packed2, positions, cap_len, n_words, uniform_cap=False):
     # may retain the sorted key lanes so group-boundary masks become pure
     # adjacent compares with no genome gathers (measured: the boundary
     # re-gather is ~65% of the stats cost at 2^24 rows on v5e)
-    return jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=True)
+    return jax.lax.sort(ops, num_keys=len(ops))
 
 
 @partial(jax.jit, static_argnames=("n_words",))
@@ -111,13 +118,10 @@ def _sort_one_window(packed, positions, cap_len, is_pad, n_words):
     """Single lax.sort when the full compare length fits in one window.
 
     is_pad is a leading uint32 key (0 real / 1 pad) so shape-bucketing
-    padding sorts after every real row. Position is a stable-sort payload
-    (see module note on the stable tie-break).
+    padding sorts after every real row.
     """
     words = build_key_words(packed, positions, cap_len, n_words, jnp.uint32(0))
-    return jax.lax.sort(
-        (is_pad,) + words + (positions,), num_keys=n_words + 1, is_stable=True
-    )
+    return jax.lax.sort((is_pad,) + words + (positions,), num_keys=n_words + 2)
 
 
 def _adjacent_eq(words: tuple[jax.Array, ...], base_eq: jax.Array) -> jax.Array:
@@ -143,10 +147,7 @@ def _sort_round(packed, positions, cap_len, group_id, offset, n_words, first):
     """
     words = build_key_words(packed, positions, cap_len, n_words, offset)
     ops = (group_id,) + words + (positions, cap_len)
-    # positions + cap_len are stable-sort payloads; within equal (run id,
-    # window words), the incoming order is position-ascending (genome order
-    # on round 1; inductively, the previous round's tie-break after that)
-    res = jax.lax.sort(ops, num_keys=n_words + 1, is_stable=True)
+    res = jax.lax.sort(ops, num_keys=n_words + 2)
     s_gid = res[0]
     s_words = res[1 : 1 + n_words]
     if first:
@@ -188,9 +189,9 @@ def sort_positions(
         uint32 sorted positions (ties broken by position — deterministic);
         with ``return_lanes``, a ``(positions, lanes_dict_or_None)`` pair.
 
-    Precondition: ``positions`` must be ascending within every set of
-    key-equal rows (stable tie-break, see module docstring). Globally
-    ascending input — what every caller passes — trivially satisfies it.
+    Accepts positions in ANY input order (fresh or re-sorts, revcomp-strand
+    coordinate order, user-set indices) — the position tie-break is an
+    explicit key, not input-order stability.
 
     Inputs are shape-bucketed to the next power of two so nearby sizes share
     one compiled executable; padded rows carry an is_pad leading key and are
@@ -244,6 +245,88 @@ def sort_positions(
         )
         offset += WINDOW_BASES
     return (pos[:n], None) if return_lanes else pos[:n]
+
+
+@partial(jax.jit, static_argnames=("n_words", "k", "uniform_cap", "two_bit"))
+def _sort_dense(packed, seg_starts, seg_ends, min_len, n_words, k, uniform_cap,
+                two_bit):
+    """Gather-free fresh sort over ALL positions 0..L-1 of a (bucket-padded)
+    packed array.
+
+    Key words are shifted slices of ``packed`` (build_key*_words_dense) and
+    valid_len comes from a scatter + cummax (valid_len_all) — no per-row
+    gathers at all, which the gather-based build spends ~80% of the fresh
+    k=31 index build on (304 of ~370 ms at 2^24 rows on v5e).
+
+    Rows that are not k-mer starts (separators, tails shorter than
+    ``min_len``, bucket padding — padding packs as rank 0 so its valid_len
+    is 0) fold to all-ones words (+ all-ones cap) and sort strictly last:
+    real 2-bit words never equal all-ones when k % 16 != 0 (the last word
+    keeps < 16 bases, low bits zero); when k % 16 == 0 the cap lane is kept
+    as the discriminator (real cap = k < 0xFFFFFFFF); the 4-bit path keeps
+    its leading invalid lane (a real word CAN be all-ones — rank 15 = 'Y').
+    Position is the stable-sort payload (iota input = globally ascending).
+
+    Returns the full sorted lane tuple (positions last); the caller slices
+    the real-row prefix [:n].
+    """
+    L = packed.shape[0]
+    iota = jax.lax.iota(jnp.uint32, L)
+    vl = valid_len_all(seg_starts, seg_ends, iota)
+    cap = jnp.minimum(vl, jnp.uint32(k))
+    invalid = cap < min_len
+    ones = jnp.uint32(0xFFFFFFFF)
+    if two_bit:
+        words = build_key2_words_dense(packed, cap, n_words)
+        words = tuple(jnp.where(invalid, ones, w) for w in words)
+        if uniform_cap and k % 16 != 0:
+            ops = words + (iota,)
+        else:
+            cap_key = jnp.where(invalid, ones, cap)
+            ops = words + (cap_key, iota)
+    else:
+        words = build_key_words_dense(packed, cap, n_words)
+        ops = (invalid.astype(jnp.uint32),) + words + (iota,)
+    return jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=True)
+
+
+def sort_positions_dense(
+    packed, seg_starts, seg_ends, n, min_kmer_len, max_kmer_len,
+    two_bit=False, uniform_cap=False, return_lanes=False,
+):
+    """Fresh sort of the CANONICAL k-mer start set — every position with
+    valid_len >= min_kmer_len — without materializing the position array or
+    gathering keys. Output is identical to ``sort_positions`` over that set
+    (same keys, same position tie-break). Requires bounded
+    max_kmer_len <= one window. ``n`` = the known canonical start count;
+    ``packed`` is the 2-bit pack when two_bit else the 4-bit pack.
+    """
+    L = packed.shape[0]
+    n_pad = _bucket(L)
+    packed = _pad_to(packed, n_pad, jnp.uint32(0))  # rank 0 => valid_len 0
+    n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
+    res = _sort_dense(
+        packed, seg_starts, seg_ends, jnp.uint32(min_kmer_len), n_words,
+        max_kmer_len, uniform_cap, two_bit,
+    )
+    out = res[-1][:n]
+    if not return_lanes:
+        return out
+    if two_bit:
+        lanes = {
+            "two_bit": True,
+            "built_k": max_kmer_len,
+            "words": tuple(w[:n] for w in res[:n_words]),
+            "cap": None if uniform_cap else res[n_words][:n],
+        }
+    else:
+        lanes = {
+            "two_bit": False,
+            "built_k": max_kmer_len,
+            "words": tuple(w[:n] for w in res[1 : 1 + n_words]),
+            "cap": None,
+        }
+    return out, lanes
 
 
 @partial(jax.jit, static_argnames=("two_bit",))
