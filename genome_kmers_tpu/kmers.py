@@ -1948,31 +1948,57 @@ class Kmers:
         self._lanes_cache = None  # every branch below re-establishes or clears
         dc = self._dc()
 
-        # Fresh-sort fast path (single-chip): while _init_geometry is live the
-        # index IS the canonical dense start set, so the sort can run
-        # gather-free over every SBA position (shifted-slice key build +
-        # scatter/cummax valid_len, invalid rows folded to the tail —
-        # ops/sort.sort_positions_dense; the per-row key gathers it avoids
-        # are ~80% of the fresh k=31 build at 2^24 rows on v5e). The position
-        # array is never materialized, and the reference's validate_kmers
-        # check (kmers.py:1715-1727) holds by construction.
-        if mesh is None and self._init_geometry is not None:
+        # Fresh-sort fast path: while _init_geometry is live the index IS the
+        # canonical dense start set, so the sort can run gather-free over
+        # every SBA position (shifted-slice key build + scatter/cummax
+        # valid_len, invalid rows folded to the tail —
+        # ops/sort.sort_positions_dense single-chip,
+        # parallel.sample_sort_positions_dense_ragged on a mesh; the per-row
+        # key gathers avoided are ~80% of the fresh k=31 build at 2^24 rows
+        # on v5e). The position array is never materialized, and the
+        # reference's validate_kmers check (kmers.py:1715-1727) holds by
+        # construction.
+        if self._init_geometry is not None:
             use2 = (
                 self.max_kmer_len is not None
                 and self.max_kmer_len <= 64
                 and dc.packed2 is not None
             )
-            d_packed = dc.packed2 if use2 else dc.packed
             limit = 64 if use2 else 32
+            in_range = (
+                self.max_kmer_len is not None and self.max_kmer_len <= limit
+            )
+            # only force the (lazy) 4-bit pack build once the k-limit gate
+            # has passed — the unbounded mesh path below rides the 2-bit pack
+            d_packed = (dc.packed2 if use2 else dc.packed) if in_range else None
             if (
                 d_packed is not None
-                and self.max_kmer_len is not None
-                and self.max_kmer_len <= limit
+                and in_range
                 and int(self._init_geometry[2]) > 1
             ):
+                uniform = self.min_kmer_len == self.max_kmer_len
+                if mesh is not None:
+                    from .parallel import sample_sort_positions_dense_ragged
+
+                    rag_pos, rag_pad, rag_lanes = sample_sort_positions_dense_ragged(
+                        d_packed, dc.seg_starts, dc.seg_ends,
+                        int(self._init_geometry[2]),
+                        self.min_kmer_len, self.max_kmer_len, mesh,
+                        two_bit=use2, uniform_cap=uniform, return_lanes=True,
+                    )
+                    self._dist_cache = _DistIndexCache(
+                        mesh, rag_pos, rag_pad, int(self._init_geometry[2]),
+                        lanes=rag_lanes, lanes_two_bit=use2,
+                        built_k=self.max_kmer_len,
+                    )
+                    self._pos_dev = None
+                    self._pos_host = None
+                    self._init_geometry = None
+                    self._lanes_cache = None
+                    self._is_sorted = True
+                    return
                 from .ops.sort import sort_positions_dense
 
-                uniform = self.min_kmer_len == self.max_kmer_len
                 sorted_pos, self._lanes_cache = sort_positions_dense(
                     d_packed, dc.seg_starts, dc.seg_ends,
                     int(self._init_geometry[2]),

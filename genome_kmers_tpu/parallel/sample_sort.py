@@ -103,7 +103,6 @@ def _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided=Fals
 def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_bit,
                        n_samples, capacity, uniform_cap, gid=None, offset=0,
                        strided=False):
-    m = pos_lanes[-1].shape[0]
     words = _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided)
     # fold pads into the lanes so they sort last everywhere
     padm = is_pad != jnp.uint32(0)
@@ -114,7 +113,7 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
         words = (jnp.where(padm, ones, gid),) + words
     pos_k = tuple(jnp.where(padm, ones, p) for p in pos_lanes)
 
-    # 1. local sort (cap lane dropped when every real cap equals the same k).
+    # local sort key (cap lane dropped when every real cap equals the same k).
     # Position lanes stay KEYS here (unlike ops/sort.py's stable-payload
     # trick): the sample sort accepts arbitrary-order position input (tests
     # shuffle it), so stable input-order tie-break would not equal the
@@ -124,6 +123,24 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
     else:
         cap_k = jnp.where(padm, ones, cap_len)
         lanes = words + (cap_k,) + pos_k
+    return _exchange_merge(
+        lanes, len(pos_lanes), padm, n_dev, n_samples, capacity,
+        has_gid=gid is not None,
+    )
+
+
+def _exchange_merge(lanes, n_pos_lanes, padm, n_dev, n_samples, capacity,
+                    has_gid=False):
+    """Steps 1-5 of the sample-sort pipeline over a prepared key-lane tuple.
+
+    ``lanes`` = (key lanes ..., position lanes) with pads already folded to
+    all-ones in every non-position lane; ``padm`` marks local pad rows, which
+    must sort to the local tail under these lanes (the fold guarantees it).
+    """
+    m = lanes[0].shape[0]
+    ones = jnp.uint32(_ONES)
+
+    # 1. local sort
     lanes = jax.lax.sort(lanes, num_keys=len(lanes))
 
     # 2. regular-stride samples -> all_gather -> splitters
@@ -176,15 +193,15 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
     out_pad = (flat_valid == 0).astype(jnp.uint32)
     merged = jax.lax.sort((out_pad,) + tuple(flat), num_keys=len(flat) + 1)
     out_is_pad = merged[0]
-    out_pos = tuple(merged[len(merged) - len(pos_lanes):])
+    out_pos = tuple(merged[len(merged) - n_pos_lanes:])
     ov = jax.lax.psum(overflow.astype(jnp.uint32), AXIS)
-    if gid is not None:
+    if has_gid:
         # refinement callers need the old run ids aligned to the new order
         return out_pos, out_is_pad, merged[1], ov
     # sorted word (+cap) lanes ride along so downstream statistics can skip
     # the per-shard key re-gather (same trick as the single-chip
     # ops/sort.boundaries_from_sorted_lanes path)
-    out_lanes = tuple(merged[1 : len(merged) - len(pos_lanes)])
+    out_lanes = tuple(merged[1 : len(merged) - n_pos_lanes])
     return out_pos, out_is_pad, out_lanes, ov
 
 
@@ -500,6 +517,157 @@ def sample_sort_positions_ragged(
             return out_pos[0], out_is_pad
         if capacity >= m:
             raise AssertionError("sample sort overflow at full capacity (bug)")
+        factor *= 2.0
+
+
+# --------------------------------------------------------------------------- #
+# dense fresh path: gather-free key build over ALL SBA positions, sharded.
+# The mesh analog of ops/sort.sort_positions_dense — valid only while the
+# index is the canonical dense start set (every position with
+# valid_len >= min_kmer_len), i.e. a FRESH Kmers sort.
+# --------------------------------------------------------------------------- #
+
+
+def _sample_sort_dense_local(key_lanes, positions, is_pad, n_dev, n_samples,
+                             capacity):
+    """Per-shard pipeline body for prebuilt dense lanes: invalid rows are
+    already folded to lane values that sort strictly last (see
+    ``_dense_key_lanes``), so no further folding is needed — positions stay
+    real values (ascending iota) and ride as the final tie-break key."""
+    padm = is_pad != jnp.uint32(0)
+    lanes = key_lanes + (positions,)
+    return _exchange_merge(lanes, 1, padm, n_dev, n_samples, capacity)
+
+
+def _dense_key_lanes(packed, seg_starts, seg_ends, min_len, n_words, k,
+                     two_bit, uniform_cap, mesh):
+    """Sharded gather-free key lanes for every position 0..L-1.
+
+    Key words are shifted SLICES of the replicated packed array
+    (ops/keys.build_key*_words_dense) and valid_len is a scatter + cummax
+    (ops/keys.valid_len_all) — all elementwise/scan ops that XLA partitions
+    over the mesh with no per-row gathers (each device slices its window of
+    the replicated pack locally). Invalid rows (separators, tails shorter
+    than min_len, padding) fold exactly as in ops/sort._sort_dense: all-ones
+    words (+ ones cap when the cap lane is kept; a leading invalid lane on
+    the 4-bit path, where a real word CAN be all-ones).
+
+    Returns (key_lanes, iota, is_pad), every array sharded P(AXIS).
+    """
+    from ..ops.keys import (
+        build_key2_words_dense,
+        build_key_words_dense,
+        valid_len_all,
+    )
+
+    L = packed.shape[0]
+    shd = NamedSharding(mesh, P(AXIS))
+    csc = jax.lax.with_sharding_constraint
+    iota = csc(jax.lax.iota(jnp.uint32, L), shd)
+    vl = csc(valid_len_all(seg_starts, seg_ends, iota), shd)
+    cap = jnp.minimum(vl, jnp.uint32(k))
+    invalid = cap < jnp.uint32(min_len)
+    ones = jnp.uint32(_ONES)
+    if two_bit:
+        words = build_key2_words_dense(packed, cap, n_words)
+        words = tuple(csc(jnp.where(invalid, ones, w), shd) for w in words)
+        if uniform_cap and k % 16 != 0:
+            # a real word never equals all-ones here: the last word keeps
+            # < 16 bases, so its low bits are zero (ops/sort._sort_dense)
+            key_lanes = words
+        else:
+            key_lanes = words + (csc(jnp.where(invalid, ones, cap), shd),)
+    else:
+        words = build_key_words_dense(packed, cap, n_words)
+        lead = invalid.astype(jnp.uint32)
+        key_lanes = (csc(lead, shd),) + tuple(csc(w, shd) for w in words)
+    is_pad = csc(invalid.astype(jnp.uint32), shd)
+    return key_lanes, iota, is_pad
+
+
+@partial(jax.jit, static_argnames=("min_len", "n_words", "k", "two_bit",
+                                   "uniform_cap", "n_samples", "capacity",
+                                   "mesh"))
+def _sample_sort_dense_jit(packed, seg_starts, seg_ends, min_len, n_words, k,
+                           two_bit, uniform_cap, n_samples, capacity, mesh):
+    key_lanes, iota, is_pad = _dense_key_lanes(
+        packed, seg_starts, seg_ends, min_len, n_words, k, two_bit,
+        uniform_cap, mesh,
+    )
+    n_dev = mesh.shape[AXIS]
+    fn = shard_map(
+        partial(
+            _sample_sort_dense_local,
+            n_dev=n_dev,
+            n_samples=n_samples,
+            capacity=capacity,
+        ),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+    )
+    return fn(key_lanes, iota, is_pad)
+
+
+def sample_sort_positions_dense_ragged(
+    packed,
+    seg_starts,
+    seg_ends,
+    n: int,
+    min_kmer_len: int,
+    max_kmer_len: int,
+    mesh,
+    two_bit: bool = False,
+    uniform_cap: bool = False,
+    return_lanes: bool = False,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+):
+    """Distributed FRESH sort of the canonical k-mer start set — the mesh
+    analog of ``ops.sort.sort_positions_dense``: no position array is ever
+    materialized and no per-row key gathers run (the gathers are ~80% of the
+    gather-path fresh build). Output layout matches
+    ``sample_sort_positions_ragged`` over the canonical start set exactly
+    (same keys, same position tie-break): per-shard real-row prefixes with
+    trailing pads, ``n`` real rows total.
+
+    ``packed`` is the per-position 2-bit pack when ``two_bit`` else the 4-bit
+    pack; positions are ALL rows 0..L-1 with invalid rows (separators, tails
+    shorter than ``min_kmer_len``, padding) marked as pads and sorted last.
+    """
+    limit = 64 if two_bit else 32
+    if max_kmer_len is None or max_kmer_len > limit:
+        raise NotImplementedError(
+            f"dense sample sort requires max_kmer_len <= {limit} bases"
+        )
+    n_dev = mesh.shape[AXIS]
+    n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
+    # pad the pack to a shardable length; padding packs as rank 0 => vl 0
+    packed_p = _pad_to_multiple(packed, n_dev, jnp.uint32(0))
+    m = packed_p.shape[0] // n_dev
+    n_samples = min(n_samples, m)
+
+    genome = put_global(packed_p, NamedSharding(mesh, P()))
+    seg_starts = put_global(jnp.asarray(seg_starts), NamedSharding(mesh, P()))
+    seg_ends = put_global(jnp.asarray(seg_ends), NamedSharding(mesh, P()))
+
+    factor = capacity_factor
+    while True:
+        capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
+        out_pos, out_is_pad, out_lanes, overflow = _sample_sort_dense_jit(
+            genome, seg_starts, seg_ends, int(min_kmer_len), n_words,
+            int(max_kmer_len), two_bit, uniform_cap, n_samples, capacity, mesh,
+        )
+        if int(overflow) == 0:
+            if return_lanes:
+                # word lanes only: skip the 4-bit leading invalid lane; a
+                # trailing cap lane (2-bit, non-uniform) is recomputed by
+                # consumers, matching sample_sort_positions_ragged's contract
+                words = out_lanes if two_bit else out_lanes[1:]
+                return out_pos[0], out_is_pad, words[:n_words]
+            return out_pos[0], out_is_pad
+        if capacity >= m:
+            raise AssertionError("dense sample sort overflow at full capacity (bug)")
         factor *= 2.0
 
 

@@ -380,10 +380,13 @@ RECORD_LOC_FORWARD_CASES = [
 # seq_idx counts from the segment's RIGHT edge (forward-strand coordinates)
 RECORD_LOC_RC_CASES = [
     (0, ("-", "chr3", 12)),
+    (6, ("-", "chr3", 6)),
     (12, ("-", "chr3", 0)),
     (14, ("-", "chr2", 11)),
+    (19, ("-", "chr2", 6)),
     (25, ("-", "chr2", 0)),
     (27, ("-", "chr1", 9)),
+    (32, ("-", "chr1", 4)),
     (36, ("-", "chr1", 0)),
 ]
 
