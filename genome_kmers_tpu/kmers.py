@@ -2267,6 +2267,21 @@ class Kmers:
             raise NotImplementedError(
                 "canonical k-mer statistics require an ACGT-only genome"
             )
+        # Gather-free dense fast path: while _init_geometry is live the index
+        # IS the canonical dense start set, so the forward key words are
+        # shifted slices of the 2-bit pack — no position materialization, no
+        # per-row key gathers (the same formulation as the dense fresh sort;
+        # the 2 key gathers are most of the gather kernel's cost at 2^24).
+        if self._init_geometry is not None:
+            if int(self._init_geometry[2]) == 0:
+                return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
+            from .ops.canonical import canonical_group_histogram_dense
+
+            counts, stats = canonical_group_histogram_dense(
+                dc.packed2, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
+                kmer_len, max_counts_bin,
+            )
+            return _trimmed_hist_to_host(counts, stats, max_counts_bin)
         positions = self._device_positions()
         n = int(positions.shape[0])
         if n == 0:

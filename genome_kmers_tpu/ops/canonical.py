@@ -92,6 +92,49 @@ def canonical_key_words(packed2: jax.Array, positions: jax.Array, k: int) -> tup
     return tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
 
 
+def _canonical_hist_tail(lead, fwd, payload, k: int, max_counts_bin: int):
+    """Shared tail of both histogram kernels: fold forward key words to
+    canonical min(key, revcomp), sort, and reduce to the clipped histogram +
+    ``[total, hi]`` digest.
+
+    ``payload`` rides as the stable-sort payload, not a key (one less sort
+    lane). Tie ORDER within a canonical group is unobservable here — this
+    tail returns only group sizes and their histogram, which depend on the
+    sorted KEYS alone — so input order doesn't matter (unlike ops/sort.py's
+    gather paths, where the position tie-break is part of the output
+    contract).
+    """
+    from .groups import clipped_counts, group_sizes_at_boundaries
+
+    n_words = len(fwd)
+    rc = revcomp_key_words(fwd, k)
+    lt = jnp.zeros(payload.shape, dtype=bool)
+    eq = jnp.ones(payload.shape, dtype=bool)
+    for a, b in zip(rc, fwd):
+        lt = lt | (eq & (a < b))
+        eq = eq & (a == b)
+    words = tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
+
+    res = jax.lax.sort(
+        (lead,) + words + (payload,), num_keys=n_words + 1, is_stable=True
+    )
+    s_lead = res[0]
+    s_words = res[1 : 1 + n_words]
+
+    eqb = jnp.ones(payload.shape[0], dtype=bool)
+    for w in (s_lead,) + tuple(s_words):
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eqb = eqb & (w == prev)
+    boundary = (~eqb).at[0].set(True)
+    size = group_sizes_at_boundaries(boundary)
+    qualifies = boundary & (s_lead == jnp.uint32(0))
+    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
+    counts = clipped_counts(qualifies, clipped, max_counts_bin)
+    total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
+    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
+    return counts, jnp.stack([total, hi])
+
+
 @partial(jax.jit, static_argnames=("k", "max_counts_bin"))
 def canonical_group_histogram(
     packed2: jax.Array,
@@ -110,44 +153,60 @@ def canonical_group_histogram(
     selection, which downloaded valid_len and re-uploaded survivor indices
     (~8 N bytes of round-trip over the device link).
     """
-    from .groups import clipped_counts, group_sizes_at_boundaries
-
     n_words = -(-k // 16)
     valid = valid_len >= jnp.uint32(k)
     lead = (~valid).astype(jnp.uint32)
     cap = jnp.where(valid, jnp.uint32(k), jnp.uint32(0))
     fwd = build_key2_words(packed2, positions, cap, n_words, jnp.uint32(0))
-    rc = revcomp_key_words(fwd, k)
-    lt = jnp.zeros(positions.shape, dtype=bool)
-    eq = jnp.ones(positions.shape, dtype=bool)
-    for a, b in zip(rc, fwd):
-        lt = lt | (eq & (a < b))
-        eq = eq & (a == b)
-    words = tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
+    return _canonical_hist_tail(lead, fwd, positions, k, max_counts_bin)
 
-    # position = stable payload, not a key (one less sort lane). Tie ORDER
-    # within a canonical group is unobservable here — this kernel returns
-    # only group sizes and their histogram, which depend on the sorted KEYS
-    # alone — so input order doesn't matter (unlike ops/sort.py's gather
-    # paths, where the position tie-break is part of the output contract).
-    res = jax.lax.sort(
-        (lead,) + words + (positions,), num_keys=n_words + 1, is_stable=True
+
+@partial(jax.jit, static_argnames=("k", "max_counts_bin"))
+def _canonical_hist_dense_jit(
+    packed2, seg_starts, seg_ends, min_len, k: int, max_counts_bin: int
+):
+    from .keys import build_key2_words_dense, valid_len_all
+
+    n_words = -(-k // 16)
+    L = packed2.shape[0]
+    iota = jax.lax.iota(jnp.uint32, L)
+    vl = valid_len_all(seg_starts, seg_ends, iota)
+    # index membership (vl >= min_kmer_len) AND full length (vl >= k) —
+    # equal to the gather kernel's valid mask over the dense start set
+    valid = vl >= jnp.maximum(jnp.uint32(k), min_len)
+    lead = (~valid).astype(jnp.uint32)
+    cap = jnp.where(valid, jnp.uint32(k), jnp.uint32(0))
+    fwd = build_key2_words_dense(packed2, cap, n_words)
+    return _canonical_hist_tail(lead, fwd, iota, k, max_counts_bin)
+
+
+def canonical_group_histogram_dense(
+    packed2, seg_starts, seg_ends, min_kmer_len: int, k: int,
+    max_counts_bin: int,
+):
+    """Gather-free dense variant of ``canonical_group_histogram`` — valid
+    while the index is the canonical dense start set (every position with
+    valid_len >= min_kmer_len, i.e. a FRESH ``Kmers`` whose positions were
+    never customized).
+
+    Forward key words for ALL SBA positions are shifted SLICES of the 2-bit
+    pack (keys.build_key2_words_dense) and valid_len is a scatter + cummax
+    (keys.valid_len_all) — no per-row gathers at all, the same formulation
+    as ops/sort.sort_positions_dense. Rows that are not full-length k-mer
+    starts (separators, short tails, bucket padding) carry the leading
+    invalid lane with zeroed words, exactly like the gather kernel's
+    truncated rows. Output is bit-identical to the gather kernel over the
+    dense start set.
+    """
+    from .sort import _bucket, _pad_to
+
+    L = packed2.shape[0]
+    n_pad = _bucket(L)
+    packed2 = _pad_to(packed2, n_pad, jnp.uint32(0))  # rank 0 => valid_len 0
+    return _canonical_hist_dense_jit(
+        packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), k,
+        max_counts_bin,
     )
-    s_lead = res[0]
-    s_words = res[1 : 1 + n_words]
-
-    eqb = jnp.ones(positions.shape[0], dtype=bool)
-    for w in (s_lead,) + tuple(s_words):
-        prev = jnp.concatenate([w[:1], w[:-1]])
-        eqb = eqb & (w == prev)
-    boundary = (~eqb).at[0].set(True)
-    size = group_sizes_at_boundaries(boundary)
-    qualifies = boundary & (s_lead == jnp.uint32(0))
-    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
-    counts = clipped_counts(qualifies, clipped, max_counts_bin)
-    total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
-    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
-    return counts, jnp.stack([total, hi])
 
 
 def canonical_sort(packed2: jax.Array, positions: jax.Array, k: int):

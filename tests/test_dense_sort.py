@@ -147,6 +147,66 @@ def test_revcomp_strand_dense_sort_matches_forward_oracle(mn, mx):
     )
 
 
+@pytest.mark.parametrize("seg_lens", [[200], [50, 3, 120, 1], [33, 17]])
+@pytest.mark.parametrize("mn,k", [(1, 4), (1, 17), (4, 31), (8, 4), (1, 32)])
+def test_canonical_dense_matches_gather_kernel(seg_lens, mn, k):
+    from genome_kmers_tpu.ops.canonical import (
+        canonical_group_histogram,
+        canonical_group_histogram_dense,
+    )
+    from genome_kmers_tpu.ops.sort import _PAD_POS, _bucket, _pad_to
+
+    sba, seg_starts = _make_sba(seg_lens, "ACGT")
+    seg_starts_j = jnp.asarray(seg_starts)
+    seg_ends = compute_seg_ends(seg_starts_j, len(sba))
+    positions = _canonical_positions(seg_starts, seg_ends, mn)
+    n = len(positions)
+    if n == 0:
+        pytest.skip("degenerate")
+    packed2 = pack_rank2_words(jnp.asarray(sba))
+    mcb = 16
+
+    positions_j = jnp.asarray(positions)
+    vl = compute_valid_len(positions_j, seg_starts_j, seg_ends)
+    n_pad = _bucket(n)
+    positions_p = _pad_to(positions_j, n_pad, _PAD_POS)
+    vl_p = _pad_to(vl, n_pad, jnp.uint32(0))
+    want_counts, want_stats = canonical_group_histogram(
+        packed2, positions_p, vl_p, k, mcb
+    )
+    got_counts, got_stats = canonical_group_histogram_dense(
+        packed2, seg_starts_j, seg_ends, mn, k, mcb
+    )
+    np.testing.assert_array_equal(np.asarray(want_counts), np.asarray(got_counts))
+    np.testing.assert_array_equal(np.asarray(want_stats), np.asarray(got_stats))
+
+
+def test_canonical_dense_public_api_matches_materialized():
+    # fresh instance (geometry live) routes dense; sorting first forces the
+    # materialized gather path — outputs must be identical
+    rng = np.random.default_rng(11)
+    seqs = [
+        ("r%d" % i, "".join(rng.choice(list("ACGT"), size=n)))
+        for i, n in enumerate((97, 13, 55))
+    ]
+    for mn, mx, k in ((1, 8, 5), (4, 12, 12), (1, 40, 33)):
+        km_fresh = Kmers(
+            SequenceCollection(sequence_list=seqs, strands_to_load="forward"),
+            min_kmer_len=mn, max_kmer_len=mx,
+        )
+        assert km_fresh._init_geometry is not None
+        h1, t1 = km_fresh.get_canonical_kmer_group_counts(k, max_counts_bin=10)
+        km_mat = Kmers(
+            SequenceCollection(sequence_list=seqs, strands_to_load="forward"),
+            min_kmer_len=mn, max_kmer_len=mx,
+        )
+        km_mat.sort()  # consumes _init_geometry -> gather path
+        assert km_mat._init_geometry is None
+        h2, t2 = km_mat.get_canonical_kmer_group_counts(k, max_counts_bin=10)
+        np.testing.assert_array_equal(h1, h2)
+        assert t1 == t2
+
+
 def test_dense_path_taken_and_lanes_cached():
     # the fresh bounded-k sort must go dense (geometry live) and leave the
     # same lanes cache the gather path would
