@@ -2011,6 +2011,24 @@ class Kmers:
                 self._dist_cache = None
                 self._is_sorted = True
                 return
+            if mesh is None and int(self._init_geometry[2]) > 1 and not in_range:
+                # unbounded (suffix-mode) or beyond-window max_kmer_len: the
+                # first — dominant — refinement round still runs gather-free
+                # over all SBA positions; only the unresolved-group re-sorts
+                # gather (ops/sort.sort_positions_suffix_dense)
+                from .ops.sort import sort_positions_suffix_dense
+
+                sorted_pos = sort_positions_suffix_dense(
+                    dc.packed, dc.seg_starts, dc.seg_ends,
+                    int(self._init_geometry[2]),
+                    self.min_kmer_len, self.max_kmer_len,
+                )
+                self._pos_dev = sorted_pos
+                self._pos_host = None
+                self._init_geometry = None
+                self._dist_cache = None
+                self._is_sorted = True
+                return
 
         positions = self._device_positions()
         valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)

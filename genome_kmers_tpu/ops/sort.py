@@ -247,6 +247,75 @@ def sort_positions(
     return (pos[:n], None) if return_lanes else pos[:n]
 
 
+@partial(jax.jit, static_argnames=("n_words",))
+def _first_round_dense(packed, seg_starts, seg_ends, min_len, max_k, n_words):
+    """Gather-free FIRST refinement round over ALL positions of a
+    (bucket-padded) 4-bit pack — the dense analog of
+    ``_sort_round(..., first=True)``.
+
+    Key words are shifted slices (build_key_words_dense) and valid_len is a
+    scatter + cummax; the position tie-break is the stable-sort payload
+    (valid ONLY here: the input position array is iota, globally ascending).
+    Rows below ``min_len`` (separators, short tails, bucket padding) carry a
+    leading invalid key with cap forced to 0, so they sort last and are
+    resolved immediately. ``max_k`` is a TRACED cap (0xFFFFFFFF = unbounded)
+    so every (min, max) combination shares one program per shape.
+
+    Returns (sorted positions, sorted cap, group ids, any_unresolved) in the
+    exact form ``_sort_round`` consumes for the remaining rounds.
+    """
+    L = packed.shape[0]
+    iota = jax.lax.iota(jnp.uint32, L)
+    vl = valid_len_all(seg_starts, seg_ends, iota)
+    cap = jnp.minimum(vl, max_k)
+    invalid = cap < min_len
+    cap = jnp.where(invalid, jnp.uint32(0), cap)
+    words = build_key_words_dense(packed, cap, n_words)
+    lead = invalid.astype(jnp.uint32)
+    res = jax.lax.sort(
+        (lead,) + words + (iota, cap), num_keys=n_words + 1, is_stable=True
+    )
+    s_lead = res[0]
+    s_words = res[1 : 1 + n_words]
+    s_pos = res[-2]
+    s_cap = res[-1]
+    eq = _adjacent_eq((s_lead,) + tuple(s_words), jnp.ones(L, dtype=bool))
+    limit = jnp.uint32(n_words * 8)
+    beyond = s_cap > limit
+    prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
+    unresolved = eq & (beyond | prev_beyond)
+    new_gid = jnp.cumsum((~eq).astype(jnp.uint32))
+    return s_pos, s_cap, new_gid, jnp.any(unresolved)
+
+
+def sort_positions_suffix_dense(
+    packed, seg_starts, seg_ends, n, min_kmer_len, max_kmer_len,
+):
+    """Fresh sort of the canonical start set for UNBOUNDED or beyond-window
+    ``max_kmer_len`` (the iterative-refinement regime): the first — dominant
+    — round runs gather-free over every SBA position; later rounds re-sort
+    within unresolved groups via gathered window words (unavoidable once the
+    order is data-dependent). Output is identical to ``sort_positions`` over
+    the canonical start set. ``n`` = the known canonical start count;
+    ``packed`` is the 4-bit per-position pack.
+    """
+    L = packed.shape[0]
+    n_pad = _bucket(L)
+    packed = _pad_to(packed, n_pad, jnp.uint32(0))  # rank 0 => valid_len 0
+    maxk = jnp.uint32(0xFFFFFFFF if max_kmer_len is None else max_kmer_len)
+    pos, cap, gid, unresolved = _first_round_dense(
+        packed, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk,
+        WINDOW_WORDS,
+    )
+    offset = WINDOW_BASES
+    while bool(unresolved):
+        pos, cap, gid, unresolved = _sort_round(
+            packed, pos, cap, gid, jnp.uint32(offset), WINDOW_WORDS, False
+        )
+        offset += WINDOW_BASES
+    return pos[:n]
+
+
 @partial(jax.jit, static_argnames=("n_words", "k", "uniform_cap", "two_bit"))
 def _sort_dense(packed, seg_starts, seg_ends, min_len, n_words, k, uniform_cap,
                 two_bit):

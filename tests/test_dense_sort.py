@@ -147,6 +147,59 @@ def test_revcomp_strand_dense_sort_matches_forward_oracle(mn, mx):
     )
 
 
+@pytest.mark.parametrize("alphabet", ["ACGT", "ACGTN"])
+@pytest.mark.parametrize("seg_lens", [[200], [50, 3, 120, 1], [33, 17], [90, 90]])
+@pytest.mark.parametrize("mn,mx", [(1, None), (4, None), (1, 40), (2, 33), (1, 100)])
+def test_suffix_dense_matches_gather_path(alphabet, seg_lens, mn, mx):
+    from genome_kmers_tpu.ops.sort import sort_positions_suffix_dense
+
+    sba, seg_starts = _make_sba(seg_lens, alphabet)
+    seg_starts_j = jnp.asarray(seg_starts)
+    seg_ends = compute_seg_ends(seg_starts_j, len(sba))
+    positions = _canonical_positions(seg_starts, seg_ends, mn)
+    n = len(positions)
+    if n <= 1:
+        pytest.skip("degenerate")
+    positions_j = jnp.asarray(positions)
+    vl = compute_valid_len(positions_j, seg_starts_j, seg_ends)
+    cap = cap_lengths(vl, mx)
+    packed = pack_rank_words(jnp.asarray(sba))
+
+    want = sort_positions(packed, positions_j, cap, mx)
+    got = sort_positions_suffix_dense(
+        packed, seg_starts_j, seg_ends, n, mn, mx
+    )
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_suffix_dense_public_api_matches_materialized():
+    # unbounded fresh sort routes through the dense first round; forcing
+    # position materialization first takes the gather path — identical output
+    rng = np.random.default_rng(13)
+    seqs = [
+        ("r%d" % i, "".join(rng.choice(list("ACGTN"), size=n)))
+        for i, n in enumerate((130, 44, 71))
+    ]
+    for mn, mx in ((1, None), (3, None), (1, 48)):
+        km_fresh = Kmers(
+            SequenceCollection(sequence_list=seqs, strands_to_load="forward"),
+            min_kmer_len=mn, max_kmer_len=mx,
+        )
+        assert km_fresh._init_geometry is not None
+        km_fresh.sort()
+        km_mat = Kmers(
+            SequenceCollection(sequence_list=seqs, strands_to_load="forward"),
+            min_kmer_len=mn, max_kmer_len=mx,
+        )
+        # assigning the (identical) index clears the geometry -> gather path
+        km_mat.kmer_sba_start_indices = km_mat.kmer_sba_start_indices
+        assert km_mat._init_geometry is None
+        km_mat.sort()
+        np.testing.assert_array_equal(
+            km_fresh.kmer_sba_start_indices, km_mat.kmer_sba_start_indices
+        )
+
+
 @pytest.mark.parametrize("seg_lens", [[200], [50, 3, 120, 1], [33, 17]])
 @pytest.mark.parametrize("mn,k", [(1, 4), (1, 17), (4, 31), (8, 4), (1, 32)])
 def test_canonical_dense_matches_gather_kernel(seg_lens, mn, k):
