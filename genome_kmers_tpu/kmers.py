@@ -2253,6 +2253,7 @@ class Kmers:
         self,
         kmer_len: int,
         max_counts_bin: int = 1000000,
+        mesh=None,
     ) -> tuple[np.ndarray, int]:
         """EXTENSION: group-size histogram over CANONICAL (strand-collapsed)
         k-mers — each k-mer identified with min(kmer, revcomp(kmer))
@@ -2261,6 +2262,13 @@ class Kmers:
 
         Requires an ACGT-only genome and kmer_len <= 64; only full-length
         k-mers participate (truncated k-mers have no canonical form).
+
+        Pass ``mesh`` (a jax.sharding.Mesh) to run the whole pipeline on the
+        mesh: sharded gather-free canonical sample sort
+        (parallel.sample_sort_canonical_dense_ragged) + halo-stitched
+        distributed histogram over the retained canonical lanes. The mesh
+        path requires the index to be the fresh dense start set (positions
+        never customized).
         """
         self._check_forward_only()
         if self.kmer_source_strand == "both":
@@ -2285,6 +2293,38 @@ class Kmers:
             raise NotImplementedError(
                 "canonical k-mer statistics require an ACGT-only genome"
             )
+        if mesh is not None:
+            if self._init_geometry is None:
+                raise NotImplementedError(
+                    "canonical statistics on a mesh require the fresh dense "
+                    "index (positions were customized; run without mesh)"
+                )
+            if int(self._init_geometry[2]) == 0:
+                return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
+            from .parallel import (
+                distributed_group_size_histogram_ragged,
+                sample_sort_canonical_dense_ragged,
+            )
+
+            rag_pos, rag_pad, rag_words = sample_sort_canonical_dense_ragged(
+                dc.packed2, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
+                kmer_len, mesh,
+            )
+            mcb_dev = _device_counts_bin(max_counts_bin)
+            counts, total, hi = distributed_group_size_histogram_ragged(
+                None, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
+                mesh, max_counts_bin=mcb_dev, packed2=dc.packed2,
+                sorted_words=rag_words, return_digest=True,
+            )
+            b = min(_pow2_bucket(int(hi) + 1), mcb_dev + 1)
+            buf = np.asarray(counts[:b]).astype(np.int64)
+            out = np.zeros(max_counts_bin + 1, dtype=np.int64)
+            if b > max_counts_bin + 1:
+                out[:] = buf[: max_counts_bin + 1]
+                out[max_counts_bin] += buf[max_counts_bin + 1 :].sum()
+            else:
+                out[:b] = buf
+            return out, int(total)
         # Gather-free dense fast path: while _init_geometry is live the index
         # IS the canonical dense start set, so the forward key words are
         # shifted slices of the 2-bit pack — no position materialization, no

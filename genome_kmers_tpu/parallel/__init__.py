@@ -19,6 +19,7 @@ from .distributed import (
 from .large import distributed_group_size_histogram_large_ragged
 from .query import distributed_count_queries
 from .sample_sort import (
+    sample_sort_canonical_dense_ragged,
     sample_sort_positions,
     sample_sort_positions_dense_ragged,
     sample_sort_positions_large,
@@ -40,6 +41,7 @@ __all__ = [
     "load_kmers_sharded",
     "load_sharded_index",
     "make_mesh",
+    "sample_sort_canonical_dense_ragged",
     "sample_sort_positions",
     "sample_sort_positions_dense_ragged",
     "sample_sort_positions_ragged",

@@ -671,6 +671,113 @@ def sample_sort_positions_dense_ragged(
         factor *= 2.0
 
 
+def _canonical_dense_lanes(packed2, seg_starts, seg_ends, min_len, k, n_words,
+                           mesh):
+    """Sharded gather-free CANONICAL key lanes for every position 0..L-1.
+
+    Forward words are shifted slices of the replicated 2-bit pack
+    (ops/keys.build_key2_words_dense); the reverse complement is pure
+    bit-arithmetic on those words (ops/canonical.revcomp_key_words), so the
+    canonical fold min(fwd, rc) never touches the genome either. Rows that
+    are not FULL-LENGTH k-mer starts (vl < max(k, min_kmer_len):
+    separators, short tails, padding — truncated k-mers have no canonical
+    form) carry a leading invalid lane and are flagged as pads.
+    """
+    from ..ops.canonical import revcomp_key_words
+    from ..ops.keys import build_key2_words_dense, valid_len_all
+
+    L = packed2.shape[0]
+    shd = NamedSharding(mesh, P(AXIS))
+    csc = jax.lax.with_sharding_constraint
+    iota = csc(jax.lax.iota(jnp.uint32, L), shd)
+    vl = csc(valid_len_all(seg_starts, seg_ends, iota), shd)
+    valid = vl >= jnp.maximum(jnp.uint32(k), jnp.uint32(min_len))
+    cap = jnp.where(valid, jnp.uint32(k), jnp.uint32(0))
+    fwd = build_key2_words_dense(packed2, cap, n_words)
+    rc = revcomp_key_words(fwd, k)
+    lt = jnp.zeros(iota.shape, dtype=bool)
+    eq = jnp.ones(iota.shape, dtype=bool)
+    for a, b in zip(rc, fwd):
+        lt = lt | (eq & (a < b))
+        eq = eq & (a == b)
+    words = tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
+    lead = (~valid).astype(jnp.uint32)
+    key_lanes = (csc(lead, shd),) + tuple(csc(w, shd) for w in words)
+    is_pad = csc(lead, shd)
+    return key_lanes, iota, is_pad
+
+
+@partial(jax.jit, static_argnames=("min_len", "n_words", "k", "n_samples",
+                                   "capacity", "mesh"))
+def _canonical_sample_sort_jit(packed2, seg_starts, seg_ends, min_len, n_words,
+                               k, n_samples, capacity, mesh):
+    key_lanes, iota, is_pad = _canonical_dense_lanes(
+        packed2, seg_starts, seg_ends, min_len, k, n_words, mesh
+    )
+    n_dev = mesh.shape[AXIS]
+    fn = shard_map(
+        partial(
+            _sample_sort_dense_local,
+            n_dev=n_dev,
+            n_samples=n_samples,
+            capacity=capacity,
+        ),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+    )
+    return fn(key_lanes, iota, is_pad)
+
+
+def sample_sort_canonical_dense_ragged(
+    packed2,
+    seg_starts,
+    seg_ends,
+    min_kmer_len: int,
+    k: int,
+    mesh,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+):
+    """Distributed sort of the dense start set by CANONICAL key — the mesh
+    analog of the single-chip canonical kernels (ops/canonical.py; an
+    EXTENSION, the reference declares both-strand handling but raises —
+    reference kmers.py:689-696). Gather-free throughout: dense slice key
+    build + bit-arithmetic revcomp + splitter sample sort.
+
+    Returns (positions, is_pad, sorted canonical word lanes), each sharded
+    ragged (per-shard real-row prefixes); pads mark every row that is not a
+    full-length k-mer start. The lanes feed
+    ``distributed_group_size_histogram_ragged(sorted_words=...)`` so the
+    histogram needs no key re-gather.
+    """
+    if k > 64:
+        raise NotImplementedError("canonical keys require k <= 64")
+    n_dev = mesh.shape[AXIS]
+    n_words = _cdiv(k, 16)
+    packed_p = _pad_to_multiple(packed2, n_dev, jnp.uint32(0))
+    m = packed_p.shape[0] // n_dev
+    n_samples = min(n_samples, m)
+
+    genome = put_global(packed_p, NamedSharding(mesh, P()))
+    seg_starts = put_global(jnp.asarray(seg_starts), NamedSharding(mesh, P()))
+    seg_ends = put_global(jnp.asarray(seg_ends), NamedSharding(mesh, P()))
+
+    factor = capacity_factor
+    while True:
+        capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
+        out_pos, out_is_pad, out_lanes, overflow = _canonical_sample_sort_jit(
+            genome, seg_starts, seg_ends, int(min_kmer_len), n_words, int(k),
+            n_samples, capacity, mesh,
+        )
+        if int(overflow) == 0:
+            # drop the leading invalid lane; pads carry all word content
+            return out_pos[0], out_is_pad, out_lanes[1 : 1 + n_words]
+        if capacity >= m:
+            raise AssertionError("canonical sample sort overflow at full capacity (bug)")
+        factor *= 2.0
+
+
 # --------------------------------------------------------------------------- #
 # large regime: > int32-gather genomes, 64-bit coordinates (ops/large.py)
 # --------------------------------------------------------------------------- #

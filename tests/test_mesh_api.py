@@ -233,3 +233,34 @@ class TestLoadedIndexRedistributes:
             8, kmer_filter_func=f, max_counts_bin=20, mesh=mesh8
         )
         assert t_m2 == t_c2 and np.array_equal(h_m2, h_c2)
+
+
+class TestCanonicalMesh:
+    @pytest.mark.parametrize("mn,mx,k", [(1, 8, 5), (4, 31, 31), (1, 20, 17)])
+    def test_canonical_mesh_matches_single_chip(self, mesh8, mn, mx, k):
+        seqs = [("r%d" % i, random_seq(n, 40 + i)) for i, n in enumerate((300, 75, 41))]
+        km = build(seqs, mn, mx)
+        assert km._init_geometry is not None
+        want_h, want_t = km.get_canonical_kmer_group_counts(k, max_counts_bin=12)
+        km2 = build(seqs, mn, mx)
+        got_h, got_t = km2.get_canonical_kmer_group_counts(
+            k, max_counts_bin=12, mesh=mesh8
+        )
+        np.testing.assert_array_equal(want_h, got_h)
+        assert want_t == got_t
+
+    def test_canonical_mesh_requires_dense_index(self, mesh8):
+        km = build([("a", random_seq(64, 3))], 1, 8)
+        km.kmer_sba_start_indices = km.kmer_sba_start_indices  # customize
+        with pytest.raises(NotImplementedError, match="fresh dense"):
+            km.get_canonical_kmer_group_counts(5, mesh=mesh8)
+
+    def test_canonical_mesh_trivial_duplicates(self, mesh8):
+        # AAAA / TTTT collapse to one canonical group across strands
+        km = build([("a", "AAAATTTT")], 1, 4)
+        h, t = km.get_canonical_kmer_group_counts(4, max_counts_bin=10, mesh=mesh8)
+        h1, t1 = build([("a", "AAAATTTT")], 1, 4).get_canonical_kmer_group_counts(
+            4, max_counts_bin=10
+        )
+        np.testing.assert_array_equal(h, h1)
+        assert t == t1
