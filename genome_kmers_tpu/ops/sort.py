@@ -16,8 +16,9 @@ position tie-break only when the input is position-ascending within every
 set of equal keys. ``sort_positions`` callers do NOT all satisfy that —
 ``from_strand`` reverse-complement instances iterate segments in record
 order, which is DESCENDING in revcomp-SBA coordinates — so the gather-path
-sorts here keep the explicit position key. Only ``sort_positions_dense``
-(input = iota, ascending by construction) uses the stable-payload form.
+sorts here keep the explicit position key. Only the dense fresh-path kernels
+(``sort_positions_dense``, ``_first_round_dense`` — input = iota, ascending
+by construction) use the stable-payload form.
 
 ``max_kmer_len=None`` means "compare until the segment end" (kmers.py:315-316)
 — unbounded suffix comparison. We handle it with iterative refinement: sort by
