@@ -2223,12 +2223,14 @@ class Kmers:
         return np.asarray(_count_queries(dc.packed, positions, cap, q_words, kmer_len))
 
     def count_queries_canonical(
-        self, queries: list, kmer_len: Union[int, None] = None
+        self, queries: list, kmer_len: Union[int, None] = None, mesh=None
     ) -> np.ndarray:
         """EXTENSION: strand-collapsed occurrence counts — each query counts
         its forward hits plus its reverse complement's hits (once, for
         palindromes). Completes BASELINE config 5's canonical + streaming
         query pairing; requires ACGT queries and a sorted index.
+        ``mesh`` routes both direction lookups through the distributed
+        per-shard bound search (parallel.distributed_count_queries).
         """
         if self.kmer_source_strand == "both":
             raise NotImplementedError(
@@ -2244,8 +2246,8 @@ class Kmers:
             if set(q) - set("ACGT"):
                 raise ValueError(f"canonical queries must be ACGT-only: '{q}'")
             rcs.append(q.translate(table)[::-1])
-        fwd = self.count_queries(queries, kmer_len)
-        rc = self.count_queries(rcs, kmer_len)
+        fwd = self.count_queries(queries, kmer_len, mesh=mesh)
+        rc = self.count_queries(rcs, kmer_len, mesh=mesh)
         is_palindrome = np.array([q == r for q, r in zip(queries, rcs)])
         return fwd + np.where(is_palindrome, 0, rc).astype(np.uint32)
 

@@ -264,3 +264,14 @@ class TestCanonicalMesh:
         )
         np.testing.assert_array_equal(h, h1)
         assert t == t1
+
+    def test_count_queries_canonical_mesh(self, mesh8):
+        seqs = [("a", random_seq(200, 77))]
+        km = build(seqs, 6, 6)
+        km.sort()
+        queries = ["ACGTAC", "AAAAAA", "GCGCGC", random_seq(6, 5)]
+        want = km.count_queries_canonical(queries)
+        km2 = build(seqs, 6, 6)
+        km2.sort(mesh=mesh8)
+        got = km2.count_queries_canonical(queries, mesh=mesh8)
+        np.testing.assert_array_equal(want, got)
