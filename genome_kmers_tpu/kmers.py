@@ -2318,15 +2318,13 @@ class Kmers:
                 mesh, max_counts_bin=mcb_dev, packed2=dc.packed2,
                 sorted_words=rag_words, return_digest=True,
             )
-            b = min(_pow2_bucket(int(hi) + 1), mcb_dev + 1)
-            buf = np.asarray(counts[:b]).astype(np.int64)
-            out = np.zeros(max_counts_bin + 1, dtype=np.int64)
-            if b > max_counts_bin + 1:
-                out[:] = buf[: max_counts_bin + 1]
-                out[max_counts_bin] += buf[max_counts_bin + 1 :].sum()
-            else:
-                out[:b] = buf
-            return out, int(total)
+            out, total = _trimmed_hist_to_host(
+                counts,
+                np.array([int(total), int(hi)], dtype=np.uint32),
+                max_counts_bin,
+                device_bin=mcb_dev,
+            )
+            return out, total
         # Gather-free dense fast path: while _init_geometry is live the index
         # IS the canonical dense start set, so the forward key words are
         # shifted slices of the 2-bit pack — no position materialization, no

@@ -202,7 +202,9 @@ def canonical_group_histogram_dense(
 
     L = packed2.shape[0]
     n_pad = _bucket(L)
-    packed2 = _pad_to(packed2, n_pad, jnp.uint32(0))  # rank 0 => valid_len 0
+    packed2 = _pad_to(packed2, n_pad, jnp.uint32(0))  # pad rows fall past the last
+    # seg_end, so valid_len_all yields 0 for them; the fill value itself is
+    # never observed (cap masks every slice read)
     return _canonical_hist_dense_jit(
         packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), k,
         max_counts_bin,

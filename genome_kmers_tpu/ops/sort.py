@@ -302,7 +302,9 @@ def sort_positions_suffix_dense(
     """
     L = packed.shape[0]
     n_pad = _bucket(L)
-    packed = _pad_to(packed, n_pad, jnp.uint32(0))  # rank 0 => valid_len 0
+    packed = _pad_to(packed, n_pad, jnp.uint32(0))  # pad rows fall past the last
+    # seg_end, so valid_len_all yields 0 for them; the fill value itself is
+    # never observed (cap masks every slice read)
     maxk = jnp.uint32(0xFFFFFFFF if max_kmer_len is None else max_kmer_len)
     pos, cap, gid, unresolved = _first_round_dense(
         packed, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk,
@@ -329,8 +331,9 @@ def _sort_dense(packed, seg_starts, seg_ends, min_len, n_words, k, uniform_cap,
     k=31 index build on (304 of ~370 ms at 2^24 rows on v5e).
 
     Rows that are not k-mer starts (separators, tails shorter than
-    ``min_len``, bucket padding — padding packs as rank 0 so its valid_len
-    is 0) fold to all-ones words (+ all-ones cap) and sort strictly last:
+    ``min_len``, bucket padding — pad rows sit past the last seg_end so
+    valid_len_all yields 0) fold to all-ones words (+ all-ones cap) and
+    sort strictly last:
     real 2-bit words never equal all-ones when k % 16 != 0 (the last word
     keeps < 16 bases, low bits zero); when k % 16 == 0 the cap lane is kept
     as the discriminator (real cap = k < 0xFFFFFFFF); the 4-bit path keeps
@@ -373,7 +376,9 @@ def sort_positions_dense(
     """
     L = packed.shape[0]
     n_pad = _bucket(L)
-    packed = _pad_to(packed, n_pad, jnp.uint32(0))  # rank 0 => valid_len 0
+    packed = _pad_to(packed, n_pad, jnp.uint32(0))  # pad rows fall past the last
+    # seg_end, so valid_len_all yields 0 for them; the fill value itself is
+    # never observed (cap masks every slice read)
     n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
     res = _sort_dense(
         packed, seg_starts, seg_ends, jnp.uint32(min_kmer_len), n_words,
