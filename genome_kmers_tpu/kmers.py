@@ -1047,6 +1047,57 @@ class Kmers:
             return lanes
         return None
 
+    def _filtered_lanes_stats(self, kmer_len, kmer_filter_func):
+        """(lanes, positions, strand_split, (flags_fn, params, msg_makers))
+        for the fused lanes-filtered stats path, or None.
+
+        Eligible when the index retains sorted key lanes covering both the
+        query ``kmer_len`` and the filter's own window, and the filter can
+        evaluate directly on lane words (ops/filters lanes flags). The whole
+        filtered query then runs as ONE fused program with no genome gathers
+        — the plane path this bypasses pays one serialized uint8 gather
+        (~150 ms/16.7M rows on v5e) plus 1-2 host syncs for error checks.
+        """
+        import jax.numpy as jnp
+
+        from .ops.filters import KeepAllFilter, KmerFilter
+
+        if not isinstance(kmer_filter_func, KmerFilter) or isinstance(
+            kmer_filter_func, KeepAllFilter
+        ):
+            return None
+        if not self._is_sorted:
+            return None
+        lanes = getattr(self, "_lanes_cache", None)
+        if (
+            lanes is None
+            or kmer_len is None
+            or kmer_len > lanes["built_k"]
+            or len(self.kmer_sba_start_indices) == 0
+        ):
+            return None
+        spec = kmer_filter_func.lanes_spec(
+            lanes, int(len(self._host_sba())), self.min_kmer_len
+        )
+        if spec is None:
+            return None
+        positions = self._device_positions()
+        split = (
+            jnp.uint32(self._revcomp_offset())
+            if self.track_strands_separately
+            else jnp.asarray(_UINT32_SENTINEL)
+        )
+        return lanes, positions, split, spec
+
+    @staticmethod
+    def _raise_lanes_errs(err_pairs: np.ndarray, msg_makers) -> None:
+        """Raise the filter's reference error from the fused-kernel digest:
+        ``err_pairs`` is the flat [(any, first_bad_position), ...] tail, in
+        the filter's check order."""
+        for i, make_msg in enumerate(msg_makers):
+            if int(err_pairs[2 * i]):
+                raise ValueError(make_msg(int(err_pairs[2 * i + 1])))
+
     def _filtered_device_stats(self, kmer_len, kmer_filter_func):
         """(all-rows boundary, device survivor mask) for the device-only
         filtered stats path, or None when it doesn't apply.
@@ -1354,6 +1405,21 @@ class Kmers:
             )
             return int(total)
 
+        fl = self._filtered_lanes_stats(kmer_len, kmer_filter_func)
+        if fl is not None:
+            from .ops.groups import lanes_filtered_total
+
+            lanes, positions, split, (flags_fn, params, msgs) = fl
+            digest = np.asarray(
+                lanes_filtered_total(
+                    lanes["words"], lanes["cap"], positions, jnp.asarray(params),
+                    kmer_len, jnp.uint32(min_group_size), max_gs, split,
+                    lanes["two_bit"], flags_fn,
+                )
+            )
+            self._raise_lanes_errs(digest[1:], msgs)
+            return int(digest[0])
+
         fd = self._filtered_device_stats(kmer_len, kmer_filter_func)
         if fd is not None:
             from .ops.groups import filtered_group_total
@@ -1427,6 +1493,20 @@ class Kmers:
                 kmer_len, lanes["two_bit"], mcb_dev,
             )
             return _trimmed_hist_to_host(counts, stats, max_counts_bin, mcb_dev)
+
+        fl = self._filtered_lanes_stats(kmer_len, kmer_filter_func)
+        if fl is not None:
+            from .ops.groups import lanes_filtered_hist_trimmed
+
+            lanes, positions, split, (flags_fn, params, msgs) = fl
+            counts, digest = lanes_filtered_hist_trimmed(
+                lanes["words"], lanes["cap"], positions, jnp.asarray(params),
+                kmer_len, jnp.uint32(min_group_size), max_gs, split,
+                lanes["two_bit"], mcb_dev, flags_fn,
+            )
+            digest = np.asarray(digest)
+            self._raise_lanes_errs(digest[2:], msgs)
+            return _trimmed_hist_to_host(counts, digest[:2], max_counts_bin, mcb_dev)
 
         fd = self._filtered_device_stats(kmer_len, kmer_filter_func)
         if fd is not None:

@@ -329,6 +329,194 @@ def _crispr_flags_genome_bytes(sba):
     return mask.astype(jnp.uint8)
 
 
+# --------------------------------------------------------------------------- #
+# lanes flags: a filter's (pass, raise) outcome computed DIRECTLY from the
+# retained sorted key lanes.
+#
+# After a sort the index retains its sorted key words (ops/sort.py
+# return_lanes) — the k-mer CONTENT, already in sorted row order. Every
+# library filter is a function of that content plus the compare cap, so its
+# survivor mask is pure word arithmetic over lanes the stats kernel reads
+# anyway: GC count = popcount of (w ^ w>>1) & 0x5555… on 2-bit words,
+# ambiguity/truncation = SWAR nibble tests on 4-bit words, homopolymer runs =
+# adjacent-field equality bits. No genome gather at all — the flag-plane path
+# this supersedes pays one serialized uint8 gather per query (~150 ms/16.7M
+# rows on v5e) plus 1-2 host syncs for its error checks; the lanes form fuses
+# into the same program as the boundary + survivor histogram and returns its
+# error findings inside the stats digest (zero extra transfers).
+#
+# Word layout invariants this relies on (ops/keys.py): field j of word w is
+# base offset (bases_per_word*w + j), big-endian within the word; fields at
+# or past each row's cap = min(valid_len, built_k) are ZERO.
+#
+# Each ``*_lanes{2,4}`` function returns ``(mask, errs)`` where ``errs`` is a
+# tuple of per-row raise conditions in the exact order the filter's
+# check_batch would test them; the caller (ops/groups.lanes_filtered_*)
+# reduces each to an [any, first-bad-position] digest pair.
+# --------------------------------------------------------------------------- #
+
+_ONES32 = jnp.uint32(0xFFFFFFFF)
+
+
+def _lanes_keep_mask(k, w_idx: int, bases_per_word: int, bits: int):
+    """Bit mask keeping fields of word ``w_idx`` below (traced) base count
+    ``k`` — same shift formulation as ops/sort.boundaries_from_sorted_lanes."""
+    keep = jnp.clip(k.astype(jnp.int32) - w_idx * bases_per_word, 0, bases_per_word)
+    nbits = (bits * keep).astype(jnp.uint32)
+    shift = jnp.minimum(jnp.uint32(32) - nbits, jnp.uint32(31))
+    return jnp.where(nbits == 0, jnp.uint32(0), _ONES32 << shift)
+
+
+def _row_caps(cap, positions, cap_const):
+    """Per-row compare caps: the retained cap lane, or the uniform constant
+    (2-bit uniform-cap lanes drop the lane because every row's cap equals
+    built_k)."""
+    if cap is not None:
+        return cap
+    return jnp.broadcast_to(cap_const, positions.shape)
+
+
+def _nib_nonzero_bits(y):
+    """bit0 of each nibble set iff that nibble is nonzero (exact — no
+    SWAR-borrow false positives: only within-nibble shifts are OR'd)."""
+    z = y | (y >> 1) | (y >> 2) | (y >> 3)
+    return z & jnp.uint32(0x11111111)
+
+
+def _nib_match_count(zz, v: int):
+    """Number of nibbles of ``zz`` equal to ``v`` (callers pre-set excluded
+    nibbles to 0xF, which matches nothing we ever count)."""
+    t = zz ^ jnp.uint32(v * 0x11111111)
+    nz = _nib_nonzero_bits(t)
+    return jax.lax.population_count(nz ^ jnp.uint32(0x11111111))
+
+
+def gc_lanes_flags2(words, cap, positions, params):
+    """GC-content filter on 2-bit lanes. params (uint32): [k_f, min_count,
+    max_count, cap_const, impossible_range]."""
+    k = params[0]
+    mn, mx = params[1], params[2]
+    gc = jnp.zeros(positions.shape, dtype=jnp.uint32)
+    for i, w in enumerate(words):
+        ww = w & _lanes_keep_mask(k, i, 16, 2)
+        # per 2-bit field, b1 ^ b0 == 1 exactly for C (01) and G (10);
+        # zeroed fields (past cap or past k) read as A and contribute 0
+        x = (ww >> 1) ^ ww
+        gc = gc + jax.lax.population_count(x & jnp.uint32(0x55555555))
+    trunc = _row_caps(cap, positions, params[3]) < k
+    ok = (gc >= mn) & (gc <= mx)
+    possible = params[4] == jnp.uint32(0)
+    mask = possible & (~trunc) & ok
+    # reference scans left to right: a truncated k-mer raises only when its
+    # GC count did not exceed max first (kmers.py:170-185); the impossible
+    # range returns False for every row before touching the SBA
+    raises = possible & trunc & (gc <= mx)
+    return mask, (raises,)
+
+
+def gc_lanes_flags4(words, cap, positions, params):
+    """GC-content filter on 4-bit lanes (IUPAC genomes). Same params as
+    ``gc_lanes_flags2``; C = rank 3, G = rank 5 (ASCII-ordered ranks)."""
+    del cap  # 4-bit lanes carry termination in-word (zero nibbles)
+    k = params[0]
+    mn, mx = params[1], params[2]
+    gc = jnp.zeros(positions.shape, dtype=jnp.uint32)
+    trunc = jnp.zeros(positions.shape, dtype=bool)
+    for i, w in enumerate(words):
+        km = _lanes_keep_mask(k, i, 8, 4)
+        zz = (w & km) | ~km  # excluded fields -> 0xF (matches no rank)
+        gc = gc + _nib_match_count(zz, 3) + _nib_match_count(zz, 5)
+        # a zero nibble among kept fields == compare cap inside the window
+        trunc = trunc | (_nib_nonzero_bits(zz) != jnp.uint32(0x11111111))
+    ok = (gc >= mn) & (gc <= mx)
+    possible = params[4] == jnp.uint32(0)
+    mask = possible & (~trunc) & ok
+    raises = possible & trunc & (gc <= mx)
+    return mask, (raises,)
+
+
+def noamb_lanes_flags2(words, cap, positions, params):
+    """No-ambiguous filter on 2-bit lanes: the alphabet is ACGT-only, so the
+    filter reduces to truncation checks. params: [k_f, overflow_thr,
+    cap_const]."""
+    del words
+    k = params[0]
+    trunc = _row_caps(cap, positions, params[2]) < k
+    overflow = positions >= params[1]
+    # '$' reached before any ambiguous base (there are none) -> raise
+    return ~trunc, (overflow, trunc)
+
+
+def noamb_lanes_flags4(words, cap, positions, params):
+    """No-ambiguous filter on 4-bit lanes. params: [k_f, overflow_thr]."""
+    del cap
+    k = params[0]
+    trunc = jnp.zeros(positions.shape, dtype=bool)
+    amb = jnp.zeros(positions.shape, dtype=bool)
+    for i, w in enumerate(words):
+        km = _lanes_keep_mask(k, i, 8, 4)
+        zz = (w & km) | ~km
+        trunc = trunc | (_nib_nonzero_bits(zz) != jnp.uint32(0x11111111))
+        # ambiguous = kept nibble not in {0('$'/past-cap), A=1, C=3, G=5,
+        # T=12}; excluded fields are zeroed here so they match rank 0
+        ww = w & km
+        amb_bits = _nib_nonzero_bits(ww)
+        for v in (1, 3, 5, 12):
+            amb_bits = amb_bits & _nib_nonzero_bits(ww ^ jnp.uint32(v * 0x11111111))
+        amb = amb | (amb_bits != jnp.uint32(0))
+    overflow = positions >= params[1]
+    # reference kmers.py:216-227: an ambiguous base found before the '$'
+    # fails the k-mer without raising ('$' rows are all past the ambiguity)
+    return (~trunc) & (~amb), (overflow, trunc & ~amb)
+
+
+def length_lanes_flags(words, cap, positions, params):
+    """Length filter (>= min bases to segment end). params: [min_f,
+    cap_const] with min_f pre-clamped to >= 0 and <= built_k."""
+    del words
+    return _row_caps(cap, positions, params[1]) >= params[0], ()
+
+
+def length_lanes_flags4(words, cap, positions, params):
+    """Length filter on 4-bit lanes: cap >= min_f iff no zero nibble among
+    the first min_f fields. params: [min_f]."""
+    del cap
+    mf = params[0]
+    trunc = jnp.zeros(positions.shape, dtype=bool)
+    for i, w in enumerate(words):
+        km = _lanes_keep_mask(mf, i, 8, 4)
+        zz = (w & km) | ~km
+        trunc = trunc | (_nib_nonzero_bits(zz) != jnp.uint32(0x11111111))
+    return ~trunc, ()
+
+
+def crispr_lanes_flags2(words, cap, positions, params):
+    """CRISPR NGG PAM on 2-bit lanes: bases +21/+22 are fields 5/6 of word 1.
+    Valid only when every row's cap covers 23 bases (caller guards via the
+    index min_kmer_len). params: [overflow_thr]."""
+    del cap
+    w1 = words[1]
+    g = jnp.uint32(2)
+    mask = ((w1 >> 20) & jnp.uint32(3) == g) & ((w1 >> 18) & jnp.uint32(3) == g)
+    return mask, (positions >= params[0],)
+
+
+def crispr_lanes_flags4(words, cap, positions, params):
+    """CRISPR NGG PAM on 4-bit lanes: bases +21/+22 are fields 5/6 of word 2
+    (8 bases/word); G = rank 5. Same cap guard as the 2-bit form."""
+    del cap
+    w2 = words[2]
+    g = jnp.uint32(5)
+    mask = ((w2 >> 8) & jnp.uint32(0xF) == g) & ((w2 >> 4) & jnp.uint32(0xF) == g)
+    return mask, (positions >= params[0],)
+
+
+def _overflow_thr(sba_len: int, last_offset: int) -> int:
+    """uint32 threshold t such that (pos >= t) == (pos + last_offset >=
+    sba_len) for real positions — the lanes-kernel form of _overflow_cond."""
+    return max(sba_len - last_offset, 0)
+
+
 def flag_plane(scans, key, build):
     """Build (or fetch) a filter's cached genome-order flag plane on a
     scans provider (the SequenceCollection device cache). Returns the uint8
@@ -447,6 +635,19 @@ class KmerFilter:
             return None
         return _genome_flags(ctx, spec[0], spec[1])
 
+    def lanes_spec(self, lanes, sba_len: int, index_min_kmer_len: int):
+        """(flags_fn, params uint32[], msg_makers) for evaluating this filter
+        directly on retained sorted key lanes (see the lanes-flags section),
+        or None when these lanes can't express it.
+
+        ``flags_fn(words, cap, positions, params) -> (mask, errs)`` is a
+        module-level jax-traceable function (stable identity, so the fused
+        stats kernels that take it as a static argument compile once per
+        filter type, with instance parameters traced through ``params``).
+        ``msg_makers`` has one ``pos -> message`` callable per errs entry,
+        in check order (reference check_batch semantics)."""
+        return None
+
 
 class KeepAllFilter(KmerFilter):
     """Reference kmers.py:14-16."""
@@ -482,6 +683,18 @@ class LengthFilter(KmerFilter):
 
     def mask_pure(self, ctx):
         return ctx.valid_len >= jnp.uint32(max(self.min_kmer_len, 0))
+
+    def lanes_spec(self, lanes, sba_len, index_min_kmer_len):
+        mf = max(self.min_kmer_len, 0)
+        if mf > lanes["built_k"]:
+            return None
+        if lanes["two_bit"]:
+            return (
+                length_lanes_flags,
+                np.array([mf, lanes["built_k"]], dtype=np.uint32),
+                (),
+            )
+        return length_lanes_flags4, np.array([mf], dtype=np.uint32), ()
 
 
 def gen_kmer_length_filter_func(min_kmer_len: int) -> LengthFilter:
@@ -694,6 +907,31 @@ class GcContentFilter(KmerFilter):
             & (count <= jnp.uint32(self.max_allowed_gc_count))
         )
 
+    def lanes_spec(self, lanes, sba_len, index_min_kmer_len):
+        k = self.kmer_len
+        if k < 1 or k > lanes["built_k"]:
+            return None
+        imp = 1 if self.max_allowed_gc_count < self.min_allowed_gc_count else 0
+        params = np.array(
+            [
+                k,
+                max(self.min_allowed_gc_count, 0),
+                max(self.max_allowed_gc_count, 0),
+                lanes["built_k"],
+                imp,
+            ],
+            dtype=np.uint32,
+        )
+        fn = gc_lanes_flags2 if lanes["two_bit"] else gc_lanes_flags4
+
+        def msg(pos):
+            return (
+                f"The kmer_len ({k}) requested is too larger for "
+                f"kmer_sba_start_idx ({pos})"
+            )
+
+        return fn, params, (msg,)
+
 
 def gen_kmer_gc_content_filter_func(
     min_allowed_gc_frac: float, max_allowed_gc_frac: float, kmer_len: int
@@ -764,6 +1002,26 @@ class NoAmbiguousBasesFilter(KmerFilter):
         _, a = self._amb_offsets(ctx)
         return a >= jnp.uint32(self.kmer_len)
 
+    def lanes_spec(self, lanes, sba_len, index_min_kmer_len):
+        k = self.kmer_len
+        if k < 1 or k > lanes["built_k"]:
+            return None
+        thr = _overflow_thr(sba_len, k - 1)
+        if lanes["two_bit"]:
+            fn = noamb_lanes_flags2
+            params = np.array([k, thr, lanes["built_k"]], dtype=np.uint32)
+        else:
+            fn = noamb_lanes_flags4
+            params = np.array([k, thr], dtype=np.uint32)
+
+        def msg_overflow(pos):
+            return f"kmer_len ({k}) is invalid. It extends beyond len(sba)"
+
+        def msg_segment(pos):
+            return f"end of segment was reached. kmer_len ({k}) invalid."
+
+        return fn, params, (msg_overflow, msg_segment)
+
 
 def gen_no_ambiguous_bases_filter(kmer_len: int) -> NoAmbiguousBasesFilter:
     """Reference kmers.py:195-229."""
@@ -809,6 +1067,22 @@ class CrisprNggPamFilter(KmerFilter):
         b21 = jnp.take(ctx.sba, (pos + jnp.uint32(21)).astype(jnp.int32))
         b22 = jnp.take(ctx.sba, (pos + jnp.uint32(22)).astype(jnp.int32))
         return (b21 == g) & (b22 == g)
+
+    def lanes_spec(self, lanes, sba_len, index_min_kmer_len):
+        # the reference reads raw bytes at +21/+22 with NO '$' check, so a
+        # window crossing a segment boundary can match the NEXT segment's
+        # bases — lanes zero fields past the cap, so they are only exact
+        # when every row's cap covers 23 bases: index min_kmer_len >= 23
+        # (all rows have valid_len >= min_kmer_len) and built_k >= 23
+        if index_min_kmer_len < 23 or lanes["built_k"] < 23:
+            return None
+        params = np.array([_overflow_thr(sba_len, 22)], dtype=np.uint32)
+        fn = crispr_lanes_flags2 if lanes["two_bit"] else crispr_lanes_flags4
+
+        def msg(pos):
+            return "The guide defined at this start index extends beyond the sba"
+
+        return fn, params, (msg,)
 
 
 crispr_ngg_pam_filter = CrisprNggPamFilter()

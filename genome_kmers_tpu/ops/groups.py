@@ -231,6 +231,77 @@ def filtered_group_histogram_trimmed(
     return counts, jnp.stack([total, hi])
 
 
+def _lanes_filtered_core(
+    words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
+):
+    """(boundary, survivor sizes, qualifying-ready survivor mask, err digest
+    terms) shared by the fused lanes-filtered kernels. ``flags_fn`` evaluates
+    the filter directly on the retained sorted key lanes (ops/filters lanes
+    flags — zero genome gathers); err conditions fold to [any, first-bad-
+    position] pairs that ride home inside the stats digest, replacing the
+    plane path's 1-2 extra host syncs per query. ``strand_split`` is a traced
+    position threshold (track_strands_separately) — the 0xFFFFFFF0 sentinel
+    disables it branchlessly."""
+    from .sort import boundaries_from_sorted_lanes
+
+    mask, errs = flags_fn(words, cap, positions, params)
+    boundary = boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit)
+    is_rc = positions >= strand_split
+    prev_rc = jnp.concatenate([is_rc[:1], is_rc[:-1]])
+    boundary = boundary | (is_rc != prev_rc)
+    surv = survivor_sizes_at_boundaries(boundary, mask)
+    err_terms = []
+    for cond in errs:
+        cond = jnp.broadcast_to(cond, positions.shape)
+        err_terms.append(jnp.any(cond).astype(jnp.uint32))
+        err_terms.append(jnp.take(positions, jnp.argmax(cond)))
+    return boundary, surv, err_terms
+
+
+@partial(jax.jit, static_argnames=("two_bit", "max_counts_bin", "flags_fn"))
+def lanes_filtered_hist_trimmed(
+    words, cap, positions, params, kmer_len, min_group_size, max_group_size,
+    strand_split, two_bit, max_counts_bin, flags_fn,
+):
+    """Filtered group-size histogram computed as ONE fused program over
+    retained sorted key lanes: filter mask (lanes flags), boundary, survivor
+    sizes, histogram, trimmed-download digest, and the filter's error checks
+    — no genome gathers, no extra host syncs. Digest layout (uint32):
+    [total, hi, (err_any, err_first_pos) per filter error]."""
+    boundary, surv, err_terms = _lanes_filtered_core(
+        words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
+    )
+    qualifies = (
+        boundary
+        & (surv >= jnp.maximum(min_group_size, jnp.uint32(1)))
+        & (surv <= max_group_size)
+    )
+    clipped = jnp.minimum(surv, jnp.uint32(max_counts_bin))
+    counts = clipped_counts(qualifies, clipped, max_counts_bin)
+    total = jnp.sum(jnp.where(qualifies, surv, jnp.uint32(0)), dtype=jnp.uint32)
+    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
+    return counts, jnp.stack([total, hi] + err_terms)
+
+
+@partial(jax.jit, static_argnames=("two_bit", "flags_fn"))
+def lanes_filtered_total(
+    words, cap, positions, params, kmer_len, min_group_size, max_group_size,
+    strand_split, two_bit, flags_fn,
+):
+    """Reduce-only sibling of ``lanes_filtered_hist_trimmed``. Digest:
+    [total, (err_any, err_first_pos) per filter error]."""
+    boundary, surv, err_terms = _lanes_filtered_core(
+        words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
+    )
+    qualifies = (
+        boundary
+        & (surv >= jnp.maximum(min_group_size, jnp.uint32(1)))
+        & (surv <= max_group_size)
+    )
+    total = jnp.sum(jnp.where(qualifies, surv, jnp.uint32(0)), dtype=jnp.uint32)
+    return jnp.stack([total] + err_terms)
+
+
 @jax.jit
 def filtered_group_total(boundary: jax.Array, mask: jax.Array, min_group_size, max_group_size):
     """Total survivors in qualifying groups — reduce-only filtered sibling."""
