@@ -490,6 +490,121 @@ def length_lanes_flags4(words, cap, positions, params):
     return ~trunc, ()
 
 
+def _compress_even_bits(x):
+    """Pack the bits at even positions 0,2,...,30 of ``x`` into bits 0..15
+    (the inverse of bit interleaving; input odd-position bits must be 0)."""
+    x = (x | (x >> 1)) & jnp.uint32(0x33333333)
+    x = (x | (x >> 2)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x >> 4)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x >> 8)) & jnp.uint32(0x0000FFFF)
+    return x
+
+
+def _shr64(hi, lo, t):
+    """(hi, lo) >> t for traced t in [0, 16] — the carry is built with two
+    sub-31 shifts so no shift amount can reach the undefined >= 32 range
+    (t == 0 makes the carry (hi << 31) << 1 == 0, exactly right)."""
+    carry = (hi << (jnp.uint32(31) - t)) << 1
+    return hi >> t, (lo >> t) | carry
+
+
+def _run_fold64(hi, lo, run_len):
+    """Nonzero iff any run of >= ``run_len`` (traced, >= 1, <= 64)
+    consecutive set bits exists in the 64-bit mask (hi, lo) — iterated
+    shift-AND with doubling step caps (1+2+4+8+16+16+16 = 63 covers every
+    run_len - 1; min(cap, remaining) makes extra iterations no-ops)."""
+    rem = run_len - jnp.uint32(1)
+    for cap_t in (1, 2, 4, 8, 16, 16, 16):
+        t = jnp.minimum(jnp.uint32(cap_t), rem)
+        h2, l2 = _shr64(hi, lo, t)
+        hi, lo = hi & h2, lo & l2
+        rem = rem - t
+    return (hi | lo) != jnp.uint32(0)
+
+
+def homopoly_lanes_flags2(words, cap, positions, params):
+    """Homopolymer filter on 2-bit lanes. params: [k_f, max_h, cap_const,
+    overflow_thr, short_circuit].
+
+    Adjacent-base equality becomes one bit per base ((w ^ w>>2) folded and
+    compressed), assembled into a 64-bit big-endian stream (eq flag for base
+    j at conceptual bit 63-j, j = 1..k_f-1); a run longer than max_h exists
+    iff max_h consecutive flags survive the shift-AND fold. Rows whose cap
+    truncates the window raise (reference kmers.py:66-86), so the mask is
+    only ever consumed when every row has cap >= k_f — flags past k_f are
+    masked off."""
+    k = params[0]
+    halves = []
+    prev_w = None
+    for w in words:
+        cmp = w ^ (w >> 2)
+        e = ~cmp
+        ebits = e & (e >> 1) & jnp.uint32(0x55555555)  # bit (30-2j) = eq(j, j-1)
+        c = _compress_even_bits(ebits) & jnp.uint32(0x7FFF)  # bit (15-j), j=1..15
+        if prev_w is not None:
+            seam = (prev_w & jnp.uint32(3)) == (w >> 30)
+            c = c | (seam.astype(jnp.uint32) << 15)
+        halves.append(c)
+        prev_w = w
+    while len(halves) < 4:
+        halves.append(jnp.zeros(positions.shape, dtype=jnp.uint32))
+    hi = (halves[0] << 16) | halves[1]
+    lo = (halves[2] << 16) | halves[3]
+    # keep flags for j in [1, k_f-1]: conceptual bits >= 64 - k_f
+    ki = k.astype(jnp.int32)
+    hi = hi & (_ONES32 << jnp.clip(32 - ki, 0, 31).astype(jnp.uint32))
+    lo = jnp.where(
+        ki > 32, lo & (_ONES32 << jnp.clip(64 - ki, 0, 31).astype(jnp.uint32)),
+        jnp.uint32(0),
+    )
+    run_bad = _run_fold64(hi, lo, params[1])
+    short = params[4] != jnp.uint32(0)
+    trunc = _row_caps(cap, positions, params[2]) < k
+    overflow = positions >= params[3]
+    mask = jnp.where(short, True, ~run_bad)
+    raises = jnp.where(short, overflow, trunc)
+    return mask, (raises,)
+
+
+def homopoly_lanes_flags4(words, cap, positions, params):
+    """Homopolymer filter on 4-bit lanes (built_k <= 32, so the eq stream
+    fits one uint32). params: [k_f, max_h, overflow_thr, short_circuit]."""
+    del cap
+    k = params[0]
+    eights = []
+    prev_w = None
+    trunc = jnp.zeros(positions.shape, dtype=bool)
+    for w in words:
+        km = _lanes_keep_mask(k, len(eights), 8, 4)
+        zz = (w & km) | ~km
+        trunc = trunc | (_nib_nonzero_bits(zz) != jnp.uint32(0x11111111))
+        cmp = w ^ (w >> 4)
+        eqnib = _nib_nonzero_bits(cmp) ^ jnp.uint32(0x11111111)  # bit (28-4j)
+        c = _compress_even_bits(_compress_even_bits(eqnib))  # bit (7-j)
+        c = c & jnp.uint32(0x7F)
+        if prev_w is not None:
+            seam = (prev_w & jnp.uint32(0xF)) == (w >> 28)
+            c = c | (seam.astype(jnp.uint32) << 7)
+        eights.append(c)
+        prev_w = w
+    e = jnp.zeros(positions.shape, dtype=jnp.uint32)
+    for i, c in enumerate(eights):
+        e = e | (c << (24 - 8 * i))
+    ki = k.astype(jnp.int32)
+    e = e & (_ONES32 << jnp.clip(32 - ki, 0, 31).astype(jnp.uint32))
+    rem = params[1] - jnp.uint32(1)
+    for cap_t in (1, 2, 4, 8, 16):
+        t = jnp.minimum(jnp.uint32(cap_t), rem)
+        e = e & (e >> t)
+        rem = rem - t
+    run_bad = e != jnp.uint32(0)
+    short = params[3] != jnp.uint32(0)
+    overflow = positions >= params[2]
+    mask = jnp.where(short, True, ~run_bad)
+    raises = jnp.where(short, overflow, trunc)
+    return mask, (raises,)
+
+
 def crispr_lanes_flags2(words, cap, positions, params):
     """CRISPR NGG PAM on 2-bit lanes: bases +21/+22 are fields 5/6 of word 1.
     Valid only when every row's cap covers 23 bases (caller guards via the
@@ -775,6 +890,30 @@ class HomopolymerFilter(KmerFilter):
         if fl is not None:
             return (fl & jnp.uint8(1)) != 0
         return _homopolymer_mask(ctx.run_len, ctx.positions, k, max_h)
+
+    def lanes_spec(self, lanes, sba_len, index_min_kmer_len):
+        k, max_h = self.kmer_len, self.max_homopolymer_size
+        if k < 1 or k > lanes["built_k"]:
+            return None
+        short = 1 if k < max_h else 0
+        mh = min(max_h, 65)  # short-circuit rows never consume the fold
+        thr = _overflow_thr(sba_len, k - 1)
+        if lanes["two_bit"]:
+            fn = homopoly_lanes_flags2
+            params = np.array(
+                [k, mh, lanes["built_k"], thr, short], dtype=np.uint32
+            )
+        else:
+            fn = homopoly_lanes_flags4
+            params = np.array([k, mh, thr, short], dtype=np.uint32)
+
+        def msg(pos):
+            return (
+                f"The kmer_len ({k}) requested is too large for "
+                f"kmer_sba_start_idx ({pos})"
+            )
+
+        return fn, params, (msg,)
 
 
 @jax.jit

@@ -20,6 +20,7 @@ from genome_kmers_tpu.kmers import Kmers
 from genome_kmers_tpu.ops.filters import (
     CrisprNggPamFilter,
     GcContentFilter,
+    HomopolymerFilter,
     LengthFilter,
     NoAmbiguousBasesFilter,
 )
@@ -65,6 +66,11 @@ def _filters():
     yield "len-small", LengthFilter(5), 5
     yield "len-big", LengthFilter(20), 20
     yield "crispr", CrisprNggPamFilter(), 23
+    yield "homopoly-2", HomopolymerFilter(2, 12), 12
+    yield "homopoly-1", HomopolymerFilter(1, 9), 9
+    yield "homopoly-3", HomopolymerFilter(3, 16), 16
+    yield "homopoly-short-circuit", HomopolymerFilter(30, 6), 6
+    yield "homopoly-edge", HomopolymerFilter(7, 8), 8
 
 
 def _run_both(km, k, filt, **kw):
@@ -200,6 +206,52 @@ def test_lanes_filters_raise_parity_truncation():
     na = NoAmbiguousBasesFilter(8)
     (lr, le), (fr, fe) = _run_both(km, 8, na, max_counts_bin=10)
     assert le is not None and le == fe
+
+
+@pytest.mark.parametrize("alpha", ["ACGT", "ACGTN"])
+def test_homopolymer_lanes_mask_vs_scalar_oracle(alpha):
+    """Row-level check of the run-detection bit tricks: the lanes mask must
+    equal the scalar reference walk at every surviving position (planted
+    homopolymer runs of assorted lengths, both lane widths)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(77)
+    g = list("".join(rng.choice(list(alpha), 300)))
+    for start, length, base in [(10, 2, "A"), (40, 3, "C"), (80, 5, "T"),
+                                (120, 9, "G"), (200, 17, "A"), (260, 33, "C")]:
+        g[start : start + length] = base * length
+    seq = "".join(g)
+    sc = SequenceCollection(sequence_list=[("r1", seq)], strands_to_load="forward")
+    sba = np.frombuffer((seq).encode(), dtype=np.uint8)
+    for min_k, max_k in [(1, 31), (12, 32), (1, 64)]:
+        km = Kmers(sc, min_kmer_len=min_k, max_kmer_len=max_k)
+        km.sort()
+        lanes = km._lanes_cache
+        if lanes is None:
+            continue
+        if not lanes["two_bit"] and max_k > 32:
+            continue
+        pos = np.asarray(km._device_positions())  # sorted order = lane rows
+        for max_h, k in [(1, 12), (2, 12), (3, 20), (4, 31), (8, 31), (16, 31)]:
+            if k > max_k:
+                continue
+            filt = HomopolymerFilter(max_h, k)
+            spec = filt.lanes_spec(lanes, len(sba), min_k)
+            assert spec is not None
+            fn, params, _ = spec
+            mask, (raises,) = fn(
+                lanes["words"], lanes["cap"], km._device_positions(),
+                jnp.asarray(params),
+            )
+            mask = np.asarray(mask)
+            raises = np.asarray(np.broadcast_to(raises, mask.shape))
+            for i, p in enumerate(pos):
+                try:
+                    want = filt(sba, "+", int(p))
+                    assert not raises[i], (max_h, k, p)
+                    assert bool(mask[i]) == want, (max_h, k, p, seq[p:p+k])
+                except ValueError:
+                    assert raises[i], (max_h, k, p)
 
 
 def test_lanes_filters_strand_split():
