@@ -1089,6 +1089,26 @@ class Kmers:
         )
         return lanes, positions, split, spec
 
+    def _adaptive_hist_to_host(self, size, qualifies, digest2, max_counts_bin: int):
+        """Stage-2 dispatch + host fold of the adaptive histogram (see
+        ops/groups sizes_digest): the stage-1 digest's ``hi`` — the largest
+        qualifying group size — picks broadcast-compare bins when it fits
+        (~30-100 ms/16.7M rows on v5e) over the serialized scatter-add
+        (~150-190 ms) the 1e6-bin default otherwise forces."""
+        from .ops.groups import _COMPARE_HIST_MAX_BINS, hist_from_sizes
+
+        total = int(digest2[0])
+        hi = min(int(digest2[1]), max_counts_bin)
+        bins = max(32, _pow2_bucket(hi + 1)) - 1
+        if bins + 1 > _COMPARE_HIST_MAX_BINS:
+            bins = _device_counts_bin(max_counts_bin)
+        counts = hist_from_sizes(size, qualifies, bins)
+        out, _ = _trimmed_hist_to_host(
+            counts, np.array([total, hi], dtype=np.uint32), max_counts_bin,
+            device_bin=bins,
+        )
+        return out, total
+
     @staticmethod
     def _raise_lanes_errs(err_pairs: np.ndarray, msg_makers) -> None:
         """Raise the filter's reference error from the fused-kernel digest:
@@ -1484,8 +1504,22 @@ class Kmers:
         # restores the exact user clipping
         mcb_dev = _device_counts_bin(max_counts_bin)
 
+        from .ops.groups import _COMPARE_HIST_MAX_BINS
+
+        adaptive = mcb_dev + 1 > _COMPARE_HIST_MAX_BINS
+
         lanes = self._lanes_fast(kmer_len, kmer_filter_func)
         if lanes is not None:
+            if adaptive:
+                from .ops.groups import lanes_sizes_digest
+
+                size, qualifies, digest = lanes_sizes_digest(
+                    lanes["words"], lanes["cap"], kmer_len,
+                    jnp.uint32(min_group_size), max_gs, lanes["two_bit"],
+                )
+                return self._adaptive_hist_to_host(
+                    size, qualifies, np.asarray(digest), max_counts_bin
+                )
             from .ops.groups import lanes_group_histogram_trimmed
 
             counts, stats = lanes_group_histogram_trimmed(
@@ -1496,9 +1530,22 @@ class Kmers:
 
         fl = self._filtered_lanes_stats(kmer_len, kmer_filter_func)
         if fl is not None:
+            lanes, positions, split, (flags_fn, params, msgs) = fl
+            if adaptive:
+                from .ops.groups import lanes_filtered_sizes_digest
+
+                surv, qualifies, digest = lanes_filtered_sizes_digest(
+                    lanes["words"], lanes["cap"], positions, jnp.asarray(params),
+                    kmer_len, jnp.uint32(min_group_size), max_gs, split,
+                    lanes["two_bit"], flags_fn,
+                )
+                digest = np.asarray(digest)
+                self._raise_lanes_errs(digest[2:], msgs)
+                return self._adaptive_hist_to_host(
+                    surv, qualifies, digest[:2], max_counts_bin
+                )
             from .ops.groups import lanes_filtered_hist_trimmed
 
-            lanes, positions, split, (flags_fn, params, msgs) = fl
             counts, digest = lanes_filtered_hist_trimmed(
                 lanes["words"], lanes["cap"], positions, jnp.asarray(params),
                 kmer_len, jnp.uint32(min_group_size), max_gs, split,
@@ -1510,11 +1557,20 @@ class Kmers:
 
         fd = self._filtered_device_stats(kmer_len, kmer_filter_func)
         if fd is not None:
-            from .ops.groups import filtered_group_histogram_trimmed
-
             boundary, mask = fd
             if boundary.shape[0] == 0:
                 return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
+            if adaptive:
+                from .ops.groups import filtered_sizes_digest
+
+                surv, qualifies, digest = filtered_sizes_digest(
+                    boundary, mask, jnp.uint32(min_group_size), max_gs
+                )
+                return self._adaptive_hist_to_host(
+                    surv, qualifies, np.asarray(digest), max_counts_bin
+                )
+            from .ops.groups import filtered_group_histogram_trimmed
+
             counts, stats = filtered_group_histogram_trimmed(
                 boundary, mask, jnp.uint32(min_group_size), max_gs, mcb_dev
             )
@@ -1524,6 +1580,15 @@ class Kmers:
         if boundary.shape[0] == 0:
             return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
         size = group_sizes_at_boundaries(boundary)
+        if adaptive:
+            from .ops.groups import sizes_digest
+
+            qualifies, digest = sizes_digest(
+                boundary, size, jnp.uint32(min_group_size), max_gs
+            )
+            return self._adaptive_hist_to_host(
+                size, qualifies, np.asarray(digest), max_counts_bin
+            )
         counts, stats = group_size_histogram_trimmed(
             boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=mcb_dev
         )

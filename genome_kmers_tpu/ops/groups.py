@@ -143,6 +143,56 @@ def lanes_group_histogram_trimmed(
     )
 
 
+# --------------------------------------------------------------------------- #
+# adaptive histogram (two-stage): at large max_counts_bin (the reference's
+# 1e6 default) the scatter-add histogram costs ~150-190 ms/16.7M rows on
+# v5e regardless of how many bins are actually hit, while the broadcast-
+# compare form costs ~30-100 ms up to 4096 bins. Stage 1 computes the
+# qualifying mask and a [total, hi] digest (hi = largest qualifying group
+# size); the host reads the 8-byte digest and dispatches stage 2 at a
+# pow2-bucketed bin count: broadcast-compare when hi fits (the common case
+# — most genomes' largest k-mer group is far below 4096), scatter-add
+# otherwise. Net: one extra dispatch, same number of transfers (the digest
+# transfer replaces the stats transfer the trimmed download already paid).
+# --------------------------------------------------------------------------- #
+
+
+def _qualify_digest(boundary, size, min_group_size, max_group_size):
+    qualifies = (
+        boundary & (size >= min_group_size) & (size <= max_group_size)
+    )
+    total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
+    hi = jnp.max(jnp.where(qualifies, size, jnp.uint32(0)))
+    return qualifies, jnp.stack([total, hi])
+
+
+@jax.jit
+def sizes_digest(boundary, size, min_group_size, max_group_size):
+    """Stage 1 over a precomputed (boundary, size) pair."""
+    return _qualify_digest(boundary, size, min_group_size, max_group_size)
+
+
+@partial(jax.jit, static_argnames=("two_bit",))
+def lanes_sizes_digest(words, cap, kmer_len, min_group_size, max_group_size, two_bit):
+    """Stage 1 fused over retained sorted key lanes: boundary + sizes +
+    qualifying mask + digest in one program; sizes/qualifies stay device-
+    resident for stage 2."""
+    from .sort import boundaries_from_sorted_lanes
+
+    boundary = boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit)
+    size = group_sizes_at_boundaries(boundary)
+    qualifies, digest = _qualify_digest(boundary, size, min_group_size, max_group_size)
+    return size, qualifies, digest
+
+
+@partial(jax.jit, static_argnames=("max_counts_bin",))
+def hist_from_sizes(size, qualifies, max_counts_bin: int):
+    """Stage 2: histogram of qualifying sizes clipped at ``max_counts_bin``
+    (compare-vs-scatter picked by the static bin count, see clipped_counts)."""
+    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
+    return clipped_counts(qualifies, clipped, max_counts_bin)
+
+
 @jax.jit
 def group_total_count(boundary: jax.Array, size: jax.Array, min_group_size, max_group_size):
     """Total k-mers in qualifying groups — the reduce-only sibling of
@@ -284,6 +334,25 @@ def lanes_filtered_hist_trimmed(
 
 
 @partial(jax.jit, static_argnames=("two_bit", "flags_fn"))
+def lanes_filtered_sizes_digest(
+    words, cap, positions, params, kmer_len, min_group_size, max_group_size,
+    strand_split, two_bit, flags_fn,
+):
+    """Stage 1 of the adaptive histogram for the lanes-filtered path:
+    survivor sizes + qualifying mask + digest [total, hi, (err_any,
+    err_first_pos) per filter error] in one fused program."""
+    boundary, surv, err_terms = _lanes_filtered_core(
+        words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
+    )
+    qualifies, digest = _qualify_digest(
+        boundary, surv, jnp.maximum(min_group_size, jnp.uint32(1)), max_group_size
+    )
+    if err_terms:
+        digest = jnp.concatenate([digest, jnp.stack(err_terms)])
+    return surv, qualifies, digest
+
+
+@partial(jax.jit, static_argnames=("two_bit", "flags_fn"))
 def lanes_filtered_total(
     words, cap, positions, params, kmer_len, min_group_size, max_group_size,
     strand_split, two_bit, flags_fn,
@@ -300,6 +369,17 @@ def lanes_filtered_total(
     )
     total = jnp.sum(jnp.where(qualifies, surv, jnp.uint32(0)), dtype=jnp.uint32)
     return jnp.stack([total] + err_terms)
+
+
+@jax.jit
+def filtered_sizes_digest(boundary, mask, min_group_size, max_group_size):
+    """Stage 1 of the adaptive histogram for the plane/window filtered path:
+    survivor sizes + qualifying mask + [total, hi] digest."""
+    surv = survivor_sizes_at_boundaries(boundary, mask)
+    qualifies, digest = _qualify_digest(
+        boundary, surv, jnp.maximum(min_group_size, jnp.uint32(1)), max_group_size
+    )
+    return surv, qualifies, digest
 
 
 @jax.jit
