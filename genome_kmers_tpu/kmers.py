@@ -334,8 +334,8 @@ def _trimmed_hist_to_host(counts_dev, stats_dev, max_counts_bin: int, device_bin
     """Materialize a device histogram on host, transferring only the prefix
     that can be nonzero.
 
-    ``stats_dev`` is the uint32 ``[total, hi]`` digest from
-    ``ops.groups.group_size_histogram_trimmed``: every bin above ``hi`` is
+    ``stats_dev`` is the uint32 ``[total, hi]`` digest (see
+    ``ops.groups.sizes_digest``): every bin above ``hi`` is
     zero by construction, so only ``counts[:hi+1]`` (power-of-two bucketed)
     crosses the device->host link. At the reference's default
     ``max_counts_bin=1e6`` this replaces a ~4 MB transfer with a few KB —
@@ -1098,13 +1098,22 @@ class Kmers:
         from .ops.groups import _COMPARE_HIST_MAX_BINS, hist_from_sizes
 
         total = int(digest2[0])
-        hi = min(int(digest2[1]), max_counts_bin)
-        bins = max(32, _pow2_bucket(hi + 1)) - 1
+        hi_raw = int(digest2[1])
+        # device bin count: sized by the histogram's true nonzero range
+        # (min(hi_raw, user clip)), pow2-bucketed so nearby queries share one
+        # executable; past the compare range fall back to the scatter at the
+        # bucketed user bin count
+        bins = max(32, _pow2_bucket(min(hi_raw, max_counts_bin) + 1)) - 1
         if bins + 1 > _COMPARE_HIST_MAX_BINS:
             bins = _device_counts_bin(max_counts_bin)
         counts = hist_from_sizes(size, qualifies, bins)
+        # the device clipped at `bins`, so the largest occupied bin is
+        # min(hi_raw, bins) — NOT min(hi_raw, max_counts_bin): when the user
+        # clip is below the device bins, oversize groups sit between the two
+        # and the host fold gathers them into the user's top bin
+        hi_t = min(hi_raw, bins)
         out, _ = _trimmed_hist_to_host(
-            counts, np.array([total, hi], dtype=np.uint32), max_counts_bin,
+            counts, np.array([total, hi_t], dtype=np.uint32), max_counts_bin,
             device_bin=bins,
         )
         return out, total
@@ -1494,105 +1503,74 @@ class Kmers:
 
         import jax.numpy as jnp
 
-        from .ops.groups import group_size_histogram_trimmed, group_sizes_at_boundaries
+        from .ops.groups import group_sizes_at_boundaries
 
         max_gs = jnp.uint32(max_group_size) if max_group_size is not None else jnp.asarray(
             _UINT32_SENTINEL
         )
-        # the device histogram runs at a power-of-two bucketed bin count so
-        # every nearby max_counts_bin shares one executable; the host fold
-        # restores the exact user clipping
-        mcb_dev = _device_counts_bin(max_counts_bin)
-
-        from .ops.groups import _COMPARE_HIST_MAX_BINS
-
-        adaptive = mcb_dev + 1 > _COMPARE_HIST_MAX_BINS
+        # Every branch below is the adaptive two-stage histogram: stage 1
+        # computes sizes + qualifying mask + a [total, hi] digest; the host
+        # reads the 8-byte digest and dispatches stage 2 at a pow2-bucketed
+        # bin count sized by hi. Measured on v5e at 16.7M rows this BEATS
+        # the single fused dispatch at every max_counts_bin (65 ms vs 76 ms
+        # even at 30 bins, 65 vs 224 ms at the 1e6-bin default): the stage-2
+        # compare histogram runs at the few bins actually hit instead of the
+        # bucketed user bin count.
 
         lanes = self._lanes_fast(kmer_len, kmer_filter_func)
         if lanes is not None:
-            if adaptive:
-                from .ops.groups import lanes_sizes_digest
+            from .ops.groups import lanes_sizes_digest
 
-                size, qualifies, digest = lanes_sizes_digest(
-                    lanes["words"], lanes["cap"], kmer_len,
-                    jnp.uint32(min_group_size), max_gs, lanes["two_bit"],
-                )
-                return self._adaptive_hist_to_host(
-                    size, qualifies, np.asarray(digest), max_counts_bin
-                )
-            from .ops.groups import lanes_group_histogram_trimmed
-
-            counts, stats = lanes_group_histogram_trimmed(
-                lanes["words"], lanes["cap"], jnp.uint32(min_group_size), max_gs,
-                kmer_len, lanes["two_bit"], mcb_dev,
+            size, qualifies, digest = lanes_sizes_digest(
+                lanes["words"], lanes["cap"], kmer_len,
+                jnp.uint32(min_group_size), max_gs, lanes["two_bit"],
             )
-            return _trimmed_hist_to_host(counts, stats, max_counts_bin, mcb_dev)
+            return self._adaptive_hist_to_host(
+                size, qualifies, np.asarray(digest), max_counts_bin
+            )
 
         fl = self._filtered_lanes_stats(kmer_len, kmer_filter_func)
         if fl is not None:
+            from .ops.groups import lanes_filtered_sizes_digest
+
             lanes, positions, split, (flags_fn, params, msgs) = fl
-            if adaptive:
-                from .ops.groups import lanes_filtered_sizes_digest
-
-                surv, qualifies, digest = lanes_filtered_sizes_digest(
-                    lanes["words"], lanes["cap"], positions, jnp.asarray(params),
-                    kmer_len, jnp.uint32(min_group_size), max_gs, split,
-                    lanes["two_bit"], flags_fn,
-                )
-                digest = np.asarray(digest)
-                self._raise_lanes_errs(digest[2:], msgs)
-                return self._adaptive_hist_to_host(
-                    surv, qualifies, digest[:2], max_counts_bin
-                )
-            from .ops.groups import lanes_filtered_hist_trimmed
-
-            counts, digest = lanes_filtered_hist_trimmed(
+            surv, qualifies, digest = lanes_filtered_sizes_digest(
                 lanes["words"], lanes["cap"], positions, jnp.asarray(params),
                 kmer_len, jnp.uint32(min_group_size), max_gs, split,
-                lanes["two_bit"], mcb_dev, flags_fn,
+                lanes["two_bit"], flags_fn,
             )
             digest = np.asarray(digest)
             self._raise_lanes_errs(digest[2:], msgs)
-            return _trimmed_hist_to_host(counts, digest[:2], max_counts_bin, mcb_dev)
+            return self._adaptive_hist_to_host(
+                surv, qualifies, digest[:2], max_counts_bin
+            )
 
         fd = self._filtered_device_stats(kmer_len, kmer_filter_func)
         if fd is not None:
             boundary, mask = fd
             if boundary.shape[0] == 0:
                 return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
-            if adaptive:
-                from .ops.groups import filtered_sizes_digest
+            from .ops.groups import filtered_sizes_digest
 
-                surv, qualifies, digest = filtered_sizes_digest(
-                    boundary, mask, jnp.uint32(min_group_size), max_gs
-                )
-                return self._adaptive_hist_to_host(
-                    surv, qualifies, np.asarray(digest), max_counts_bin
-                )
-            from .ops.groups import filtered_group_histogram_trimmed
-
-            counts, stats = filtered_group_histogram_trimmed(
-                boundary, mask, jnp.uint32(min_group_size), max_gs, mcb_dev
+            surv, qualifies, digest = filtered_sizes_digest(
+                boundary, mask, jnp.uint32(min_group_size), max_gs
             )
-            return _trimmed_hist_to_host(counts, stats, max_counts_bin, mcb_dev)
+            return self._adaptive_hist_to_host(
+                surv, qualifies, np.asarray(digest), max_counts_bin
+            )
 
         boundary = self._boundary_device(kmer_len, kmer_filter_func)
         if boundary.shape[0] == 0:
             return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
         size = group_sizes_at_boundaries(boundary)
-        if adaptive:
-            from .ops.groups import sizes_digest
+        from .ops.groups import sizes_digest
 
-            qualifies, digest = sizes_digest(
-                boundary, size, jnp.uint32(min_group_size), max_gs
-            )
-            return self._adaptive_hist_to_host(
-                size, qualifies, np.asarray(digest), max_counts_bin
-            )
-        counts, stats = group_size_histogram_trimmed(
-            boundary, size, jnp.uint32(min_group_size), max_gs, max_counts_bin=mcb_dev
+        qualifies, digest = sizes_digest(
+            boundary, size, jnp.uint32(min_group_size), max_gs
         )
-        return _trimmed_hist_to_host(counts, stats, max_counts_bin, mcb_dev)
+        return self._adaptive_hist_to_host(
+            size, qualifies, np.asarray(digest), max_counts_bin
+        )
 
     def _mesh_group_hist(
         self, kmer_len, kmer_filter_func, min_group_size, max_group_size,
@@ -1651,7 +1629,53 @@ class Kmers:
                 # unfiltered stats over the retained layout: reuse the
                 # sorted word lanes too (skips the per-shard key re-gather)
                 sorted_words = cache.lanes
+            mask_for_stats = None
             if not isinstance(kmer_filter_func, KeepAllFilter):
+                # lanes-flags fast path: evaluate the filter directly on the
+                # retained sharded lanes (the mesh analog of the single-chip
+                # lanes-filtered stats) — no replicated-plane gather, no
+                # host allgather for error checks, no survivor compaction
+                # (group sizes count survivors in unfiltered group identity,
+                # see distributed_group_size_histogram_ragged(mask=...))
+                if (
+                    cache.lanes is not None
+                    and cache.built_k is not None
+                    and kmer_len is not None
+                    and kmer_len <= cache.built_k
+                    and cache.lanes_two_bit == (packed2 is not None)
+                ):
+                    bpw = 16 if cache.lanes_two_bit else 8
+                    nwb = -(-cache.built_k // bpw)
+                    lanes_dict = {
+                        "two_bit": cache.lanes_two_bit,
+                        "built_k": cache.built_k,
+                        "words": tuple(cache.lanes[:nwb]),
+                        # the ragged sample sort strips its cap lane (the
+                        # stats kernels recompute caps from positions), so
+                        # the per-row caps — which the 2-bit flags need for
+                        # truncation — are recomputed here too; pad rows get
+                        # garbage caps but every consumer masks them out
+                        "cap": None,
+                    }
+                    spec = kmer_filter_func.lanes_spec(
+                        lanes_dict, int(len(self._host_sba())), self.min_kmer_len
+                    )
+                    if spec is not None:
+                        from .ops.keys import cap_lengths
+                        from .parallel.distributed import mesh_lanes_filter_flags
+
+                        flags_fn, params, msgs = spec
+                        cap_rows = cap_lengths(
+                            compute_valid_len(rag_pos, dc.seg_starts, dc.seg_ends),
+                            cache.built_k,
+                        )
+                        mask_for_stats, err_digest = mesh_lanes_filter_flags(
+                            lanes_dict["words"], cap_rows, rag_pos,
+                            rag_pad, jnp.asarray(params), flags_fn,
+                        )
+                        self._raise_lanes_errs(np.asarray(err_digest), msgs)
+                        sorted_words = cache.lanes
+            if not isinstance(kmer_filter_func, KeepAllFilter) and mask_for_stats is None:
                 from .ops.filters import FilterContext
 
                 valid_len = compute_valid_len(rag_pos, dc.seg_starts, dc.seg_ends)
@@ -1706,6 +1730,7 @@ class Kmers:
                 new_pad = jnp.where(mask, rag_pad, jnp.uint32(1))
                 rag_pos, rag_pad = compact_ragged(rag_pos, new_pad, mesh)
         else:
+            mask_for_stats = None
             _, surv_pos, _ = self._survivors(kmer_filter_func)
             rag_pos, rag_pad, sorted_words = sample_sort_positions_ragged(
                 packed, surv_pos, dc.seg_starts, dc.seg_ends, kmer_len, mesh,
@@ -1717,7 +1742,7 @@ class Kmers:
             mesh, min_group_size=min_group_size, max_group_size=max_group_size,
             max_counts_bin=mcb_dev, packed2=packed2,
             strand_split=strand_split, sorted_words=sorted_words,
-            return_digest=True,
+            mask=mask_for_stats, return_digest=True,
         )
         # trimmed download: bins above hi are zero (replicated psum result,
         # so the prefix slice is valid on every process); device bins past

@@ -104,45 +104,6 @@ def group_size_histogram(
     return counts, total
 
 
-@partial(jax.jit, static_argnames=("max_counts_bin",))
-def group_size_histogram_trimmed(
-    boundary: jax.Array,
-    size: jax.Array,
-    min_group_size,
-    max_group_size,
-    max_counts_bin: int,
-):
-    """``group_size_histogram`` + a uint32[2] digest ``[total, hi]`` where
-    ``hi`` is the largest clipped bin any qualifying group lands in.
-
-    Every bin above ``hi`` is zero by construction, so a host consumer can
-    transfer ``counts[:hi+1]`` and zero-fill the rest — on a remote-tunnel
-    backend (~4 MB/s measured) that turns the default 1e6-bin download
-    (~4 MB, ~1 s) into a few KB.
-    """
-    qualifies = boundary & (size >= min_group_size) & (size <= max_group_size)
-    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
-    counts = clipped_counts(qualifies, clipped, max_counts_bin)
-    total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
-    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
-    return counts, jnp.stack([total, hi])
-
-
-@partial(jax.jit, static_argnames=("two_bit", "max_counts_bin"))
-def lanes_group_histogram_trimmed(
-    words, cap, min_group_size, max_group_size, kmer_len, two_bit, max_counts_bin
-):
-    """``lanes_group_histogram`` with the trimmed-download digest (one fused
-    program over retained sorted key lanes)."""
-    from .sort import boundaries_from_sorted_lanes
-
-    boundary = boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit)
-    size = group_sizes_at_boundaries(boundary)
-    return group_size_histogram_trimmed(
-        boundary, size, min_group_size, max_group_size, max_counts_bin
-    )
-
-
 # --------------------------------------------------------------------------- #
 # adaptive histogram (two-stage): at large max_counts_bin (the reference's
 # 1e6 default) the scatter-add histogram costs ~150-190 ms/16.7M rows on
@@ -203,23 +164,6 @@ def group_total_count(boundary: jax.Array, size: jax.Array, min_group_size, max_
     return jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("two_bit", "max_counts_bin"))
-def lanes_group_histogram(
-    words, cap, min_group_size, max_group_size, kmer_len, two_bit, max_counts_bin
-):
-    """Boundary -> sizes -> histogram as ONE compiled program over retained
-    sorted key lanes (ops/sort.boundaries_from_sorted_lanes): XLA fuses the
-    stages, so the bool boundary and uint32 size intermediates never round-
-    trip HBM between dispatches."""
-    from .sort import boundaries_from_sorted_lanes
-
-    boundary = boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit)
-    size = group_sizes_at_boundaries(boundary)
-    return group_size_histogram(
-        boundary, size, min_group_size, max_group_size, max_counts_bin
-    )
-
-
 @partial(jax.jit, static_argnames=("two_bit",))
 def lanes_group_total(words, cap, min_group_size, max_group_size, kmer_len, two_bit):
     """Reduce-only sibling of ``lanes_group_histogram`` for count queries."""
@@ -258,40 +202,17 @@ def survivor_sizes_at_boundaries(boundary: jax.Array, mask: jax.Array) -> jax.Ar
     return jnp.where(boundary, end_c - ce_excl, jnp.uint32(0))
 
 
-@partial(jax.jit, static_argnames=("max_counts_bin",))
-def filtered_group_histogram_trimmed(
-    boundary: jax.Array,
-    mask: jax.Array,
-    min_group_size,
-    max_group_size,
-    max_counts_bin: int,
-):
-    """Histogram of SURVIVOR-count group sizes + trimmed-download digest
-    (see ``group_size_histogram_trimmed``), entirely on device."""
-    surv = survivor_sizes_at_boundaries(boundary, mask)
-    qualifies = (
-        boundary
-        & (surv >= jnp.maximum(min_group_size, jnp.uint32(1)))
-        & (surv <= max_group_size)
-    )
-    clipped = jnp.minimum(surv, jnp.uint32(max_counts_bin))
-    counts = clipped_counts(qualifies, clipped, max_counts_bin)
-    total = jnp.sum(jnp.where(qualifies, surv, jnp.uint32(0)), dtype=jnp.uint32)
-    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
-    return counts, jnp.stack([total, hi])
-
-
 def _lanes_filtered_core(
     words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
 ):
-    """(boundary, survivor sizes, qualifying-ready survivor mask, err digest
-    terms) shared by the fused lanes-filtered kernels. ``flags_fn`` evaluates
-    the filter directly on the retained sorted key lanes (ops/filters lanes
-    flags — zero genome gathers); err conditions fold to [any, first-bad-
-    position] pairs that ride home inside the stats digest, replacing the
-    plane path's 1-2 extra host syncs per query. ``strand_split`` is a traced
-    position threshold (track_strands_separately) — the 0xFFFFFFF0 sentinel
-    disables it branchlessly."""
+    """(boundary, survivor sizes, err digest terms) shared by the fused
+    lanes-filtered kernels. ``flags_fn`` evaluates the filter directly on the
+    retained sorted key lanes (ops/filters lanes flags — zero genome
+    gathers); err conditions fold to [any, first-bad-position] pairs that
+    ride home inside the stats digest, replacing the plane path's 1-2 extra
+    host syncs per query. ``strand_split`` is a traced position threshold
+    (track_strands_separately) — the 0xFFFFFFF0 sentinel disables it
+    branchlessly."""
     from .sort import boundaries_from_sorted_lanes
 
     mask, errs = flags_fn(words, cap, positions, params)
@@ -306,31 +227,6 @@ def _lanes_filtered_core(
         err_terms.append(jnp.any(cond).astype(jnp.uint32))
         err_terms.append(jnp.take(positions, jnp.argmax(cond)))
     return boundary, surv, err_terms
-
-
-@partial(jax.jit, static_argnames=("two_bit", "max_counts_bin", "flags_fn"))
-def lanes_filtered_hist_trimmed(
-    words, cap, positions, params, kmer_len, min_group_size, max_group_size,
-    strand_split, two_bit, max_counts_bin, flags_fn,
-):
-    """Filtered group-size histogram computed as ONE fused program over
-    retained sorted key lanes: filter mask (lanes flags), boundary, survivor
-    sizes, histogram, trimmed-download digest, and the filter's error checks
-    — no genome gathers, no extra host syncs. Digest layout (uint32):
-    [total, hi, (err_any, err_first_pos) per filter error]."""
-    boundary, surv, err_terms = _lanes_filtered_core(
-        words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
-    )
-    qualifies = (
-        boundary
-        & (surv >= jnp.maximum(min_group_size, jnp.uint32(1)))
-        & (surv <= max_group_size)
-    )
-    clipped = jnp.minimum(surv, jnp.uint32(max_counts_bin))
-    counts = clipped_counts(qualifies, clipped, max_counts_bin)
-    total = jnp.sum(jnp.where(qualifies, surv, jnp.uint32(0)), dtype=jnp.uint32)
-    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
-    return counts, jnp.stack([total, hi] + err_terms)
 
 
 @partial(jax.jit, static_argnames=("two_bit", "flags_fn"))
@@ -357,8 +253,8 @@ def lanes_filtered_total(
     words, cap, positions, params, kmer_len, min_group_size, max_group_size,
     strand_split, two_bit, flags_fn,
 ):
-    """Reduce-only sibling of ``lanes_filtered_hist_trimmed``. Digest:
-    [total, (err_any, err_first_pos) per filter error]."""
+    """Reduce-only sibling of ``lanes_filtered_sizes_digest`` for count
+    queries. Digest: [total, (err_any, err_first_pos) per filter error]."""
     boundary, surv, err_terms = _lanes_filtered_core(
         words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
     )

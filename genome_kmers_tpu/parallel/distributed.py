@@ -229,18 +229,27 @@ def distributed_sort_positions(
 
 def _dist_group_stats_local(
     packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
-    sorted_words, n_words, max_counts_bin, two_bit, keep_bits,
+    sorted_words, mask, n_words, max_counts_bin, two_bit, keep_bits,
 ):
     """shard_map body for the distributed group-size histogram.
 
     Strategy (SURVEY.md §5.7 boundary stitching): compute the boundary mask
     with a halo compare, then derive *global* run lengths for every group in
-    VALID-row coordinates — vidx[i] = number of valid rows before i across
+    SURVIVOR coordinates — vidx[i] = number of counted rows before i across
     all shards — so padding may sit at the tail of EVERY shard (the ragged
     layout the sample sort produces), not just globally last. Each group's
-    size is (vidx of next boundary, or total valid) - (vidx of this
+    size is (vidx of next boundary, or total counted) - (vidx of this
     boundary); next-boundary vidx propagates backward across shards via a
     reverse cummin + all_gather of each shard's first-boundary vidx.
+
+    ``mask``: optional per-row filter-survivor mask. With it the group
+    boundaries stay in ALL-valid-row identity (the reference's
+    previous-survivor walk partitions survivors exactly as the unfiltered
+    groups do, see ops/groups.survivor_sizes_at_boundaries) while sizes
+    count only survivors — the mesh analog of the single-chip
+    lanes-filtered path, with no survivor compaction or re-layout. Without
+    it every valid row counts (the unfiltered histogram, bit-identical to
+    the pre-mask behavior).
 
     The halo compare at shard edges uses the LAST VALID row of the nearest
     previous non-empty shard (empty shards are skipped via a replicated
@@ -254,12 +263,17 @@ def _dist_group_stats_local(
     cap_len = jnp.where(valid, cap_len, jnp.uint32(0))
     n_valid = jnp.sum(valid.astype(jnp.uint32))
     all_n_valid = jax.lax.all_gather(n_valid, AXIS)  # (n_dev,)
-    offset = jnp.sum(jnp.where(jnp.arange(n_dev) < my, all_n_valid, 0)).astype(jnp.uint32)
-    total_valid = jnp.sum(all_n_valid).astype(jnp.uint32)
     BIG = jnp.uint32(0xFFFFFFF0)
 
-    # valid-row coordinates: vidx[i] = offset + (# valid rows before i locally)
-    local_excl = jnp.cumsum(valid.astype(jnp.uint32)) - valid.astype(jnp.uint32)
+    # counted-row coordinates: vidx[i] = offset + (# counted rows before i
+    # locally); counted = valid rows (unfiltered) or filter survivors
+    counted = valid if mask is None else (mask & valid)
+    counted_u = counted.astype(jnp.uint32)
+    n_counted = jnp.sum(counted_u)
+    all_n_counted = jax.lax.all_gather(n_counted, AXIS)
+    offset = jnp.sum(jnp.where(jnp.arange(n_dev) < my, all_n_counted, 0)).astype(jnp.uint32)
+    total_valid = jnp.sum(all_n_counted).astype(jnp.uint32)
+    local_excl = jnp.cumsum(counted_u) - counted_u
     vidx = offset + local_excl
 
     # intra-shard adjacency (valid rows form a prefix, so row i-1 of a valid
@@ -319,7 +333,9 @@ def _dist_group_stats_local(
 
     size = jnp.where(boundary, jnp.minimum(next_after, total_valid) - vidx, jnp.uint32(0))
 
-    qualifies = boundary & (size >= min_gs) & (size <= max_gs)
+    # groups with zero counted rows never existed for the reference's walk
+    # (matters only under a filter mask; unfiltered sizes are always >= 1)
+    qualifies = boundary & (size >= jnp.maximum(min_gs, jnp.uint32(1))) & (size <= max_gs)
     clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
     counts = clipped_counts(qualifies, clipped, max_counts_bin)
     total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
@@ -330,15 +346,40 @@ def _dist_group_stats_local(
     total = jax.lax.psum(total, AXIS)
     # trimmed-download digest: largest clipped bin any qualifying group
     # lands in — every bin above it is zero, so hosts can transfer
-    # counts[:hi+1] and zero-fill (see ops/groups.group_size_histogram_trimmed)
+    # counts[:hi+1] and zero-fill (see the kmers.py trimmed-download fold)
     hi = jax.lax.pmax(hi, AXIS)
     return counts, total, hi
+
+
+@partial(jax.jit, static_argnames=("flags_fn",))
+def mesh_lanes_filter_flags(words, cap, positions, is_pad, params, flags_fn):
+    """Filter survivor mask + error digest evaluated DIRECTLY on the mesh's
+    retained sorted lanes (ops/filters lanes flags) — sharded elementwise
+    ops, no replicated-plane gather, no host allgather for error checks.
+
+    Ragged pad rows (folded to all-ones lanes / sentinel positions by the
+    sample sort) are excluded from both the mask and the error conditions.
+    Returns (sharded bool mask, replicated uint32 digest of
+    [any, first-bad-position] per filter error — array order equals global
+    sorted order over valid rows, so 'first' matches the single-chip walk).
+    """
+    valid = is_pad == jnp.uint32(0)
+    mask, errs = flags_fn(words, cap, positions, params)
+    mask = mask & valid
+    terms = []
+    for cond in errs:
+        cond = jnp.broadcast_to(cond, positions.shape) & valid
+        terms.append(jnp.any(cond).astype(jnp.uint32))
+        terms.append(jnp.take(positions, jnp.argmax(cond)))
+    if terms:
+        return mask, jnp.stack(terms)
+    return mask, jnp.zeros(0, dtype=jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("n_words", "max_counts_bin", "two_bit", "keep_bits", "mesh"))
 def _distributed_group_hist_jit(
     packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
-    sorted_words, n_words, max_counts_bin, two_bit, keep_bits, mesh,
+    sorted_words, mask, n_words, max_counts_bin, two_bit, keep_bits, mesh,
 ):
     fn = shard_map(
         partial(
@@ -349,10 +390,13 @@ def _distributed_group_hist_jit(
             keep_bits=keep_bits,
         ),
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(AXIS)),
+        # P(AXIS) prefixes cover the optional pytrees (sorted_words, mask);
+        # None contributes no leaves
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(AXIS), P(AXIS)),
         out_specs=(P(), P(), P()),
     )
-    return fn(packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split, sorted_words)
+    return fn(packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
+              sorted_words, mask)
 
 
 def distributed_group_size_histogram(
@@ -409,6 +453,7 @@ def distributed_group_size_histogram(
         max_gs,
         split,
         None,
+        None,
         n_words,
         max_counts_bin,
         two_bit,
@@ -432,6 +477,7 @@ def distributed_group_size_histogram_ragged(
     packed2: jax.Array | None = None,
     strand_split: int | None = None,
     sorted_words=None,
+    mask=None,
     return_digest: bool = False,
 ):
     """Device-resident variant of ``distributed_group_size_histogram`` for
@@ -442,7 +488,10 @@ def distributed_group_size_histogram_ragged(
     shard. ``strand_split``: see ``distributed_group_size_histogram``.
     ``sorted_words``: lanes retained by ``sample_sort_positions_ragged(...,
     return_lanes=True)`` on the SAME encoding — the per-shard key re-gather
-    is then skipped entirely (kmer_len may be <= the lanes' built length)."""
+    is then skipped entirely (kmer_len may be <= the lanes' built length).
+    ``mask``: optional sharded filter-survivor mask — group sizes then count
+    survivors only, with unfiltered group identity (the mesh analog of the
+    single-chip lanes-filtered stats; no compaction, no re-layout)."""
     limit = 64 if packed2 is not None else 32
     if kmer_len is None or kmer_len > limit:
         raise NotImplementedError(f"distributed stats require kmer_len <= {limit}")
@@ -472,6 +521,7 @@ def distributed_group_size_histogram_ragged(
         max_gs,
         split,
         sorted_words,
+        mask,
         n_words,
         max_counts_bin,
         two_bit,

@@ -208,6 +208,75 @@ def test_lanes_filters_raise_parity_truncation():
     assert le is not None and le == fe
 
 
+class TestMeshLanesFilters:
+    """The mesh filtered stats evaluate lanes flags on the retained sharded
+    lanes (no plane gather, no compaction, no host allgather error checks)
+    — pinned here against the single-chip engine on the 8-device virtual
+    mesh, including raising configurations and both lane encodings."""
+
+    @pytest.fixture()
+    def mesh8(self):
+        import jax
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()[:8]), ("kmers",))
+
+    @pytest.mark.parametrize("alpha", ["ACGT", "ACGTN"])
+    def test_mesh_matches_single_chip(self, mesh8, alpha):
+        rng = np.random.default_rng(31)
+        seq_list = [
+            ("c1", _random_seq(rng, 500, alpha)),
+            ("c2", _random_seq(rng, 83, alpha)),
+        ]
+        sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+        km_m = Kmers(sc, min_kmer_len=7, max_kmer_len=24)
+        km_c = Kmers(sc, min_kmer_len=7, max_kmer_len=24)
+        km_m.sort(mesh=mesh8)
+        km_c.sort()
+        for fname, filt, k in _filters():
+            if k > 24 or k < 7:
+                continue  # windows below the floor raise on truncation
+            try:
+                h_c, t_c = km_c.get_kmer_group_counts(
+                    k, kmer_filter_func=filt, max_counts_bin=30
+                )
+                err_c = None
+            except ValueError as e:
+                h_c = t_c = None
+                err_c = str(e)
+            try:
+                h_m, t_m = km_m.get_kmer_group_counts(
+                    k, kmer_filter_func=filt, max_counts_bin=30, mesh=mesh8
+                )
+                err_m = None
+            except ValueError as e:
+                h_m = t_m = None
+                err_m = str(e)
+            assert err_c == err_m, (alpha, fname, err_c, err_m)
+            if err_c is None:
+                assert t_m == t_c, (alpha, fname)
+                assert np.array_equal(np.asarray(h_m), np.asarray(h_c)), (alpha, fname)
+
+    def test_mesh_raise_parity(self, mesh8):
+        # filter window beyond short rows: both engines raise identically
+        rng = np.random.default_rng(5)
+        seq_list = [("c1", _random_seq(rng, 120, "ACGT"))]
+        sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+        km_m = Kmers(sc, min_kmer_len=3, max_kmer_len=16)
+        km_c = Kmers(sc, min_kmer_len=3, max_kmer_len=16)
+        km_m.sort(mesh=mesh8)
+        km_c.sort()
+        for filt in (GcContentFilter(0.0, 1.0, 12), NoAmbiguousBasesFilter(12),
+                     HomopolymerFilter(2, 12)):
+            with pytest.raises(ValueError) as e_c:
+                km_c.get_kmer_group_counts(12, kmer_filter_func=filt, max_counts_bin=5)
+            with pytest.raises(ValueError) as e_m:
+                km_m.get_kmer_group_counts(
+                    12, kmer_filter_func=filt, max_counts_bin=5, mesh=mesh8
+                )
+            assert str(e_c.value) == str(e_m.value), type(filt).__name__
+
+
 @pytest.mark.parametrize("alpha", ["ACGT", "ACGTN"])
 def test_homopolymer_lanes_mask_vs_scalar_oracle(alpha):
     """Row-level check of the run-detection bit tricks: the lanes mask must

@@ -104,11 +104,18 @@ class TestComposedPipeline:
         assert km_mesh.get_kmer_count(k, kmer_filter_func=f, mesh=mesh8) == (
             km_chip.get_kmer_count(k, kmer_filter_func=f)
         )
-        # the mesh path served the mask from the replicated flag plane
-        # (built/cached on the device cache), not the window kernels
-        spec = f._plane_spec()
-        if spec is not None:
-            assert spec[0] in km_mesh._dc().filter_flags, name
+        # the mesh path served the mask from the retained sorted lanes
+        # (lanes flags — no plane gather, so the plane cache stays empty);
+        # filters without a lanes form would fall back to the plane
+        cache = km_mesh._dist_cache
+        lanes_dict = {
+            "two_bit": cache.lanes_two_bit,
+            "built_k": cache.built_k,
+            "words": tuple(cache.lanes),
+            "cap": None,
+        }
+        if f.lanes_spec(lanes_dict, len(km_mesh._host_sba()), k) is not None:
+            assert not km_mesh._dc().filter_flags, name
 
     def test_crispr_filter_on_mesh(self, mesh8, monkeypatch):
         seq_list = [("c1", random_seq(900, 41))]
