@@ -1089,13 +1089,19 @@ class Kmers:
         )
         return lanes, positions, split, spec
 
-    def _adaptive_hist_to_host(self, size, qualifies, digest2, max_counts_bin: int):
+    def _adaptive_hist_to_host(self, size, qualifies, digest2, max_counts_bin: int,
+                               hist_fn=None):
         """Stage-2 dispatch + host fold of the adaptive histogram (see
         ops/groups sizes_digest): the stage-1 digest's ``hi`` — the largest
         qualifying group size — picks broadcast-compare bins when it fits
         (~30-100 ms/16.7M rows on v5e) over the serialized scatter-add
-        (~150-190 ms) the 1e6-bin default otherwise forces."""
+        (~150-190 ms) the 1e6-bin default otherwise forces. ``hist_fn``
+        overrides the stage-2 kernel (the mesh paths pass the sharded psum
+        variant, so the 1e6-bin default also stops psumming 4 MB of bins)."""
         from .ops.groups import _COMPARE_HIST_MAX_BINS, hist_from_sizes
+
+        if hist_fn is None:
+            hist_fn = hist_from_sizes
 
         total = int(digest2[0])
         hi_raw = int(digest2[1])
@@ -1106,7 +1112,7 @@ class Kmers:
         bins = max(32, _pow2_bucket(min(hi_raw, max_counts_bin) + 1)) - 1
         if bins + 1 > _COMPARE_HIST_MAX_BINS:
             bins = _device_counts_bin(max_counts_bin)
-        counts = hist_from_sizes(size, qualifies, bins)
+        counts = hist_fn(size, qualifies, bins)
         # the device clipped at `bins`, so the largest occupied bin is
         # min(hi_raw, bins) — NOT min(hi_raw, max_counts_bin): when the user
         # clip is below the device bins, oversize groups sit between the two
@@ -1736,26 +1742,23 @@ class Kmers:
                 packed, surv_pos, dc.seg_starts, dc.seg_ends, kmer_len, mesh,
                 packed2=packed2, return_lanes=True,
             )
-        mcb_dev = _device_counts_bin(max_counts_bin)
-        counts, total, hi = distributed_group_size_histogram_ragged(
+        from .parallel.distributed import distributed_hist_from_sizes
+
+        size, qualifies, digest = distributed_group_size_histogram_ragged(
             packed, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
             mesh, min_group_size=min_group_size, max_group_size=max_group_size,
-            max_counts_bin=mcb_dev, packed2=packed2,
-            strand_split=strand_split, sorted_words=sorted_words,
-            mask=mask_for_stats, return_digest=True,
+            packed2=packed2, strand_split=strand_split,
+            sorted_words=sorted_words, mask=mask_for_stats, return_sizes=True,
         )
-        # trimmed download: bins above hi are zero (replicated psum result,
-        # so the prefix slice is valid on every process); device bins past
-        # the user's top bin fold into it (exact reference clipping)
-        b = min(_pow2_bucket(int(hi) + 1), mcb_dev + 1)
-        buf = np.asarray(counts[:b]).astype(np.int64)
-        out = np.zeros(max_counts_bin + 1, dtype=np.uint32)
-        if b > max_counts_bin + 1:
-            out[:] = buf[: max_counts_bin + 1]
-            out[max_counts_bin] += buf[max_counts_bin + 1 :].sum()
-        else:
-            out[:b] = buf
-        return out, int(total)
+        # adaptive stage 2 over the sharded sizes: the psum'd histogram runs
+        # at a bin count the [total, hi] digest sized — the 1e6-bin default
+        # stops psumming a 4 MB bin array over the ICI (the digest and the
+        # counts prefix are replicated, so host reads are valid per process)
+        out, total = self._adaptive_hist_to_host(
+            size, qualifies, np.asarray(digest), max_counts_bin,
+            hist_fn=lambda s, q, b: distributed_hist_from_sizes(s, q, b, mesh),
+        )
+        return out, total
 
     # ------------------------------------------------------------------ #
     # full-info closure (reference kmers.py:1180-1264)
@@ -2456,7 +2459,7 @@ class Kmers:
 
         import jax.numpy as jnp
 
-        from .ops.canonical import canonical_group_histogram
+        from .ops.canonical import canonical_sizes_digest
         from .ops.keys import compute_valid_len
         from .ops.sort import _PAD_POS, _bucket, _pad_to
 
@@ -2478,23 +2481,21 @@ class Kmers:
                 sample_sort_canonical_dense_ragged,
             )
 
+            from .parallel.distributed import distributed_hist_from_sizes
+
             rag_pos, rag_pad, rag_words = sample_sort_canonical_dense_ragged(
                 dc.packed2, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
                 kmer_len, mesh,
             )
-            mcb_dev = _device_counts_bin(max_counts_bin)
-            counts, total, hi = distributed_group_size_histogram_ragged(
+            size, qualifies, digest = distributed_group_size_histogram_ragged(
                 None, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
-                mesh, max_counts_bin=mcb_dev, packed2=dc.packed2,
-                sorted_words=rag_words, return_digest=True,
+                mesh, packed2=dc.packed2, sorted_words=rag_words,
+                return_sizes=True,
             )
-            out, total = _trimmed_hist_to_host(
-                counts,
-                np.array([int(total), int(hi)], dtype=np.uint32),
-                max_counts_bin,
-                device_bin=mcb_dev,
+            return self._adaptive_hist_to_host(
+                size, qualifies, np.asarray(digest), max_counts_bin,
+                hist_fn=lambda s, q, b: distributed_hist_from_sizes(s, q, b, mesh),
             )
-            return out, total
         # Gather-free dense fast path: while _init_geometry is live the index
         # IS the canonical dense start set, so the forward key words are
         # shifted slices of the 2-bit pack — no position materialization, no
@@ -2503,13 +2504,15 @@ class Kmers:
         if self._init_geometry is not None:
             if int(self._init_geometry[2]) == 0:
                 return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
-            from .ops.canonical import canonical_group_histogram_dense
+            from .ops.canonical import canonical_sizes_digest_dense
 
-            counts, stats = canonical_group_histogram_dense(
+            size, qualifies, digest = canonical_sizes_digest_dense(
                 dc.packed2, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
-                kmer_len, max_counts_bin,
+                kmer_len,
             )
-            return _trimmed_hist_to_host(counts, stats, max_counts_bin)
+            return self._adaptive_hist_to_host(
+                size, qualifies, np.asarray(digest), max_counts_bin
+            )
         positions = self._device_positions()
         n = int(positions.shape[0])
         if n == 0:
@@ -2521,10 +2524,12 @@ class Kmers:
         n_pad = _bucket(n)
         positions = _pad_to(positions, n_pad, _PAD_POS)
         valid_len = _pad_to(valid_len, n_pad, jnp.uint32(0))
-        counts, stats = canonical_group_histogram(
-            dc.packed2, positions, valid_len, kmer_len, max_counts_bin
+        size, qualifies, digest = canonical_sizes_digest(
+            dc.packed2, positions, valid_len, kmer_len
         )
-        return _trimmed_hist_to_host(counts, stats, max_counts_bin)
+        return self._adaptive_hist_to_host(
+            size, qualifies, np.asarray(digest), max_counts_bin
+        )
 
     def to_csv(self, kmer_len, output_file_path, fields=["kmer"]):
         """Write k-mers to CSV.

@@ -92,19 +92,20 @@ def canonical_key_words(packed2: jax.Array, positions: jax.Array, k: int) -> tup
     return tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
 
 
-def _canonical_hist_tail(lead, fwd, payload, k: int, max_counts_bin: int):
-    """Shared tail of both histogram kernels: fold forward key words to
-    canonical min(key, revcomp), sort, and reduce to the clipped histogram +
-    ``[total, hi]`` digest.
+def _canonical_sizes_tail(lead, fwd, payload, k: int):
+    """Shared tail of both statistics kernels: fold forward key words to
+    canonical min(key, revcomp), sort, and reduce to group sizes + the
+    qualifying mask + the ``[total, hi]`` digest (stage 1 of the adaptive
+    histogram — the host sizes the stage-2 bin count by ``hi``, see
+    ops/groups.sizes_digest).
 
     ``payload`` rides as the stable-sort payload, not a key (one less sort
     lane). Tie ORDER within a canonical group is unobservable here — this
-    tail returns only group sizes and their histogram, which depend on the
-    sorted KEYS alone — so input order doesn't matter (unlike ops/sort.py's
-    gather paths, where the position tie-break is part of the output
-    contract).
+    tail returns only group sizes, which depend on the sorted KEYS alone —
+    so input order doesn't matter (unlike ops/sort.py's gather paths, where
+    the position tie-break is part of the output contract).
     """
-    from .groups import clipped_counts, group_sizes_at_boundaries
+    from .groups import group_sizes_at_boundaries
 
     n_words = len(fwd)
     rc = revcomp_key_words(fwd, k)
@@ -128,23 +129,20 @@ def _canonical_hist_tail(lead, fwd, payload, k: int, max_counts_bin: int):
     boundary = (~eqb).at[0].set(True)
     size = group_sizes_at_boundaries(boundary)
     qualifies = boundary & (s_lead == jnp.uint32(0))
-    clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
-    counts = clipped_counts(qualifies, clipped, max_counts_bin)
     total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
-    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
-    return counts, jnp.stack([total, hi])
+    hi = jnp.max(jnp.where(qualifies, size, jnp.uint32(0)))
+    return size, qualifies, jnp.stack([total, hi])
 
 
-@partial(jax.jit, static_argnames=("k", "max_counts_bin"))
-def canonical_group_histogram(
+@partial(jax.jit, static_argnames=("k",))
+def canonical_sizes_digest(
     packed2: jax.Array,
     positions: jax.Array,
     valid_len: jax.Array,
     k: int,
-    max_counts_bin: int,
 ):
-    """Canonical group-size histogram + ``[total, hi]`` trimmed-download
-    digest over ALL positions, as ONE compiled program.
+    """Canonical group sizes + qualifying mask + ``[total, hi]`` digest over
+    ALL positions, as ONE compiled program (adaptive-histogram stage 1).
 
     Truncated k-mers (valid_len < k, including shape-bucketing padding rows
     whose valid_len is 0) ride a leading invalid lane that sorts them after
@@ -158,13 +156,11 @@ def canonical_group_histogram(
     lead = (~valid).astype(jnp.uint32)
     cap = jnp.where(valid, jnp.uint32(k), jnp.uint32(0))
     fwd = build_key2_words(packed2, positions, cap, n_words, jnp.uint32(0))
-    return _canonical_hist_tail(lead, fwd, positions, k, max_counts_bin)
+    return _canonical_sizes_tail(lead, fwd, positions, k)
 
 
-@partial(jax.jit, static_argnames=("k", "max_counts_bin"))
-def _canonical_hist_dense_jit(
-    packed2, seg_starts, seg_ends, min_len, k: int, max_counts_bin: int
-):
+@partial(jax.jit, static_argnames=("k",))
+def _canonical_sizes_dense_jit(packed2, seg_starts, seg_ends, min_len, k: int):
     from .keys import build_key2_words_dense, valid_len_all
 
     n_words = -(-k // 16)
@@ -177,14 +173,13 @@ def _canonical_hist_dense_jit(
     lead = (~valid).astype(jnp.uint32)
     cap = jnp.where(valid, jnp.uint32(k), jnp.uint32(0))
     fwd = build_key2_words_dense(packed2, cap, n_words)
-    return _canonical_hist_tail(lead, fwd, iota, k, max_counts_bin)
+    return _canonical_sizes_tail(lead, fwd, iota, k)
 
 
-def canonical_group_histogram_dense(
+def canonical_sizes_digest_dense(
     packed2, seg_starts, seg_ends, min_kmer_len: int, k: int,
-    max_counts_bin: int,
 ):
-    """Gather-free dense variant of ``canonical_group_histogram`` — valid
+    """Gather-free dense variant of ``canonical_sizes_digest`` — valid
     while the index is the canonical dense start set (every position with
     valid_len >= min_kmer_len, i.e. a FRESH ``Kmers`` whose positions were
     never customized).
@@ -205,9 +200,8 @@ def canonical_group_histogram_dense(
     packed2 = _pad_to(packed2, n_pad, jnp.uint32(0))  # pad rows fall past the last
     # seg_end, so valid_len_all yields 0 for them; the fill value itself is
     # never observed (cap masks every slice read)
-    return _canonical_hist_dense_jit(
-        packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), k,
-        max_counts_bin,
+    return _canonical_sizes_dense_jit(
+        packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), k
     )
 
 

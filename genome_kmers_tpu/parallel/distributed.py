@@ -227,11 +227,12 @@ def distributed_sort_positions(
 # --------------------------------------------------------------------------- #
 
 
-def _dist_group_stats_local(
+def _dist_sizes_digest_local(
     packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
-    sorted_words, mask, n_words, max_counts_bin, two_bit, keep_bits,
+    sorted_words, mask, n_words, two_bit, keep_bits,
 ):
-    """shard_map body for the distributed group-size histogram.
+    """shard_map body for distributed group sizes (adaptive-histogram
+    stage 1; stage 2 is ``_dist_hist_local``).
 
     Strategy (SURVEY.md §5.7 boundary stitching): compute the boundary mask
     with a halo compare, then derive *global* run lengths for every group in
@@ -336,19 +337,34 @@ def _dist_group_stats_local(
     # groups with zero counted rows never existed for the reference's walk
     # (matters only under a filter mask; unfiltered sizes are always >= 1)
     qualifies = boundary & (size >= jnp.maximum(min_gs, jnp.uint32(1))) & (size <= max_gs)
+    total = jax.lax.psum(
+        jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32), AXIS
+    )
+    # UNclipped largest qualifying size — stage 1 of the adaptive histogram:
+    # the host sizes the stage-2 bin count by it (see ops/groups.sizes_digest)
+    hi = jax.lax.pmax(jnp.max(jnp.where(qualifies, size, jnp.uint32(0))), AXIS)
+    return size, qualifies, jnp.stack([total, hi])
+
+
+def _dist_hist_local(size, qualifies, max_counts_bin):
+    """Stage 2: per-shard clipped histogram + psum — dispatched at a bin
+    count the stage-1 digest sized, so the reference's 1e6-bin default
+    psums a few KB instead of 4 MB over the ICI."""
     clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
     counts = clipped_counts(qualifies, clipped, max_counts_bin)
-    total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
+    return jax.lax.psum(counts, AXIS)
 
-    hi = jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0)))
 
-    counts = jax.lax.psum(counts, AXIS)
-    total = jax.lax.psum(total, AXIS)
-    # trimmed-download digest: largest clipped bin any qualifying group
-    # lands in — every bin above it is zero, so hosts can transfer
-    # counts[:hi+1] and zero-fill (see the kmers.py trimmed-download fold)
-    hi = jax.lax.pmax(hi, AXIS)
-    return counts, total, hi
+@partial(jax.jit, static_argnames=("max_counts_bin", "mesh"))
+def distributed_hist_from_sizes(size, qualifies, max_counts_bin, mesh):
+    """Histogram of sharded qualifying (survivor) group sizes, replicated."""
+    fn = shard_map(
+        partial(_dist_hist_local, max_counts_bin=max_counts_bin),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=P(),
+    )
+    return fn(size, qualifies)
 
 
 @partial(jax.jit, static_argnames=("flags_fn",))
@@ -376,16 +392,15 @@ def mesh_lanes_filter_flags(words, cap, positions, is_pad, params, flags_fn):
     return mask, jnp.zeros(0, dtype=jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("n_words", "max_counts_bin", "two_bit", "keep_bits", "mesh"))
-def _distributed_group_hist_jit(
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "keep_bits", "mesh"))
+def _dist_sizes_digest_jit(
     packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
-    sorted_words, mask, n_words, max_counts_bin, two_bit, keep_bits, mesh,
+    sorted_words, mask, n_words, two_bit, keep_bits, mesh,
 ):
     fn = shard_map(
         partial(
-            _dist_group_stats_local,
+            _dist_sizes_digest_local,
             n_words=n_words,
-            max_counts_bin=max_counts_bin,
             two_bit=two_bit,
             keep_bits=keep_bits,
         ),
@@ -393,7 +408,7 @@ def _distributed_group_hist_jit(
         # P(AXIS) prefixes cover the optional pytrees (sorted_words, mask);
         # None contributes no leaves
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(AXIS), P(AXIS)),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P()),
     )
     return fn(packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
               sorted_words, mask)
@@ -444,7 +459,7 @@ def distributed_group_size_histogram(
     # jit treats them as replicated host constants on every process
     max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
     split = np.uint32(strand_split) if strand_split is not None else np.uint32(0xFFFFFFFF)
-    counts, total, _ = _distributed_group_hist_jit(
+    size, qualifies, digest = _dist_sizes_digest_jit(
         genome,
         positions_p,
         cap_p,
@@ -455,12 +470,12 @@ def distributed_group_size_histogram(
         None,
         None,
         n_words,
-        max_counts_bin,
         two_bit,
         32,
         mesh,
     )
-    return counts, total
+    counts = distributed_hist_from_sizes(size, qualifies, max_counts_bin, mesh)
+    return counts, digest[0]
 
 
 def distributed_group_size_histogram_ragged(
@@ -479,6 +494,7 @@ def distributed_group_size_histogram_ragged(
     sorted_words=None,
     mask=None,
     return_digest: bool = False,
+    return_sizes: bool = False,
 ):
     """Device-resident variant of ``distributed_group_size_histogram`` for
     the ragged per-shard-padded layout that
@@ -512,7 +528,7 @@ def distributed_group_size_histogram_ragged(
     genome = put_global(genome, NamedSharding(mesh, P()))
     max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
     split = np.uint32(strand_split) if strand_split is not None else np.uint32(0xFFFFFFFF)
-    counts, total, hi = _distributed_group_hist_jit(
+    size, qualifies, digest = _dist_sizes_digest_jit(
         genome,
         sorted_positions,
         cap_len,
@@ -523,13 +539,18 @@ def distributed_group_size_histogram_ragged(
         sorted_words,
         mask,
         n_words,
-        max_counts_bin,
         two_bit,
         keep_bits,
         mesh,
     )
+    if return_sizes:
+        # adaptive-histogram stage 1: the caller reads the [total, hi]
+        # digest and dispatches distributed_hist_from_sizes at a bin count
+        # sized by hi (see kmers._adaptive_hist_to_host)
+        return size, qualifies, digest
+    counts = distributed_hist_from_sizes(size, qualifies, max_counts_bin, mesh)
     if return_digest:
         # hi = largest clipped bin any qualifying group lands in; hosts can
         # transfer counts[:hi+1] and zero-fill the rest
-        return counts, total, hi
-    return counts, total
+        return counts, digest[0], jnp.minimum(digest[1], jnp.uint32(max_counts_bin))
+    return counts, digest[0]

@@ -204,9 +204,10 @@ def test_suffix_dense_public_api_matches_materialized():
 @pytest.mark.parametrize("mn,k", [(1, 4), (1, 17), (4, 31), (8, 4), (1, 32)])
 def test_canonical_dense_matches_gather_kernel(seg_lens, mn, k):
     from genome_kmers_tpu.ops.canonical import (
-        canonical_group_histogram,
-        canonical_group_histogram_dense,
+        canonical_sizes_digest,
+        canonical_sizes_digest_dense,
     )
+    from genome_kmers_tpu.ops.groups import hist_from_sizes
     from genome_kmers_tpu.ops.sort import _PAD_POS, _bucket, _pad_to
 
     sba, seg_starts = _make_sba(seg_lens, "ACGT")
@@ -224,14 +225,16 @@ def test_canonical_dense_matches_gather_kernel(seg_lens, mn, k):
     n_pad = _bucket(n)
     positions_p = _pad_to(positions_j, n_pad, _PAD_POS)
     vl_p = _pad_to(vl, n_pad, jnp.uint32(0))
-    want_counts, want_stats = canonical_group_histogram(
-        packed2, positions_p, vl_p, k, mcb
+    w_size, w_qual, want_stats = canonical_sizes_digest(
+        packed2, positions_p, vl_p, k
     )
-    got_counts, got_stats = canonical_group_histogram_dense(
-        packed2, seg_starts_j, seg_ends, mn, k, mcb
+    g_size, g_qual, got_stats = canonical_sizes_digest_dense(
+        packed2, seg_starts_j, seg_ends, mn, k
     )
-    np.testing.assert_array_equal(np.asarray(want_counts), np.asarray(got_counts))
     np.testing.assert_array_equal(np.asarray(want_stats), np.asarray(got_stats))
+    want_counts = hist_from_sizes(w_size, w_qual, mcb)
+    got_counts = hist_from_sizes(g_size, g_qual, mcb)
+    np.testing.assert_array_equal(np.asarray(want_counts), np.asarray(got_counts))
 
 
 def test_canonical_dense_public_api_matches_materialized():
