@@ -1091,20 +1091,39 @@ class Kmers:
 
     def _adaptive_hist_to_host(self, size, qualifies, digest2, max_counts_bin: int,
                                hist_fn=None):
-        """Stage-2 dispatch + host fold of the adaptive histogram (see
-        ops/groups sizes_digest): the stage-1 digest's ``hi`` — the largest
-        qualifying group size — picks broadcast-compare bins when it fits
-        (~30-100 ms/16.7M rows on v5e) over the serialized scatter-add
-        (~150-190 ms) the 1e6-bin default otherwise forces. ``hist_fn``
-        overrides the stage-2 kernel (the mesh paths pass the sharded psum
-        variant, so the 1e6-bin default also stops psumming 4 MB of bins)."""
-        from .ops.groups import _COMPARE_HIST_MAX_BINS, hist_from_sizes
+        """Host fold of the adaptive histogram's stage-1 combo digest
+        ``[total, hi, speculative counts]`` (see ops/groups sizes_digest).
+
+        Common case: the speculative _SPEC_HIST_BINS-bin counts that rode the
+        digest transfer are already exact (the user clip fits inside them, or
+        no qualifying group exceeds them) — the whole query was ONE dispatch
+        and ONE ~1 KB transfer. Otherwise dispatch stage 2: ``hi`` picks
+        broadcast-compare bins when the range fits (~30-100 ms/16.7M rows on
+        v5e) over the serialized scatter-add (~150-190 ms) the 1e6-bin
+        default otherwise forces. ``hist_fn`` overrides the stage-2 kernel
+        (the mesh paths pass the sharded psum variant, so large bin counts
+        also stop psumming 4 MB of bins)."""
+        from .ops.groups import (
+            _COMPARE_HIST_MAX_BINS,
+            _SPEC_HIST_BINS,
+            hist_from_sizes,
+        )
 
         if hist_fn is None:
             hist_fn = hist_from_sizes
 
         total = int(digest2[0])
         hi_raw = int(digest2[1])
+        spec = digest2[2 : 2 + _SPEC_HIST_BINS + 1]
+        if max_counts_bin <= _SPEC_HIST_BINS or hi_raw <= _SPEC_HIST_BINS:
+            # fold(min(s, SPEC)) == min(s, mcb) for every qualifying size s
+            # in these regimes — the speculative histogram is exact
+            out = np.zeros(max_counts_bin + 1, dtype=np.int64)
+            b = min(len(spec), max_counts_bin + 1)
+            out[:b] = spec[:b].astype(np.int64)
+            if len(spec) > max_counts_bin + 1:
+                out[max_counts_bin] += int(spec[max_counts_bin + 1 :].sum())
+            return out, total
         # device bin count: sized by the histogram's true nonzero range
         # (min(hi_raw, user clip)), pow2-bucketed so nearby queries share one
         # executable; past the compare range fall back to the scatter at the
@@ -1537,7 +1556,7 @@ class Kmers:
 
         fl = self._filtered_lanes_stats(kmer_len, kmer_filter_func)
         if fl is not None:
-            from .ops.groups import lanes_filtered_sizes_digest
+            from .ops.groups import _SPEC_HIST_BINS, lanes_filtered_sizes_digest
 
             lanes, positions, split, (flags_fn, params, msgs) = fl
             surv, qualifies, digest = lanes_filtered_sizes_digest(
@@ -1546,9 +1565,10 @@ class Kmers:
                 lanes["two_bit"], flags_fn,
             )
             digest = np.asarray(digest)
-            self._raise_lanes_errs(digest[2:], msgs)
+            # layout: [total, hi, speculative counts, (err_any, err_pos)*]
+            self._raise_lanes_errs(digest[2 + _SPEC_HIST_BINS + 1 :], msgs)
             return self._adaptive_hist_to_host(
-                surv, qualifies, digest[:2], max_counts_bin
+                surv, qualifies, digest, max_counts_bin
             )
 
         fd = self._filtered_device_stats(kmer_len, kmer_filter_func)

@@ -105,7 +105,7 @@ def _canonical_sizes_tail(lead, fwd, payload, k: int):
     so input order doesn't matter (unlike ops/sort.py's gather paths, where
     the position tie-break is part of the output contract).
     """
-    from .groups import group_sizes_at_boundaries
+    from .groups import _qualify_digest, group_sizes_at_boundaries
 
     n_words = len(fwd)
     rc = revcomp_key_words(fwd, k)
@@ -128,10 +128,14 @@ def _canonical_sizes_tail(lead, fwd, payload, k: int):
         eqb = eqb & (w == prev)
     boundary = (~eqb).at[0].set(True)
     size = group_sizes_at_boundaries(boundary)
-    qualifies = boundary & (s_lead == jnp.uint32(0))
-    total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
-    hi = jnp.max(jnp.where(qualifies, size, jnp.uint32(0)))
-    return size, qualifies, jnp.stack([total, hi])
+    # the qualifying rule here is "real full-length row" (invalid tail
+    # excluded); group-size bounds don't apply to canonical stats, so the
+    # size-range terms are passed wide open
+    qualifies, digest = _qualify_digest(
+        boundary & (s_lead == jnp.uint32(0)), size, jnp.uint32(0),
+        jnp.uint32(0xFFFFFFF0),
+    )
+    return size, qualifies, digest
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -118,13 +118,27 @@ def group_size_histogram(
 # --------------------------------------------------------------------------- #
 
 
+# speculative stage-2 bin count: stage 1 appends a histogram clipped at this
+# many bins to its digest (~1 KB — rides the same transfer). The speculative
+# result is EXACT whenever max_counts_bin <= _SPEC_HIST_BINS (folding bins
+# above the user clip into the top bin is clip-order-independent) OR no
+# qualifying group exceeds it (hi <= _SPEC_HIST_BINS); only then-rare cases
+# pay a second dispatch. This makes the common histogram query ONE dispatch
+# + ONE small transfer — on a remote-tunnel backend (~31 ms/transfer) the
+# two-transfer adaptive form was transfer-bound.
+_SPEC_HIST_BINS = 256
+
+
 def _qualify_digest(boundary, size, min_group_size, max_group_size):
     qualifies = (
         boundary & (size >= min_group_size) & (size <= max_group_size)
     )
     total = jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32)
     hi = jnp.max(jnp.where(qualifies, size, jnp.uint32(0)))
-    return qualifies, jnp.stack([total, hi])
+    spec = clipped_counts(
+        qualifies, jnp.minimum(size, jnp.uint32(_SPEC_HIST_BINS)), _SPEC_HIST_BINS
+    )
+    return qualifies, jnp.concatenate([jnp.stack([total, hi]), spec])
 
 
 @jax.jit
@@ -235,8 +249,9 @@ def lanes_filtered_sizes_digest(
     strand_split, two_bit, flags_fn,
 ):
     """Stage 1 of the adaptive histogram for the lanes-filtered path:
-    survivor sizes + qualifying mask + digest [total, hi, (err_any,
-    err_first_pos) per filter error] in one fused program."""
+    survivor sizes + qualifying mask + digest [total, hi,
+    speculative counts (_SPEC_HIST_BINS + 1), (err_any, err_first_pos) per
+    filter error] in one fused program."""
     boundary, surv, err_terms = _lanes_filtered_core(
         words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
     )

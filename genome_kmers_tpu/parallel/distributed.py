@@ -343,7 +343,18 @@ def _dist_sizes_digest_local(
     # UNclipped largest qualifying size — stage 1 of the adaptive histogram:
     # the host sizes the stage-2 bin count by it (see ops/groups.sizes_digest)
     hi = jax.lax.pmax(jnp.max(jnp.where(qualifies, size, jnp.uint32(0))), AXIS)
-    return size, qualifies, jnp.stack([total, hi])
+    # speculative stage-2 counts ride the digest (~1 KB psum) so the common
+    # case never dispatches stage 2 (see ops/groups._SPEC_HIST_BINS)
+    from ..ops.groups import _SPEC_HIST_BINS
+
+    spec = jax.lax.psum(
+        clipped_counts(
+            qualifies, jnp.minimum(size, jnp.uint32(_SPEC_HIST_BINS)),
+            _SPEC_HIST_BINS,
+        ),
+        AXIS,
+    )
+    return size, qualifies, jnp.concatenate([jnp.stack([total, hi]), spec])
 
 
 def _dist_hist_local(size, qualifies, max_counts_bin):
