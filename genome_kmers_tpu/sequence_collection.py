@@ -566,8 +566,17 @@ class SequenceCollection:
 
     def _validate_alphabet(self, sba: np.ndarray) -> None:
         """Reject bytes outside IUPAC + '$' (reference
-        sequence_collection.py:571-574), via an O(N) bincount instead of
-        np.unique's sort."""
+        sequence_collection.py:571-574).
+
+        Fast path: the native table scan (~memory bandwidth; the bincount
+        below measured 210 MB/s and was half the warm ingest cost). The
+        bincount remains as the no-native fallback, and as the error path —
+        the reference's message lists EVERY offending byte value."""
+        from .native import validate_alphabet_native
+
+        bad = validate_alphabet_native(sba, self._allowed_uint8)
+        if bad is not None and bad < 0:
+            return
         counts = np.bincount(sba, minlength=256)
         values_not_allowed = {int(v) for v in np.flatnonzero(counts)} - self._allowed_uint8
         if values_not_allowed != set():
