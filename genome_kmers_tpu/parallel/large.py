@@ -75,10 +75,11 @@ def _pairsum_small(vals):
 def _large_stats_local(
     pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi, ends_lo,
     min_gs, max_gs_hi, max_gs_lo,
-    *, kmer_len, n_words, max_counts_bin, two_bit, n_dev,
+    *, kmer_len, n_words, two_bit, n_dev,
 ):
     """shard_map body: boundary mask via strided key words + halo compare,
-    pair-lane valid-row geometry, per-shard uint32 histogram + pair total."""
+    pair-lane valid-row geometry, per-shard qualifying sizes + pair total
+    (adaptive-histogram stage 1; stage 2 is ``_large_hist_local``)."""
     n_local = pos_hi.shape[0]
     my = jax.lax.axis_index(AXIS)
     valid = is_pad == jnp.uint32(0)
@@ -152,44 +153,58 @@ def _large_stats_local(
     le_max = (s_hi < max_gs_hi) | ((s_hi == max_gs_hi) & (s_lo <= max_gs_lo))
     qualifies = boundary & ge_min & le_max
 
-    # histogram (sizes past the top bin clip into it, reference kmers.py:514-518)
-    clipped = jnp.where(
-        s_hi > 0, jnp.uint32(max_counts_bin), jnp.minimum(s_lo, jnp.uint32(max_counts_bin))
-    )
-    counts = clipped_counts(qualifies, clipped, max_counts_bin)
-
     # exact pair total of qualifying sizes (scan; last element = shard sum).
     # Everything returns per-shard (P(AXIS)) — the cross-shard reduction
     # happens on host in uint64, where a device psum could wrap uint32.
     q_hi = jnp.where(qualifies, s_hi, jnp.uint32(0))
     q_lo = jnp.where(qualifies, s_lo, jnp.uint32(0))
     th, tl = jax.lax.associative_scan(_pair_add, (q_hi, q_lo))
-    # trimmed-download digest: largest clipped bin any qualifying group
-    # lands in, across all shards — bins above it are zero everywhere
-    hib = jax.lax.pmax(jnp.max(jnp.where(qualifies, clipped, jnp.uint32(0))), AXIS)
-    return counts, th[-1:], tl[-1:], hib
+    # adaptive-histogram stage-1 digest: largest qualifying size across all
+    # shards, saturated to uint32 (sizes >= 2^32 report 0xFFFFFFFF and will
+    # clip into whatever top bin the host picks) — the host sizes the
+    # stage-2 bin count by it
+    hi_sat = jnp.where(s_hi > jnp.uint32(0), _ONES, s_lo)
+    hib = jax.lax.pmax(jnp.max(jnp.where(qualifies, hi_sat, jnp.uint32(0))), AXIS)
+    return s_hi, s_lo, qualifies, th[-1:], tl[-1:], hib
 
 
-@partial(jax.jit, static_argnames=("kmer_len", "n_words", "max_counts_bin",
-                                   "two_bit", "mesh"))
+def _large_hist_local(s_hi, s_lo, qualifies, *, max_counts_bin):
+    """Stage 2: per-shard clipped histogram at the host-chosen bin count
+    (sizes past the top bin clip into it, reference kmers.py:514-518)."""
+    clipped = jnp.where(
+        s_hi > 0, jnp.uint32(max_counts_bin), jnp.minimum(s_lo, jnp.uint32(max_counts_bin))
+    )
+    return clipped_counts(qualifies, clipped, max_counts_bin)
+
+
+@partial(jax.jit, static_argnames=("max_counts_bin", "mesh"))
+def _large_hist_jit(s_hi, s_lo, qualifies, max_counts_bin, mesh):
+    fn = shard_map(
+        partial(_large_hist_local, max_counts_bin=max_counts_bin),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+    )
+    return fn(s_hi, s_lo, qualifies)
+
+
+@partial(jax.jit, static_argnames=("kmer_len", "n_words", "two_bit", "mesh"))
 def _large_stats_jit(pos_hi, pos_lo, is_pad, genome, seg_tables, min_gs,
-                     max_gs_hi, max_gs_lo, kmer_len, n_words, max_counts_bin,
-                     two_bit, mesh):
+                     max_gs_hi, max_gs_lo, kmer_len, n_words, two_bit, mesh):
     n_dev = mesh.shape[AXIS]
     starts_hi, starts_lo, ends_hi, ends_lo = seg_tables
 
     def body(pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml):
         return _large_stats_local(
             pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml,
-            kmer_len=kmer_len, n_words=n_words, max_counts_bin=max_counts_bin,
-            two_bit=two_bit, n_dev=n_dev,
+            kmer_len=kmer_len, n_words=n_words, two_bit=two_bit, n_dev=n_dev,
         )
 
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * 8,
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
     )
     return fn(pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi,
               ends_lo, min_gs, max_gs_hi, max_gs_lo)
@@ -236,32 +251,38 @@ def distributed_group_size_histogram_large_ragged(
         mgs_hi = np.uint32(int(max_group_size) >> 32)
         mgs_lo = np.uint32(int(max_group_size) & 0xFFFFFFFF)
 
-    # device bin count bucketed to the next power of two (floor 1024) so
-    # nearby max_counts_bin values share one compiled program; the host
-    # fold below restores the user's exact clipping
-    mcb_dev = 1024
-    while mcb_dev < max_counts_bin + 1:
-        mcb_dev *= 2
-    mcb_dev -= 1
-
-    all_counts, tot_hi, tot_lo, hi_digest = _large_stats_jit(
+    s_hi_a, s_lo_a, qualifies, tot_hi, tot_lo, hi_digest = _large_stats_jit(
         pos_hi, pos_lo, is_pad, genome, seg_tables,
         np.uint32(min_group_size), mgs_hi, mgs_lo,
-        kmer_len, n_words, mcb_dev, two_bit, mesh,
+        kmer_len, n_words, two_bit, mesh,
     )
     n_dev = mesh.shape[AXIS]
+    # adaptive stage 2: the digest's hi (largest qualifying size, saturated
+    # to uint32) sizes the device bin count — broadcast-compare bins when
+    # the range fits, scatter at the pow2-bucketed user bin count otherwise
+    hi_i = min(int(hi_digest), max_counts_bin)
+    bins = 32
+    while bins < hi_i + 1:
+        bins *= 2
+    bins -= 1
+    if bins + 1 > 4096:
+        bins = 1024
+        while bins < max_counts_bin + 1:
+            bins *= 2
+        bins -= 1
+    all_counts = _large_hist_jit(s_hi_a, s_lo_a, qualifies, bins, mesh)
     # trimmed download: per-shard uint32 counts stay on device (a psum could
     # wrap uint32 in this regime); only the counts[:, :b] prefix crosses the
     # link, b = next-pow2(hi+1) — every higher bin is zero on every shard
-    b = mcb_dev + 1
-    hi_i = int(hi_digest)
-    if hi_i < mcb_dev:
+    b = bins + 1
+    hi_t = min(int(hi_digest), bins)
+    if hi_t < bins:
         b = 8
-        while b < hi_i + 1:
+        while b < hi_t + 1:
             b *= 2
-        b = min(b, mcb_dev + 1)
+        b = min(b, bins + 1)
     prefix = np.asarray(
-        all_counts.reshape(n_dev, mcb_dev + 1)[:, :b]
+        all_counts.reshape(n_dev, bins + 1)[:, :b]
     ).astype(np.uint64).sum(axis=0)
     counts = np.zeros(max_counts_bin + 1, dtype=np.uint64)
     if b > max_counts_bin + 1:
