@@ -989,13 +989,10 @@ class Kmers:
             return surv_nums, surv_pos, jnp.zeros(0, dtype=bool)
 
         if self._is_sorted:
-            lanes = getattr(self, "_lanes_cache", None)
-            if (
-                surv_nums is None
-                and lanes is not None
-                and kmer_len is not None
-                and kmer_len <= lanes["built_k"]
-            ):
+            lanes = None
+            if surv_nums is None and kmer_len is not None:
+                lanes = self._ensure_lanes()
+            if lanes is not None and kmer_len <= lanes["built_k"]:
                 # retained sorted key lanes: boundary = adjacent compare,
                 # no genome gathers (ops/sort.boundaries_from_sorted_lanes)
                 from .ops.sort import boundaries_from_sorted_lanes
@@ -1029,21 +1026,73 @@ class Kmers:
         _, _, boundary = self._boundary_parts(kmer_len, kmer_filter_func)
         return boundary
 
+    def _ensure_lanes(self):
+        """Retained sorted key lanes, rebuilding them ONCE from the sorted
+        positions when absent — a freshly ``load()``-ed index (the
+        reference's flagship workflow: sort once, save, reload for queries,
+        reference docs/overview.rst:99-112) or a host-assigned index has no
+        in-process sort to retain lanes from. The one-time key gather makes
+        every subsequent stats/filter query gather-free (the lanes paths)."""
+        lanes = getattr(self, "_lanes_cache", None)
+        if lanes is not None or not self._is_sorted or self.max_kmer_len is None:
+            return lanes
+        if not getattr(self, "_lanes_rebuild", True):
+            return None  # tests force the gather paths through this switch
+        import jax.numpy as jnp
+
+        from .ops.keys import (
+            build_key2_words,
+            build_key_words,
+            cap_lengths,
+            compute_valid_len,
+        )
+
+        dc = self._dc()
+        use2 = self.max_kmer_len <= 64 and dc.packed2 is not None
+        if not use2 and self.max_kmer_len > 32:
+            return None
+        positions = self._device_positions()
+        n = int(positions.shape[0])
+        if n <= 1:
+            return None
+        valid_len = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
+        cap = cap_lengths(valid_len, self.max_kmer_len)
+        if use2:
+            n_words = -(-self.max_kmer_len // 16)
+            words = build_key2_words(dc.packed2, positions, cap, n_words)
+            uniform = self.min_kmer_len == self.max_kmer_len
+            self._lanes_cache = {
+                "two_bit": True,
+                "built_k": self.max_kmer_len,
+                "words": words,
+                "cap": None if uniform else cap,
+            }
+        else:
+            n_words = -(-self.max_kmer_len // 8)
+            words = build_key_words(dc.packed, positions, cap, n_words)
+            self._lanes_cache = {
+                "two_bit": False,
+                "built_k": self.max_kmer_len,
+                "words": words,
+                "cap": None,
+            }
+        return self._lanes_cache
+
     def _lanes_fast(self, kmer_len, kmer_filter_func):
         """The retained-sorted-lanes dict when the whole stats query can run
         as one fused program over it (unfiltered, bounded kmer_len within
         the built length, no strand-split term), else None."""
         from .ops.filters import KeepAllFilter
 
-        lanes = getattr(self, "_lanes_cache", None)
-        if (
+        if not (
             self._is_sorted
-            and lanes is not None
             and not self.track_strands_separately
             and isinstance(kmer_filter_func, KeepAllFilter)
             and kmer_len is not None
-            and kmer_len <= lanes["built_k"]
         ):
+            return None
+        lanes = self._ensure_lanes()
+        if lanes is not None and kmer_len <= lanes["built_k"]:
             return lanes
         return None
 
@@ -1068,13 +1117,10 @@ class Kmers:
             return None
         if not self._is_sorted:
             return None
-        lanes = getattr(self, "_lanes_cache", None)
-        if (
-            lanes is None
-            or kmer_len is None
-            or kmer_len > lanes["built_k"]
-            or len(self.kmer_sba_start_indices) == 0
-        ):
+        if kmer_len is None or len(self.kmer_sba_start_indices) == 0:
+            return None
+        lanes = self._ensure_lanes()
+        if lanes is None or kmer_len > lanes["built_k"]:
             return None
         spec = kmer_filter_func.lanes_spec(
             lanes, int(len(self._host_sba())), self.min_kmer_len

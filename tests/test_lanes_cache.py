@@ -40,8 +40,9 @@ def test_lane_boundaries_match_gather_path(alphabet, min_k, max_k):
     for k in sorted({min_k, max_k, (min_k + max_k) // 2, 1}):
         c_lane, t_lane = km.get_kmer_group_counts(k, max_counts_bin=40)
         cache, km._lanes_cache = km._lanes_cache, None
+        km._lanes_rebuild = False
         c_gather, t_gather = km.get_kmer_group_counts(k, max_counts_bin=40)
-        km._lanes_cache = cache
+        km._lanes_cache, km._lanes_rebuild = cache, True
         np.testing.assert_array_equal(np.asarray(c_lane), np.asarray(c_gather)), k
         assert t_lane == t_gather, k
 
@@ -93,8 +94,9 @@ def test_filtered_queries_bypass_lane_cache():
     f = GcContentFilter(0.25, 0.75, 4)
     c1, t1 = km.get_kmer_group_counts(4, kmer_filter_func=f)
     cache, km._lanes_cache = km._lanes_cache, None
+    km._lanes_rebuild = False
     c2, t2 = km.get_kmer_group_counts(4, kmer_filter_func=f)
-    km._lanes_cache = cache
+    km._lanes_cache, km._lanes_rebuild = cache, True
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     assert t1 == t2
 
@@ -109,7 +111,41 @@ def test_both_strand_track_separately_uses_lanes():
     assert km._lanes_cache is not None
     c1, t1 = km.get_kmer_group_counts(4, max_counts_bin=30)
     cache, km._lanes_cache = km._lanes_cache, None
+    km._lanes_rebuild = False
     c2, t2 = km.get_kmer_group_counts(4, max_counts_bin=30)
-    km._lanes_cache = cache
+    km._lanes_cache, km._lanes_rebuild = cache, True
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     assert t1 == t2
+
+
+def test_lanes_rebuild_after_load(tmp_path):
+    # the reference's flagship workflow: sort once, save, reload for queries
+    # (reference docs/overview.rst:99-112). A loaded index has no in-process
+    # sort to retain lanes from; the first stats query rebuilds them once and
+    # every path (unfiltered, filtered lanes flags) runs gather-free after.
+    import numpy as np
+
+    from genome_kmers_tpu.ops.filters import GcContentFilter
+
+    rng = np.random.default_rng(17)
+    seqs = _random_seqs(rng, "ACGT", 3, 40, 90)
+    sc = SequenceCollection(sequence_list=seqs, strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=8, max_kmer_len=12)
+    km.sort()
+    want_h, want_t = km.get_kmer_group_counts(8, max_counts_bin=25)
+    f = GcContentFilter(0.2, 0.8, 8)
+    want_fh, want_ft = km.get_kmer_group_counts(8, kmer_filter_func=f,
+                                                max_counts_bin=25)
+    p = str(tmp_path / "km.h5")
+    km.save(p, include_sequence_collection=True, format="hdf5")
+    km2 = Kmers.__new__(Kmers)
+    km2.load(p, format="hdf5")
+    assert getattr(km2, "_lanes_cache", None) is None
+    got_h, got_t = km2.get_kmer_group_counts(8, max_counts_bin=25)
+    assert km2._lanes_cache is not None  # rebuilt on first query
+    assert got_t == want_t and np.array_equal(np.asarray(got_h), np.asarray(want_h))
+    # the rebuilt lanes serve the filtered lanes-flags path too
+    assert km2._filtered_lanes_stats(8, f) is not None
+    got_fh, got_ft = km2.get_kmer_group_counts(8, kmer_filter_func=f,
+                                               max_counts_bin=25)
+    assert got_ft == want_ft and np.array_equal(np.asarray(got_fh), np.asarray(want_fh))

@@ -81,6 +81,7 @@ def _run_both(km, k, filt, **kw):
         try:
             if force_fallback:
                 km._lanes_cache = None
+                km._lanes_rebuild = False
             try:
                 hist, total = km.get_kmer_group_counts(k, kmer_filter_func=filt, **kw)
                 cnt = km.get_kmer_count(
@@ -93,6 +94,7 @@ def _run_both(km, k, filt, **kw):
                 out.append((None, str(e)))
         finally:
             km._lanes_cache = saved
+            km._lanes_rebuild = True
     return out
 
 
