@@ -990,7 +990,11 @@ class Kmers:
 
         if self._is_sorted:
             lanes = None
-            if surv_nums is None and kmer_len is not None:
+            if (
+                surv_nums is None
+                and kmer_len is not None
+                and (self.max_kmer_len is None or kmer_len <= self.max_kmer_len)
+            ):
                 lanes = self._ensure_lanes()
             if lanes is not None and kmer_len <= lanes["built_k"]:
                 # retained sorted key lanes: boundary = adjacent compare,
@@ -1089,6 +1093,9 @@ class Kmers:
             and not self.track_strands_separately
             and isinstance(kmer_filter_func, KeepAllFilter)
             and kmer_len is not None
+            # rebuilt lanes are always built at max_kmer_len — don't pay the
+            # O(N) rebuild for a query they could never serve
+            and (self.max_kmer_len is None or kmer_len <= self.max_kmer_len)
         ):
             return None
         lanes = self._ensure_lanes()
@@ -1119,6 +1126,8 @@ class Kmers:
             return None
         if kmer_len is None or len(self.kmer_sba_start_indices) == 0:
             return None
+        if self.max_kmer_len is not None and kmer_len > self.max_kmer_len:
+            return None  # lanes could never serve it — skip the rebuild too
         lanes = self._ensure_lanes()
         if lanes is None or kmer_len > lanes["built_k"]:
             return None
@@ -1150,8 +1159,8 @@ class Kmers:
         (the mesh paths pass the sharded psum variant, so large bin counts
         also stop psumming 4 MB of bins)."""
         from .ops.groups import (
-            _COMPARE_HIST_MAX_BINS,
             _SPEC_HIST_BINS,
+            adaptive_bin_count,
             hist_from_sizes,
         )
 
@@ -1170,13 +1179,10 @@ class Kmers:
             if len(spec) > max_counts_bin + 1:
                 out[max_counts_bin] += int(spec[max_counts_bin + 1 :].sum())
             return out, total
-        # device bin count: sized by the histogram's true nonzero range
-        # (min(hi_raw, user clip)), pow2-bucketed so nearby queries share one
-        # executable; past the compare range fall back to the scatter at the
-        # bucketed user bin count
-        bins = max(32, _pow2_bucket(min(hi_raw, max_counts_bin) + 1)) - 1
-        if bins + 1 > _COMPARE_HIST_MAX_BINS:
-            bins = _device_counts_bin(max_counts_bin)
+        # device bin count: sized by the histogram's true nonzero range,
+        # pow2-bucketed so nearby queries share one executable (shared
+        # policy: ops/groups.adaptive_bin_count)
+        bins = adaptive_bin_count(hi_raw, max_counts_bin)
         counts = hist_fn(size, qualifies, bins)
         # the device clipped at `bins`, so the largest occupied bin is
         # min(hi_raw, bins) — NOT min(hi_raw, max_counts_bin): when the user

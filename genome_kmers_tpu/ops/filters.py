@@ -264,9 +264,15 @@ def _gc_flags_genome(gc_cumsum, is_dollar, vl_g, min_c, max_c, k):
 
 
 @partial(jax.jit, static_argnames=("k", "max_h"))
-def _homopolymer_flags_genome(run_len, vl_g, k, max_h):
+def _homopolymer_flags_genome(run_len, is_dollar, vl_g, k, max_h):
     """Homopolymer flag plane for k >= max_h (shorter k short-circuits to
-    True before any '$' scan, reference kmers.py:66-74)."""
+    True before any '$' scan, reference kmers.py:66-74).
+
+    Raise semantics (reference kmers.py:66-86): overflow past the array end
+    raises unconditionally; a '$' inside the window raises ONLY when no run
+    exceeded max_h before it — the reference's left-to-right scan returns
+    False first — so the raise bit checks the truncated window
+    [p + max_h, min(p + k, next '$')) for violating-run markers."""
     n = run_len.shape[0]
     bad = (run_len > jnp.uint32(max_h)).astype(jnp.uint32)
     cs = jnp.concatenate([jnp.zeros(1, dtype=jnp.uint32), jnp.cumsum(bad)])
@@ -275,7 +281,13 @@ def _homopolymer_flags_genome(run_len, vl_g, k, max_h):
     lo = cs_pad[max_h : max_h + n]  # cs[min(p + max_h, n)]
     any_bad = hi > lo  # prefix sums are monotone, so > replaces subtraction
     mask = ~any_bad
-    raises = vl_g < jnp.uint32(k)
+    # truncated-window variant: clamp both ends at cs[nd(p)] (runs never
+    # cross '$', so markers in [p+max_h, nd) are exactly the pre-'$' ones)
+    cs_nd = _prefix_at_next_dollar(cs, is_dollar)
+    early = jnp.minimum(hi, cs_nd) > jnp.minimum(lo, cs_nd)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    overflow = idx >= jnp.uint32(max(n - (k - 1), 0))
+    raises = overflow | ((vl_g < jnp.uint32(k)) & ~early)
     return mask.astype(jnp.uint8) | (raises.astype(jnp.uint8) << 1)
 
 
@@ -522,6 +534,19 @@ def _run_fold64(hi, lo, run_len):
     return (hi | lo) != jnp.uint32(0)
 
 
+def _mask_stream64(hi, lo, m):
+    """Keep eq flags for bases j in [1, m-1] of a 64-bit big-endian stream
+    (flag for base j at conceptual bit 63-j); ``m`` is a traced per-row or
+    scalar base count."""
+    mi = m.astype(jnp.int32)
+    hi = hi & (_ONES32 << jnp.clip(32 - mi, 0, 31).astype(jnp.uint32))
+    lo = jnp.where(
+        mi > 32, lo & (_ONES32 << jnp.clip(64 - mi, 0, 31).astype(jnp.uint32)),
+        jnp.uint32(0),
+    )
+    return hi, lo
+
+
 def homopoly_lanes_flags2(words, cap, positions, params):
     """Homopolymer filter on 2-bit lanes. params: [k_f, max_h, cap_const,
     overflow_thr, short_circuit].
@@ -529,10 +554,13 @@ def homopoly_lanes_flags2(words, cap, positions, params):
     Adjacent-base equality becomes one bit per base ((w ^ w>>2) folded and
     compressed), assembled into a 64-bit big-endian stream (eq flag for base
     j at conceptual bit 63-j, j = 1..k_f-1); a run longer than max_h exists
-    iff max_h consecutive flags survive the shift-AND fold. Rows whose cap
-    truncates the window raise (reference kmers.py:66-86), so the mask is
-    only ever consumed when every row has cap >= k_f — flags past k_f are
-    masked off."""
+    iff max_h consecutive flags survive the shift-AND fold.
+
+    Raise semantics (reference kmers.py:66-86): overflow past the array end
+    raises unconditionally; a '$' inside the window raises ONLY when no run
+    already exceeded max_h before it (the reference's left-to-right scan
+    returns False first) — so the raise fold runs over flags masked to each
+    row's truncation point min(k_f, cap), where fields are still real."""
     k = params[0]
     halves = []
     prev_w = None
@@ -550,34 +578,39 @@ def homopoly_lanes_flags2(words, cap, positions, params):
         halves.append(jnp.zeros(positions.shape, dtype=jnp.uint32))
     hi = (halves[0] << 16) | halves[1]
     lo = (halves[2] << 16) | halves[3]
-    # keep flags for j in [1, k_f-1]: conceptual bits >= 64 - k_f
-    ki = k.astype(jnp.int32)
-    hi = hi & (_ONES32 << jnp.clip(32 - ki, 0, 31).astype(jnp.uint32))
-    lo = jnp.where(
-        ki > 32, lo & (_ONES32 << jnp.clip(64 - ki, 0, 31).astype(jnp.uint32)),
-        jnp.uint32(0),
-    )
-    run_bad = _run_fold64(hi, lo, params[1])
+    capv = _row_caps(cap, positions, params[2])
+    # flags for j in [1, k_f-1] (mask consumers; spurious zero-field runs
+    # past a row's cap only matter on truncated rows, which never pass)
+    hk, lk = _mask_stream64(hi, lo, jnp.broadcast_to(k, positions.shape))
+    run_bad = _run_fold64(hk, lk, params[1])
+    # flags for j in [1, min(k_f, cap) - 1] (raise preemption: every field
+    # below the cap is real)
+    hc, lc = _mask_stream64(hi, lo, jnp.minimum(capv, k))
+    run_bad_cap = _run_fold64(hc, lc, params[1])
     short = params[4] != jnp.uint32(0)
-    trunc = _row_caps(cap, positions, params[2]) < k
+    trunc = capv < k
     overflow = positions >= params[3]
     mask = jnp.where(short, True, ~run_bad)
-    raises = jnp.where(short, overflow, trunc)
+    raises = jnp.where(short, overflow, overflow | (trunc & ~run_bad_cap))
     return mask, (raises,)
 
 
 def homopoly_lanes_flags4(words, cap, positions, params):
     """Homopolymer filter on 4-bit lanes (built_k <= 32, so the eq stream
-    fits one uint32). params: [k_f, max_h, overflow_thr, short_circuit]."""
+    fits one uint32). params: [k_f, max_h, overflow_thr, short_circuit].
+    Raise semantics as in ``homopoly_lanes_flags2``."""
     del cap
     k = params[0]
     eights = []
     prev_w = None
     trunc = jnp.zeros(positions.shape, dtype=bool)
+    capv = jnp.zeros(positions.shape, dtype=jnp.uint32)  # min(cap, k_f)
     for w in words:
         km = _lanes_keep_mask(k, len(eights), 8, 4)
         zz = (w & km) | ~km
-        trunc = trunc | (_nib_nonzero_bits(zz) != jnp.uint32(0x11111111))
+        nz = _nib_nonzero_bits(zz)
+        trunc = trunc | (nz != jnp.uint32(0x11111111))
+        capv = capv + jax.lax.population_count(nz)
         cmp = w ^ (w >> 4)
         eqnib = _nib_nonzero_bits(cmp) ^ jnp.uint32(0x11111111)  # bit (28-4j)
         c = _compress_even_bits(_compress_even_bits(eqnib))  # bit (7-j)
@@ -590,18 +623,24 @@ def homopoly_lanes_flags4(words, cap, positions, params):
     e = jnp.zeros(positions.shape, dtype=jnp.uint32)
     for i, c in enumerate(eights):
         e = e | (c << (24 - 8 * i))
+
+    def fold32(x):
+        rem = params[1] - jnp.uint32(1)
+        for cap_t in (1, 2, 4, 8, 16):
+            t = jnp.minimum(jnp.uint32(cap_t), rem)
+            x = x & (x >> t)
+            rem = rem - t
+        return x != jnp.uint32(0)
+
     ki = k.astype(jnp.int32)
-    e = e & (_ONES32 << jnp.clip(32 - ki, 0, 31).astype(jnp.uint32))
-    rem = params[1] - jnp.uint32(1)
-    for cap_t in (1, 2, 4, 8, 16):
-        t = jnp.minimum(jnp.uint32(cap_t), rem)
-        e = e & (e >> t)
-        rem = rem - t
-    run_bad = e != jnp.uint32(0)
+    run_bad = fold32(e & (_ONES32 << jnp.clip(32 - ki, 0, 31).astype(jnp.uint32)))
+    # raise preemption: flags below each row's truncation point only
+    ci = capv.astype(jnp.int32)
+    run_bad_cap = fold32(e & (_ONES32 << jnp.clip(32 - ci, 0, 31).astype(jnp.uint32)))
     short = params[3] != jnp.uint32(0)
     overflow = positions >= params[2]
     mask = jnp.where(short, True, ~run_bad)
-    raises = jnp.where(short, overflow, trunc)
+    raises = jnp.where(short, overflow, overflow | (trunc & ~run_bad_cap))
     return mask, (raises,)
 
 
@@ -859,15 +898,16 @@ class HomopolymerFilter(KmerFilter):
         if k < max_h:
             return None
         return ("homopoly", k, max_h), lambda sc: _homopolymer_flags_genome(
-            sc.run_len, sc.valid_len_genome, k, max_h
+            sc.run_len, sc.is_dollar, sc.valid_len_genome, k, max_h
         )
 
     def check_batch(self, ctx):
         k, max_h = self.kmer_len, self.max_homopolymer_size
         # Overflow past the array end always raises; a '$' inside the window
         # raises only when k >= max_h (the reference early-returns True for
-        # short k-mers before its '$' scan, kmers.py:66-74). Both raise the
-        # same message. valid_len < k covers both the '$' and array-end cases.
+        # short k-mers before its '$' scan, kmers.py:66-74) AND no run
+        # exceeded max_h before the '$' (the left-to-right scan returns
+        # False first, kmers.py:75-86). Both raise the same message.
         if k < max_h:
             cond = _overflow_cond(ctx, k - 1)
         else:
@@ -875,7 +915,18 @@ class HomopolymerFilter(KmerFilter):
             if fl is not None:
                 cond = (fl & jnp.uint8(2)) != 0
             else:
-                cond = ctx.valid_len < np.uint32(k)
+                viol = (ctx.run_len > jnp.uint32(max_h)).astype(jnp.uint32)
+                cs = jnp.concatenate(
+                    [jnp.zeros(1, dtype=jnp.uint32), jnp.cumsum(viol)]
+                )
+                pos = jnp.asarray(ctx.positions)
+                d = jnp.minimum(jnp.asarray(ctx.valid_len), jnp.uint32(k))
+                early = _windowed_any(
+                    cs, pos + jnp.uint32(max_h), pos + d - jnp.uint32(1)
+                )
+                cond = _overflow_cond(ctx, k - 1) | (
+                    (jnp.asarray(ctx.valid_len) < jnp.uint32(k)) & ~early
+                )
         bad = _first_true_pos(ctx, cond)
         if bad is not None:
             raise ValueError(

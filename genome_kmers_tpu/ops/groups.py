@@ -160,6 +160,24 @@ def lanes_sizes_digest(words, cap, kmer_len, min_group_size, max_group_size, two
     return size, qualifies, digest
 
 
+def adaptive_bin_count(hi: int, max_counts_bin: int) -> int:
+    """Stage-2 device bin count: pow2-bucketed by the histogram's true
+    nonzero range min(hi, user clip) — the broadcast-compare form — falling
+    back to the pow2-bucketed user bin count (the scatter form) past the
+    compare range. ONE policy for the uint32, canonical, mesh, and 64-bit
+    engines, so a re-measured compare-vs-scatter crossover changes all of
+    them together."""
+    bins = 32
+    target = min(hi, max_counts_bin) + 1
+    while bins < target:
+        bins *= 2
+    if bins > _COMPARE_HIST_MAX_BINS:
+        bins = 1024
+        while bins < max_counts_bin + 1:
+            bins *= 2
+    return bins - 1
+
+
 @partial(jax.jit, static_argnames=("max_counts_bin",))
 def hist_from_sizes(size, qualifies, max_counts_bin: int):
     """Stage 2: histogram of qualifying sizes clipped at ``max_counts_bin``
@@ -180,7 +198,7 @@ def group_total_count(boundary: jax.Array, size: jax.Array, min_group_size, max_
 
 @partial(jax.jit, static_argnames=("two_bit",))
 def lanes_group_total(words, cap, min_group_size, max_group_size, kmer_len, two_bit):
-    """Reduce-only sibling of ``lanes_group_histogram`` for count queries."""
+    """Reduce-only sibling of ``lanes_sizes_digest`` for count queries."""
     from .sort import boundaries_from_sorted_lanes
 
     boundary = boundaries_from_sorted_lanes(words, cap, kmer_len, two_bit)

@@ -40,7 +40,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.groups import clipped_counts
+from ..ops.groups import adaptive_bin_count, clipped_counts
 from ..ops.large import (
     add64,
     add64_u32,
@@ -260,16 +260,8 @@ def distributed_group_size_histogram_large_ragged(
     # adaptive stage 2: the digest's hi (largest qualifying size, saturated
     # to uint32) sizes the device bin count — broadcast-compare bins when
     # the range fits, scatter at the pow2-bucketed user bin count otherwise
-    hi_i = min(int(hi_digest), max_counts_bin)
-    bins = 32
-    while bins < hi_i + 1:
-        bins *= 2
-    bins -= 1
-    if bins + 1 > 4096:
-        bins = 1024
-        while bins < max_counts_bin + 1:
-            bins *= 2
-        bins -= 1
+    # (shared policy: ops/groups.adaptive_bin_count)
+    bins = adaptive_bin_count(int(hi_digest), max_counts_bin)
     all_counts = _large_hist_jit(s_hi_a, s_lo_a, qualifies, bins, mesh)
     # trimmed download: per-shard uint32 counts stay on device (a psum could
     # wrap uint32 in this regime); only the counts[:, :b] prefix crosses the

@@ -289,8 +289,12 @@ def test_homopolymer_lanes_mask_vs_scalar_oracle(alpha):
     rng = np.random.default_rng(77)
     g = list("".join(rng.choice(list(alpha), 300)))
     for start, length, base in [(10, 2, "A"), (40, 3, "C"), (80, 5, "T"),
-                                (120, 9, "G"), (200, 17, "A"), (260, 33, "C")]:
+                                (120, 9, "G"), (200, 17, "A"), (260, 20, "C")]:
         g[start : start + length] = base * length
+    # a run reaching the SEGMENT END: windows crossing the '$' AFTER the run
+    # already exceeded max_h must return False, not raise (the reference's
+    # left-to-right scan preempts the '$', kmers.py:75-86)
+    g[-14:] = "A" * 14
     seq = "".join(g)
     sc = SequenceCollection(sequence_list=[("r1", seq)], strands_to_load="forward")
     sba = np.frombuffer((seq).encode(), dtype=np.uint8)
@@ -323,6 +327,58 @@ def test_homopolymer_lanes_mask_vs_scalar_oracle(alpha):
                     assert bool(mask[i]) == want, (max_h, k, p, seq[p:p+k])
                 except ValueError:
                     assert raises[i], (max_h, k, p)
+
+
+def test_homopolymer_truncation_preempted_by_early_run():
+    """Reference kmers.py:75-86: a window that crosses '$' AFTER its run
+    already exceeded max_homopolymer_size returns False — it never reaches
+    the '$' check (array-end overflow, by contrast, raises unconditionally
+    BEFORE the scan, kmers.py:66-69). Regression: all vectorized paths used
+    to raise on any truncated row."""
+    k, max_h = 6, 1
+    filt = HomopolymerFilter(max_h, k)
+    seq1 = "ACGTCGTACGTACGGTCA" + "A" * 5  # '$'-truncated tail run
+    seq2 = "CGTACGTTGCATGCATGCAT"
+    seq_list = [("r1", seq1), ("r2", seq2)]
+    sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+    sba = np.frombuffer((seq1 + "$" + seq2).encode(), dtype=np.uint8)
+
+    # Custom position set: every row the scalar reference filter handles
+    # WITHOUT raising (r1's truncated tail rows are all preempted by the
+    # A-run; r2's overflow tail is excluded). The query must not raise and
+    # must count exactly the scalar survivors.
+    positions, expected_surv = [], 0
+    # rows with vl >= min_kmer_len only (the sort's validate_kmers check)
+    for p in list(range(len(seq1) - 2)) + [len(seq1) + 1 + q for q in range(len(seq2) - k + 1)]:
+        try:
+            ok = filt(sba, "+", p)
+        except ValueError:
+            continue
+        positions.append(p)
+        expected_surv += int(ok)
+    km = Kmers(sc, min_kmer_len=3, max_kmer_len=8)
+    km.kmer_sba_start_indices = np.asarray(positions, dtype=np.uint32)
+    km.sort()
+    (lr, le), (fr, fe) = _run_both(km, k, filt, max_counts_bin=10)
+    assert le is None and fe is None, (le, fe)
+    assert lr[1] == fr[1] == expected_surv
+    assert np.array_equal(lr[0], fr[0])
+
+    # Full dense index: r2's array-end tail rows overflow, so the query
+    # raises — and the reported first-bad position must skip r1's preempted
+    # rows (they return False, they do not raise) identically on every path.
+    km2 = Kmers(sc, min_kmer_len=3, max_kmer_len=8)
+    km2.sort()
+    first_bad = None
+    for p in np.asarray(km2.kmer_sba_start_indices):
+        try:
+            filt(sba, "+", int(p))
+        except ValueError:
+            first_bad = int(p)
+            break
+    (lr, le), (fr, fe) = _run_both(km2, k, filt, max_counts_bin=10)
+    assert le is not None and le == fe
+    assert f"({first_bad})" in le
 
 
 def test_lanes_filters_strand_split():
