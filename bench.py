@@ -100,9 +100,11 @@ def measure_filtered(n_bp: int, k: int, reps: int) -> float:
     """Median filtered group-count query time through the PUBLIC API (warm).
 
     Measures the marginal cost of ``get_kmer_group_counts(k, GC filter)`` on
-    an already-sorted index: genome-order flag plane cached on the device
-    cache (ops/filters.py), so each query is one uint8 gather + survivor
-    stats + the trimmed digest download. Returns kmers/s (n_kmers / t)."""
+    an already-sorted index: lanes flags (ops/filters lanes_spec) evaluate
+    the filter directly on the retained sorted key lanes inside one fused
+    program with the survivor histogram — zero genome gathers — and the
+    speculative stage-2 histogram rides the single ~1 KB digest transfer.
+    Returns kmers/s (n_kmers / t)."""
     from genome_kmers_tpu import Kmers, SequenceCollection
     from genome_kmers_tpu.ops.filters import GcContentFilter
 
