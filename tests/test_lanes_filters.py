@@ -259,6 +259,36 @@ class TestMeshLanesFilters:
                 assert t_m == t_c, (alpha, fname)
                 assert np.array_equal(np.asarray(h_m), np.asarray(h_c)), (alpha, fname)
 
+    def test_mesh_homopolymer_preemption_parity(self, mesh8):
+        # a '$'-truncated window whose run already exceeded max_h returns
+        # False (no raise) — the mesh lanes path must agree with the
+        # single-chip engine on a custom position set excluding the
+        # unconditionally-raising array-end overflow rows
+        seq1 = "ACGTCGTACGTACGGTCA" + "A" * 5
+        seq2 = "CGTACGTTGCATGCATGCAT"
+        sc = SequenceCollection(
+            sequence_list=[("r1", seq1), ("r2", seq2)], strands_to_load="forward"
+        )
+        k = 6
+        positions = np.array(
+            list(range(len(seq1) - 2))
+            + [len(seq1) + 1 + q for q in range(len(seq2) - k + 1)],
+            dtype=np.uint32,
+        )
+        filt = HomopolymerFilter(1, k)
+        km_c = Kmers(sc, min_kmer_len=3, max_kmer_len=8)
+        km_c.kmer_sba_start_indices = positions.copy()
+        km_c.sort()
+        h_c, t_c = km_c.get_kmer_group_counts(k, kmer_filter_func=filt,
+                                              max_counts_bin=10)
+        km_m = Kmers(sc, min_kmer_len=3, max_kmer_len=8)
+        km_m.kmer_sba_start_indices = positions.copy()
+        km_m.sort(mesh=mesh8)
+        h_m, t_m = km_m.get_kmer_group_counts(k, kmer_filter_func=filt,
+                                              max_counts_bin=10, mesh=mesh8)
+        assert t_m == t_c
+        assert np.array_equal(np.asarray(h_m), np.asarray(h_c))
+
     def test_mesh_raise_parity(self, mesh8):
         # filter window beyond short rows: both engines raise identically
         rng = np.random.default_rng(5)
