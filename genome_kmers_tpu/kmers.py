@@ -320,16 +320,6 @@ def _pow2_bucket(n: int) -> int:
     return b
 
 
-def _device_counts_bin(max_counts_bin: int) -> int:
-    """The bin count the DEVICE histogram runs at for a user-requested
-    ``max_counts_bin``: the next power-of-two length (floor 1024), so every
-    nearby user value shares one compiled program (a fresh bin count would
-    otherwise compile its own executable — minutes on a remote backend).
-    The host fold in ``_trimmed_hist_to_host`` restores the user's exact
-    clipping: device bins above the user's top bin sum into it."""
-    return max(1024, _pow2_bucket(max_counts_bin + 1)) - 1
-
-
 def _trimmed_hist_to_host(counts_dev, stats_dev, max_counts_bin: int, device_bin=None):
     """Materialize a device histogram on host, transferring only the prefix
     that can be nonzero.
@@ -342,7 +332,7 @@ def _trimmed_hist_to_host(counts_dev, stats_dev, max_counts_bin: int, device_bin
     ~1 s saved per call on a remote-tunnel backend (~4 MB/s measured).
 
     ``device_bin``: the bucketed bin count the device actually clipped at
-    (``_device_counts_bin``); transferred bins past the user's
+    (ops/groups.adaptive_bin_count); transferred bins past the user's
     ``max_counts_bin`` fold into the top bin, reproducing the reference's
     clipping exactly (reference kmers.py:514-518).
     """

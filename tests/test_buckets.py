@@ -10,7 +10,8 @@ per-value compiles or, worse, under-allocate.
 
 import numpy as np
 
-from genome_kmers_tpu.kmers import _device_counts_bin, _pow2_bucket
+from genome_kmers_tpu.kmers import _pow2_bucket
+from genome_kmers_tpu.ops.groups import _COMPARE_HIST_MAX_BINS, adaptive_bin_count
 from genome_kmers_tpu.ops.sort import _bucket
 
 
@@ -36,14 +37,22 @@ def test_sort_bucket_contract():
         prev = b
 
 
-def test_device_counts_bin_contract():
-    for mcb in (1, 2, 25, 100, 1000, 10_000, 1_000_000):
-        dev = _device_counts_bin(mcb)
-        assert dev >= mcb
-        assert (dev + 1) & dev == 0  # dev + 1 is a power of two
-        assert dev >= 1023  # floor merges all small user values
+def test_adaptive_bin_count_contract():
+    for hi in (0, 1, 5, 31, 100, 4096, 10_000, 2**31):
+        for mcb in (1, 25, 1000, 10_000, 1_000_000):
+            bins = adaptive_bin_count(hi, mcb)
+            # pow2-bucketed (program sharing) and able to hold the clipped range
+            assert (bins + 1) & bins == 0
+            assert bins >= min(hi, mcb)
+            # small ranges ride the broadcast-compare form
+            if min(hi, mcb) < _COMPARE_HIST_MAX_BINS // 2:
+                assert bins + 1 <= _COMPARE_HIST_MAX_BINS
+            # past the compare range, the scatter runs at the bucketed USER
+            # bin count (>= mcb so the host fold restores exact clipping)
+            if bins + 1 > _COMPARE_HIST_MAX_BINS:
+                assert bins >= mcb
     # the reference's default shares one bucket with anything <= 2^20 - 1
-    assert _device_counts_bin(1_000_000) == _device_counts_bin(1_048_575)
+    assert adaptive_bin_count(10**9, 1_000_000) == adaptive_bin_count(10**9, 1_048_575)
 
 
 def test_pow2_bucket_contract():
