@@ -507,6 +507,12 @@ class Kmers:
         self._init_geometry = None
         self._dist_cache = None
         self._lanes_cache = None
+        # canonical construction guarantees valid_len >= min_kmer_len for
+        # every index position; a user-assigned position set may not — the
+        # setter marks it unknown (None) and _cap_covers_min_k verifies
+        # against the data once, on demand (the CRISPR PAM lanes fast path
+        # depends on the invariant; see ops/filters.CrisprNggPamFilter)
+        self._cap_cover_ok = True
 
         if seq_coll is None:
             return
@@ -618,6 +624,8 @@ class Kmers:
             mask = self._init_filter_mask(positions, kmer_filters)
             # the setter clears the (now stale) geometry
             self.kmer_sba_start_indices = positions[mask]
+            # a subset of canonical positions keeps the cap-coverage invariant
+            self._cap_cover_ok = True
 
     def _initialize_double_pass(self, kmer_filters=[]):
         """EXTENSION: the reference's declared double-pass init
@@ -659,6 +667,8 @@ class Kmers:
         if write != total:
             raise AssertionError("logic error filling kmer_sba_start_indices")
         self.kmer_sba_start_indices = out
+        # canonical per-record fill (possibly filtered): invariant holds
+        self._cap_cover_ok = True
 
     def _callable_mask(self, f: Callable, positions) -> np.ndarray:
         """Host bool mask from an arbitrary reference-signature callable
@@ -821,6 +831,9 @@ class Kmers:
         self._init_geometry = None
         self._dist_cache = None
         self._lanes_cache = None
+        # unknown until verified: an assigned set may include positions with
+        # valid_len < min_kmer_len (the canonical build never does)
+        self._cap_cover_ok = None
 
     def __len__(self):
         if self._pos_host is not None:
@@ -1020,6 +1033,29 @@ class Kmers:
         _, _, boundary = self._boundary_parts(kmer_len, kmer_filter_func)
         return boundary
 
+    def _cap_covers_min_k(self) -> bool:
+        """True when every index position has valid_len >= min_kmer_len.
+
+        Canonical construction guarantees it (positions stop at
+        seg_end - min_kmer_len + 1); after a user assignment to
+        ``kmer_sba_start_indices`` the flag is unknown and gets verified
+        against the data once (one device reduce + scalar transfer). The
+        CRISPR PAM lanes fast path consults this before trusting the
+        cap-coverage invariant."""
+        if getattr(self, "_cap_cover_ok", True) is None:
+            import jax.numpy as jnp
+
+            from .ops.keys import compute_valid_len
+
+            positions = self._device_positions()
+            if positions.shape[0] == 0:
+                self._cap_cover_ok = True
+            else:
+                dc = self._dc()
+                vl = compute_valid_len(positions, dc.seg_starts, dc.seg_ends)
+                self._cap_cover_ok = bool(int(jnp.min(vl)) >= self.min_kmer_len)
+        return self._cap_cover_ok
+
     def _ensure_lanes(self):
         """Retained sorted key lanes, rebuilding them ONCE from the sorted
         positions when absent — a freshly ``load()``-ed index (the
@@ -1060,6 +1096,7 @@ class Kmers:
                 "built_k": self.max_kmer_len,
                 "words": words,
                 "cap": None if uniform else cap,
+                "cap_cover_check": self._cap_covers_min_k,
             }
         else:
             n_words = -(-self.max_kmer_len // 8)
@@ -1069,6 +1106,7 @@ class Kmers:
                 "built_k": self.max_kmer_len,
                 "words": words,
                 "cap": None,
+                "cap_cover_check": self._cap_covers_min_k,
             }
         return self._lanes_cache
 
@@ -1186,13 +1224,15 @@ class Kmers:
         return out, total
 
     @staticmethod
-    def _raise_lanes_errs(err_pairs: np.ndarray, msg_makers) -> None:
+    def _raise_lanes_errs(err_tail: np.ndarray, msg_makers) -> None:
         """Raise the filter's reference error from the fused-kernel digest:
-        ``err_pairs`` is the flat [(any, first_bad_position), ...] tail, in
-        the filter's check order."""
-        for i, make_msg in enumerate(msg_makers):
-            if int(err_pairs[2 * i]):
-                raise ValueError(make_msg(int(err_pairs[2 * i + 1])))
+        ``err_tail`` is the [any, cond_id, first_bad_position] triple
+        (ops/groups.fold_err_conditions) naming the EARLIEST offending row
+        in sorted order — the row the reference's sequential walk raises at
+        — with its condition id indexing ``msg_makers`` (the filter's
+        per-row check order)."""
+        if len(err_tail) and int(err_tail[0]):
+            raise ValueError(msg_makers[int(err_tail[1])](int(err_tail[2])))
 
     def _filtered_device_stats(self, kmer_len, kmer_filter_func):
         """(all-rows boundary, device survivor mask) for the device-only
@@ -1718,28 +1758,23 @@ class Kmers:
                         "two_bit": cache.lanes_two_bit,
                         "built_k": cache.built_k,
                         "words": tuple(cache.lanes[:nwb]),
-                        # the ragged sample sort strips its cap lane (the
-                        # stats kernels recompute caps from positions), so
-                        # the per-row caps — which the 2-bit flags need for
-                        # truncation — are recomputed here too; pad rows get
-                        # garbage caps but every consumer masks them out
+                        # the ragged sample sort strips its cap lane; the
+                        # per-row caps the 2-bit flags need are recomputed
+                        # inside mesh_lanes_filter_flags (one fused program)
                         "cap": None,
+                        "cap_cover_check": self._cap_covers_min_k,
                     }
                     spec = kmer_filter_func.lanes_spec(
                         lanes_dict, int(len(self._host_sba())), self.min_kmer_len
                     )
                     if spec is not None:
-                        from .ops.keys import cap_lengths
                         from .parallel.distributed import mesh_lanes_filter_flags
 
                         flags_fn, params, msgs = spec
-                        cap_rows = cap_lengths(
-                            compute_valid_len(rag_pos, dc.seg_starts, dc.seg_ends),
-                            cache.built_k,
-                        )
                         mask_for_stats, err_digest = mesh_lanes_filter_flags(
-                            lanes_dict["words"], cap_rows, rag_pos,
-                            rag_pad, jnp.asarray(params), flags_fn,
+                            lanes_dict["words"], rag_pos, rag_pad,
+                            jnp.asarray(params), flags_fn,
+                            dc.seg_starts, dc.seg_ends, cache.built_k,
                         )
                         self._raise_lanes_errs(np.asarray(err_digest), msgs)
                         sorted_words = cache.lanes

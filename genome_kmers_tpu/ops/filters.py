@@ -742,6 +742,36 @@ def _first_true_pos(ctx: FilterContext, cond):
     return int(jnp.take(ctx.positions, i))
 
 
+def _first_offender(ctx: FilterContext, conds):
+    """(condition index, position) of the FIRST row in array (walk) order
+    that trips any of ``conds``, or None. Ties at one row resolve to the
+    earlier-listed condition (= the scalar filter's per-row check order) —
+    the reference's sequential walk raises at the first offending row, not
+    at the highest-priority condition across the whole batch."""
+    if isinstance(ctx.positions, np.ndarray):
+        best = None
+        for ci, cond in enumerate(conds):
+            rows = np.flatnonzero(ctx._rows(np.asarray(cond)))
+            if rows.size and (best is None or rows[0] < best[0]):
+                best = (rows[0], ci)
+        if best is None:
+            return None
+        return best[1], int(ctx.positions[best[0]])
+    combined = None
+    for cond in conds:
+        combined = cond if combined is None else (combined | cond)
+    if ctx.valid_rows is not None:
+        combined = combined & jnp.asarray(ctx.valid_rows)
+    if not bool(jnp.any(combined)):
+        return None
+    i = jnp.argmax(combined)
+    pos = int(jnp.take(ctx.positions, i))
+    for ci, cond in enumerate(conds):
+        if bool(jnp.take(cond, i)):
+            return ci, pos
+    return len(conds) - 1, pos  # unreachable (combined[i] is True)
+
+
 def _overflow_cond(ctx: FilterContext, last_offset: int):
     """Rows where position + last_offset >= sba_len, computed without int64
     (pos >= sba_len - last_offset never under/overflows in uint32)."""
@@ -1172,17 +1202,26 @@ class NoAmbiguousBasesFilter(KmerFilter):
 
     def check_batch(self, ctx):
         k = self.kmer_len
-        if ctx.positions.shape[0] and _any_row(ctx, _overflow_cond(ctx, k - 1)):
-            raise ValueError(f"kmer_len ({k}) is invalid. It extends beyond len(sba)")
+        if not ctx.positions.shape[0]:
+            return
         # A '$' found before an ambiguous base raises; an ambiguous base found
-        # first just fails the k-mer (reference kmers.py:216-227).
+        # first just fails the k-mer (reference kmers.py:216-227). The raise
+        # comes from the FIRST offending row in walk order — per row the
+        # overflow check preempts the segment check (reference
+        # kmers.py:201-204 raises before the base loop).
+        overflow = _overflow_cond(ctx, k - 1)
         fl = self._flags(ctx)
         if fl is not None:
-            raises = (fl & jnp.uint8(2)) != 0
+            seg = (fl & jnp.uint8(2)) != 0
         else:
             d, a = self._amb_offsets(ctx)
-            raises = (d < jnp.uint32(k)) & (d < a)
-        if _any_row(ctx, raises):
+            seg = (d < jnp.uint32(k)) & (d < a)
+        hit = _first_offender(ctx, (overflow, seg))
+        if hit is not None:
+            if hit[0] == 0:
+                raise ValueError(
+                    f"kmer_len ({k}) is invalid. It extends beyond len(sba)"
+                )
             raise ValueError(f"end of segment was reached. kmer_len ({k}) invalid.")
 
     def mask_pure(self, ctx):
@@ -1265,6 +1304,13 @@ class CrisprNggPamFilter(KmerFilter):
         # when every row's cap covers 23 bases: index min_kmer_len >= 23
         # (all rows have valid_len >= min_kmer_len) and built_k >= 23
         if index_min_kmer_len < 23 or lanes["built_k"] < 23:
+            return None
+        # valid_len >= min_kmer_len holds by construction but not after a
+        # user assignment to kmer_sba_start_indices — the index verifies it
+        # against the data on demand (Kmers._cap_covers_min_k); rows whose
+        # cap falls short must take the raw-byte paths instead
+        check = lanes.get("cap_cover_check")
+        if check is not None and not check():
             return None
         params = np.array([_overflow_thr(sba_len, 22)], dtype=np.uint32)
         fn = crispr_lanes_flags2 if lanes["two_bit"] else crispr_lanes_flags4

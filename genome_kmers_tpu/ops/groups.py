@@ -234,15 +234,46 @@ def survivor_sizes_at_boundaries(boundary: jax.Array, mask: jax.Array) -> jax.Ar
     return jnp.where(boundary, end_c - ce_excl, jnp.uint32(0))
 
 
+def fold_err_conditions(errs, positions, valid=None):
+    """Fold the filter's error conditions to a fixed 3-term digest
+    ``[any, cond_id, first_bad_position]`` naming the single EARLIEST
+    offending row in array (sorted) order — the row the reference's
+    sequential walk would raise at — with ties at one row broken by
+    condition-list order (= the scalar filter's per-row check order).
+    Empty ``errs`` folds to an empty list. ``valid`` optionally excludes
+    rows (ragged pads) from every condition."""
+    if not errs:
+        return []
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    best_row = sentinel
+    best_cond = jnp.zeros((), jnp.uint32)
+    best_pos = jnp.zeros((), jnp.uint32)
+    any_err = jnp.zeros((), jnp.uint32)
+    for idx, cond in enumerate(errs):
+        cond = jnp.broadcast_to(cond, positions.shape)
+        if valid is not None:
+            cond = cond & valid
+        has = jnp.any(cond)
+        first = jnp.argmax(cond)
+        row = jnp.where(has, first.astype(jnp.uint32), sentinel)
+        take = row < best_row  # strict: the earlier-checked condition wins ties
+        best_cond = jnp.where(take, jnp.uint32(idx), best_cond)
+        best_pos = jnp.where(take, jnp.take(positions, first), best_pos)
+        best_row = jnp.where(take, row, best_row)
+        any_err = any_err | has.astype(jnp.uint32)
+    return [any_err, best_cond, best_pos]
+
+
 def _lanes_filtered_core(
     words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
 ):
     """(boundary, survivor sizes, err digest terms) shared by the fused
     lanes-filtered kernels. ``flags_fn`` evaluates the filter directly on the
     retained sorted key lanes (ops/filters lanes flags — zero genome
-    gathers); err conditions fold to [any, first-bad-position] pairs that
-    ride home inside the stats digest, replacing the plane path's 1-2 extra
-    host syncs per query. ``strand_split`` is a traced position threshold
+    gathers); err conditions fold to the [any, cond_id, first-bad-position]
+    triple (``fold_err_conditions``) that rides home inside the stats
+    digest, replacing the plane path's 1-2 extra host syncs per query.
+    ``strand_split`` is a traced position threshold
     (track_strands_separately) — the 0xFFFFFFF0 sentinel disables it
     branchlessly."""
     from .sort import boundaries_from_sorted_lanes
@@ -253,12 +284,7 @@ def _lanes_filtered_core(
     prev_rc = jnp.concatenate([is_rc[:1], is_rc[:-1]])
     boundary = boundary | (is_rc != prev_rc)
     surv = survivor_sizes_at_boundaries(boundary, mask)
-    err_terms = []
-    for cond in errs:
-        cond = jnp.broadcast_to(cond, positions.shape)
-        err_terms.append(jnp.any(cond).astype(jnp.uint32))
-        err_terms.append(jnp.take(positions, jnp.argmax(cond)))
-    return boundary, surv, err_terms
+    return boundary, surv, fold_err_conditions(errs, positions)
 
 
 @partial(jax.jit, static_argnames=("two_bit", "flags_fn"))
@@ -268,8 +294,8 @@ def lanes_filtered_sizes_digest(
 ):
     """Stage 1 of the adaptive histogram for the lanes-filtered path:
     survivor sizes + qualifying mask + digest [total, hi,
-    speculative counts (_SPEC_HIST_BINS + 1), (err_any, err_first_pos) per
-    filter error] in one fused program."""
+    speculative counts (_SPEC_HIST_BINS + 1), err triple
+    (any, cond_id, first_bad_pos)] in one fused program."""
     boundary, surv, err_terms = _lanes_filtered_core(
         words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
     )
@@ -287,7 +313,7 @@ def lanes_filtered_total(
     strand_split, two_bit, flags_fn,
 ):
     """Reduce-only sibling of ``lanes_filtered_sizes_digest`` for count
-    queries. Digest: [total, (err_any, err_first_pos) per filter error]."""
+    queries. Digest: [total, err triple (any, cond_id, first_bad_pos)]."""
     boundary, surv, err_terms = _lanes_filtered_core(
         words, cap, positions, params, flags_fn, kmer_len, two_bit, strand_split
     )

@@ -378,26 +378,32 @@ def distributed_hist_from_sizes(size, qualifies, max_counts_bin, mesh):
     return fn(size, qualifies)
 
 
-@partial(jax.jit, static_argnames=("flags_fn",))
-def mesh_lanes_filter_flags(words, cap, positions, is_pad, params, flags_fn):
+@partial(jax.jit, static_argnames=("flags_fn", "built_k"))
+def mesh_lanes_filter_flags(words, positions, is_pad, params, flags_fn,
+                            seg_starts, seg_ends, built_k):
     """Filter survivor mask + error digest evaluated DIRECTLY on the mesh's
     retained sorted lanes (ops/filters lanes flags) — sharded elementwise
     ops, no replicated-plane gather, no host allgather for error checks.
 
+    Per-row compare caps are recomputed here from the segment extents (the
+    ragged sample sort strips its cap lane), inside the one compiled
+    program — pad rows get garbage caps but are masked out below.
+
     Ragged pad rows (folded to all-ones lanes / sentinel positions by the
     sample sort) are excluded from both the mask and the error conditions.
-    Returns (sharded bool mask, replicated uint32 digest of
-    [any, first-bad-position] per filter error — array order equals global
-    sorted order over valid rows, so 'first' matches the single-chip walk).
+    Returns (sharded bool mask, replicated uint32 digest triple
+    [any, cond_id, first-bad-position] — array order equals global sorted
+    order over valid rows, so 'first' matches the single-chip walk;
+    ops/groups.fold_err_conditions).
     """
+    from ..ops.groups import fold_err_conditions
+    from ..ops.keys import cap_lengths, compute_valid_len
+
+    cap = cap_lengths(compute_valid_len(positions, seg_starts, seg_ends), built_k)
     valid = is_pad == jnp.uint32(0)
     mask, errs = flags_fn(words, cap, positions, params)
     mask = mask & valid
-    terms = []
-    for cond in errs:
-        cond = jnp.broadcast_to(cond, positions.shape) & valid
-        terms.append(jnp.any(cond).astype(jnp.uint32))
-        terms.append(jnp.take(positions, jnp.argmax(cond)))
+    terms = fold_err_conditions(errs, positions, valid=valid)
     if terms:
         return mask, jnp.stack(terms)
     return mask, jnp.zeros(0, dtype=jnp.uint32)

@@ -547,20 +547,6 @@ class SequenceCollection:
             self._uint8_to_u1_mapping[i] = chr(i)
 
     @staticmethod
-    def _get_fasta_stats(fasta_file_path) -> tuple[int, int]:
-        """Record count and total sequence length (reference
-        sequence_collection.py:476-495), via one buffered pass."""
-        num_records = 0
-        total_seq_len = 0
-        with open(fasta_file_path, "r") as f:
-            for line in f:
-                if line.startswith(">"):
-                    num_records += 1
-                else:
-                    total_seq_len += len(line.strip())
-        return num_records, total_seq_len
-
-    @staticmethod
     def _get_fasta_record_name(line: str) -> str:
         return _get_fasta_record_name(line)
 
