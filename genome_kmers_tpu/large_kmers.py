@@ -80,8 +80,11 @@ class LargeKmers:
             )
         self._seg_kmers = seg_kmers
         self.num_kmers = int(seg_kmers.sum())
-        self._sorted = None  # ((hi, lo), is_pad, mesh) after sort()
+        # ((hi, lo), is_pad, mesh, n_real, sorted_lanes) after sort()
+        self._sorted = None
         self._is_sorted = False
+        self._custom_positions = False
+        self._n_fwd_records = None  # set by from_records(both_strands=True)
 
     # ------------------------------------------------------------------ #
     # construction
@@ -167,7 +170,7 @@ class LargeKmers:
         word_chunks.append(np.zeros(8, dtype=np.uint32))
         packed_words = np.concatenate(word_chunks)
 
-        return cls(
+        out = cls(
             packed_words,
             np.asarray(starts, dtype=np.uint64),
             np.asarray(ends, dtype=np.uint64),
@@ -176,6 +179,9 @@ class LargeKmers:
             two_bit=two_bit,
             record_names=names,
         )
+        if both_strands:
+            out._n_fwd_records = len(names) // 2
+        return out
 
     @classmethod
     def from_sequence_collection(
@@ -213,26 +219,31 @@ class LargeKmers:
 
     def sort(self, mesh, positions: Union[np.ndarray, None] = None) -> None:
         """Distributed 64-bit sample sort of the index over ``mesh``
-        (parallel.sample_sort_positions_large_ragged); the sorted layout
-        stays device-resident for the statistics calls. ``positions``
-        optionally restricts the index to an explicit uint64 subset."""
+        (parallel.sample_sort_positions_large_ragged); the sorted layout —
+        positions, pad flags, AND the sorted key lanes — stays
+        device-resident, so every statistics/filter/query call afterwards
+        runs gather-free over the retained lanes. ``positions`` optionally
+        restricts the index to an explicit uint64 subset."""
         from .parallel.sample_sort import sample_sort_positions_large_ragged
 
-        pos = self.build_positions() if positions is None else np.asarray(
-            positions, dtype=np.uint64
-        )
-        (hi, lo), is_pad = sample_sort_positions_large_ragged(
+        if positions is None:
+            pos = self.build_positions()
+            self._custom_positions = False
+        else:
+            pos = np.asarray(positions, dtype=np.uint64)
+            self._custom_positions = True
+        (hi, lo), is_pad, lanes = sample_sort_positions_large_ragged(
             self.packed_words, pos, self.seg_starts, self.seg_ends,
-            self.max_kmer_len, mesh, two_bit=self.two_bit,
+            self.max_kmer_len, mesh, two_bit=self.two_bit, return_lanes=True,
         )
-        self._sorted = ((hi, lo), is_pad, mesh, len(pos))
+        self._sorted = ((hi, lo), is_pad, mesh, len(pos), lanes)
         self._is_sorted = True
 
     def sorted_positions(self) -> np.ndarray:
         """Globally sorted positions as host uint64, pads removed."""
         if not self._is_sorted:
             raise ValueError("LargeKmers must be sorted first. Run sort(mesh).")
-        (hi, lo), is_pad, _, n_real = self._sorted
+        (hi, lo), is_pad, _, n_real, _ = self._sorted
         pad = np.asarray(is_pad)
         keep = pad == 0
         out = fuse64_np(np.asarray(hi)[keep], np.asarray(lo)[keep])
@@ -243,49 +254,447 @@ class LargeKmers:
     # statistics (uint64-exact)
     # ------------------------------------------------------------------ #
 
-    def get_kmer_group_counts(
-        self,
-        kmer_len: Union[int, None] = None,
-        min_group_size: int = 1,
-        max_group_size: Union[int, None] = None,
-        max_counts_bin: int = 1000000,
-    ) -> tuple[np.ndarray, int]:
-        """Group-size histogram (uint64) + exact total over the sorted
-        sharded layout (parallel.distributed_group_size_histogram_large_
-        ragged). ``kmer_len`` defaults to ``max_kmer_len``; any
-        ``kmer_len <= max_kmer_len`` is exact (the sorted order refines
-        every shorter-prefix order)."""
-        from .parallel.large import distributed_group_size_histogram_large_ragged
+    @property
+    def sba_len(self) -> int:
+        """Total conceptual SBA length (last segment end + 1) — can exceed
+        2^32; only ever handled as a Python int / uint64 on host."""
+        return int(self.seg_ends[-1]) + 1
 
+    def _require_sorted(self, what="get_kmer_group_counts"):
         if not self._is_sorted:
             raise AssertionError(
-                "The kmers must be sorted when calling get_kmer_group_counts"
+                f"The kmers must be sorted when calling {what}"
             )
+
+    def _check_kmer_len(self, kmer_len):
         if kmer_len is None:
             kmer_len = self.max_kmer_len
         if kmer_len < 1 or kmer_len > self.max_kmer_len:
             raise ValueError(
                 f"kmer_len ({kmer_len}) must be in [1, max_kmer_len ({self.max_kmer_len})]"
             )
+        return kmer_len
+
+    def _ensure_lanes(self):
+        """Retained sorted key lanes (words + cap), rebuilding them once
+        from the sorted positions when absent — a restored checkpoint has
+        no in-process sort to retain lanes from."""
+        (hi, lo), is_pad, mesh, n_real, lanes = self._sorted
+        if lanes is None:
+            from .parallel.large import rebuild_large_lanes
+
+            lanes = rebuild_large_lanes(
+                self.packed_words, hi, lo, is_pad, self.seg_starts,
+                self.seg_ends, self.max_kmer_len, mesh, self.two_bit,
+            )
+            self._sorted = ((hi, lo), is_pad, mesh, n_real, lanes)
+        return lanes
+
+    def _cap_covers_min_k(self) -> bool:
+        """True when every (real) sorted row has valid_len >= min_kmer_len —
+        canonical construction guarantees it; an explicit ``positions``
+        subset passed to ``sort`` may not, so it gets verified against the
+        retained cap lane once (the CRISPR PAM lanes flags depend on it)."""
+        if not self._custom_positions:
+            return True
+        import jax.numpy as jnp
+
+        _, is_pad, _, _, _ = self._sorted
+        lanes = self._ensure_lanes()
+        cap_lane = lanes[-1]
+        valid = np.asarray(is_pad) == 0
+        if not valid.any():
+            return True
+        mn = int(jnp.min(jnp.where(jnp.asarray(is_pad) == 0,
+                                   cap_lane, jnp.uint32(0xFFFFFFFF))))
+        return mn >= self.min_kmer_len
+
+    def _filter_mask(self, kmer_filter_func, kmer_len):
+        """Sharded survivor mask for a library filter, evaluated on the
+        retained sorted lanes (parallel.large.large_lanes_filter_flags), or
+        None for keep-all. Raises the filter's reference error if any real
+        row is invalid; raises NotImplementedError for filters the lanes
+        cannot express (the large regime has no byte SBA to fall back to).
+        """
+        import jax.numpy as jnp
+
+        from .ops.filters import KeepAllFilter, KmerFilter
+        from .parallel.large import large_lanes_filter_flags
+
+        if kmer_filter_func is None or isinstance(kmer_filter_func, KeepAllFilter):
+            return None
+        if not isinstance(kmer_filter_func, KmerFilter):
+            raise NotImplementedError(
+                "the large regime supports the library KmerFilter classes "
+                "only (filters evaluate on packed key lanes; arbitrary "
+                "callables would need a byte SBA, which never materializes "
+                "past 2^32)"
+            )
+        (hi, lo), is_pad, mesh, _, _ = self._sorted
+        lanes = self._ensure_lanes()
+        bpw = 16 if self.two_bit else 8
+        nwb = -(-self.max_kmer_len // bpw)
+        words = tuple(lanes[:nwb])
+        cap_lane = lanes[nwb]
+        base = max(0, self.sba_len - (1 << 31))
+        lanes_dict = {
+            "two_bit": self.two_bit,
+            "built_k": self.max_kmer_len,
+            "words": words,
+            "cap": cap_lane,
+            "cap_cover_check": self._cap_covers_min_k,
+        }
+        spec = kmer_filter_func.lanes_spec(
+            lanes_dict, self.sba_len - base, self.min_kmer_len
+        )
+        if spec is None:
+            raise NotImplementedError(
+                f"filter {type(kmer_filter_func).__name__} cannot be "
+                f"evaluated on the large index's key lanes at this "
+                f"configuration (built max_kmer_len={self.max_kmer_len}, "
+                f"min_kmer_len={self.min_kmer_len})"
+            )
+        flags_fn, params, msgs = spec
+        mask, err = large_lanes_filter_flags(
+            words, cap_lane, hi, lo, is_pad, jnp.asarray(params), flags_fn,
+            base, self.max_kmer_len,
+        )
+        err = np.asarray(err)
+        if len(err) and int(err[0]):
+            # digest positions are proxy (rebased) coordinates
+            raise ValueError(msgs[int(err[1])](int(err[2]) + base))
+        return mask
+
+    def get_kmer_group_counts(
+        self,
+        kmer_len: Union[int, None] = None,
+        kmer_filter_func=None,
+        min_group_size: int = 1,
+        max_group_size: Union[int, None] = None,
+        max_counts_bin: int = 1000000,
+    ) -> tuple[np.ndarray, int]:
+        """Group-size histogram (uint64) + exact total over the sorted
+        sharded layout (parallel.distributed_group_size_histogram_large_
+        ragged), gather-free over the retained sorted lanes. ``kmer_len``
+        defaults to ``max_kmer_len``; any ``kmer_len <= max_kmer_len`` is
+        exact (the sorted order refines every shorter-prefix order).
+        ``kmer_filter_func``: a library KmerFilter — survivors are counted
+        in unfiltered group identity, the reference's previous-survivor
+        walk semantics (reference kmers.py:597-601)."""
+        from .parallel.large import distributed_group_size_histogram_large_ragged
+
+        self._require_sorted()
+        kmer_len = self._check_kmer_len(kmer_len)
         if max_counts_bin <= 0:
             raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
-        (hi, lo), is_pad, mesh, _ = self._sorted
+        mask = self._filter_mask(kmer_filter_func, kmer_len)
+        (hi, lo), is_pad, mesh, _, lanes = self._sorted
         return distributed_group_size_histogram_large_ragged(
             self.packed_words, hi, lo, is_pad, self.seg_starts, self.seg_ends,
             kmer_len, mesh, min_group_size=min_group_size,
             max_group_size=max_group_size, max_counts_bin=max_counts_bin,
-            two_bit=self.two_bit,
+            two_bit=self.two_bit, sorted_words=lanes,
+            built_k=self.max_kmer_len, mask=mask,
         )
 
     def get_kmer_count(
         self,
         kmer_len: Union[int, None] = None,
+        kmer_filter_func=None,
         min_group_size: int = 1,
         max_group_size: Union[int, None] = None,
     ) -> int:
         """Total k-mers in qualifying groups (exact uint64)."""
         _, total = self.get_kmer_group_counts(
-            kmer_len, min_group_size=min_group_size,
+            kmer_len, kmer_filter_func=kmer_filter_func,
+            min_group_size=min_group_size,
             max_group_size=max_group_size, max_counts_bin=1,
         )
         return total
+
+    # ------------------------------------------------------------------ #
+    # canonical (strand-collapsed) statistics
+    # ------------------------------------------------------------------ #
+
+    def get_canonical_kmer_group_counts(
+        self,
+        kmer_len: int,
+        max_counts_bin: int = 1000000,
+        mesh=None,
+        positions: Union[np.ndarray, None] = None,
+    ) -> tuple[np.ndarray, int]:
+        """Group-size histogram over CANONICAL (min(kmer, revcomp)) k-mers —
+        the large-regime analog of Kmers.get_canonical_kmer_group_counts.
+        Runs its own canonical sample sort (the canonical order differs per
+        kmer_len); only full-length k-mers participate. Requires the 2-bit
+        (ACGT) pack. ``mesh`` defaults to the mesh ``sort`` ran on;
+        ``positions`` optionally restricts to an explicit uint64 subset
+        (the full canonical start set is 8 B/k-mer of host memory)."""
+        from .parallel.large import distributed_group_size_histogram_large_ragged
+        from .parallel.sample_sort import sample_sort_canonical_large_ragged
+
+        if not self.two_bit:
+            raise NotImplementedError(
+                "canonical k-mer statistics require an ACGT-only genome"
+            )
+        if self._n_fwd_records is not None:
+            raise NotImplementedError(
+                "canonical statistics are defined on a single-strand index "
+                "(a both-strand index already contains each k-mer's reverse "
+                "complement)"
+            )
+        if kmer_len is None or kmer_len < 1 or kmer_len > 64:
+            raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
+        if max_counts_bin <= 0:
+            raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
+        if mesh is None:
+            if self._sorted is None:
+                raise ValueError(
+                    "pass mesh= (or sort(mesh) first) so the canonical "
+                    "pipeline knows its device mesh"
+                )
+            mesh = self._sorted[2]
+        pos = self.build_positions() if positions is None else np.asarray(
+            positions, dtype=np.uint64
+        )
+        (hi, lo), is_pad, can_lanes = sample_sort_canonical_large_ragged(
+            self.packed_words, pos, self.seg_starts,
+            self.seg_ends, kmer_len, mesh,
+        )
+        # group identity = the retained canonical words (full-length rows
+        # only, so no cap lane rides along)
+        return distributed_group_size_histogram_large_ragged(
+            self.packed_words, hi, lo, is_pad, self.seg_starts, self.seg_ends,
+            kmer_len, mesh, max_counts_bin=max_counts_bin, two_bit=True,
+            sorted_words=can_lanes, built_k=kmer_len,
+        )
+
+    # ------------------------------------------------------------------ #
+    # streaming count queries
+    # ------------------------------------------------------------------ #
+
+    def count_queries(
+        self, queries: list, kmer_len: Union[int, None] = None
+    ) -> np.ndarray:
+        """Occurrence counts (uint64) per query string via distributed
+        binary search over the sorted large index
+        (parallel.distributed_count_queries_large). Query identity matches
+        ``kmer_len``-base group identity; defaults to the first query's
+        length; any kmer_len <= max_kmer_len is exact. On the 2-bit pack,
+        non-ACGT queries return 0 (they cannot occur in an ACGT genome)."""
+        from .parallel.query import distributed_count_queries_large
+
+        self._require_sorted("count_queries")
+        if not queries:
+            return np.zeros(0, dtype=np.uint64)
+        if kmer_len is None:
+            kmer_len = len(queries[0])
+        kmer_len = self._check_kmer_len(kmer_len)
+        (hi, lo), is_pad, mesh, _, _ = self._sorted
+        return distributed_count_queries_large(
+            self.packed_words, hi, lo, is_pad, self.seg_starts, self.seg_ends,
+            queries, kmer_len, mesh, two_bit=self.two_bit,
+        )
+
+    def count_queries_canonical(
+        self, queries: list, kmer_len: Union[int, None] = None
+    ) -> np.ndarray:
+        """Strand-collapsed occurrence counts: forward hits + reverse-
+        complement hits (once, for palindromes). ACGT queries only."""
+        if self._n_fwd_records is not None:
+            raise NotImplementedError(
+                "canonical queries are defined on a single-strand index; "
+                "count_queries on a both-strand index already counts both "
+                "strands"
+            )
+        if not queries:
+            return np.zeros(0, dtype=np.uint64)
+        table = str.maketrans("ACGT", "TGCA")
+        rcs = []
+        for q in queries:
+            if set(q) - set("ACGT"):
+                raise ValueError(f"canonical queries must be ACGT-only: '{q}'")
+            rcs.append(q.translate(table)[::-1])
+        fwd = self.count_queries(queries, kmer_len)
+        rc = self.count_queries(rcs, kmer_len)
+        is_palindrome = np.array([q == r for q, r in zip(queries, rcs)])
+        return fwd + np.where(is_palindrome, 0, rc).astype(np.uint64)
+
+    # ------------------------------------------------------------------ #
+    # bulk extraction (host-materializing — see the memory note up top)
+    # ------------------------------------------------------------------ #
+
+    def _rows_for_arrays(self, kmer_len, kmer_filter_func, min_group_size,
+                         max_group_size):
+        """Host per-row arrays over the sorted layout, pads stripped, in
+        global sorted order: (positions u64, survivor mask, boundary,
+        expanded survivor-group sizes, group qualifies)."""
+        from .parallel.large import distributed_group_size_histogram_large_ragged
+
+        mask_dev = self._filter_mask(kmer_filter_func, kmer_len)
+        (hi, lo), is_pad, mesh, n_real, lanes = self._sorted
+        _, _, rows = distributed_group_size_histogram_large_ragged(
+            self.packed_words, hi, lo, is_pad, self.seg_starts, self.seg_ends,
+            kmer_len, mesh, min_group_size=min_group_size,
+            max_group_size=max_group_size, max_counts_bin=1,
+            two_bit=self.two_bit, sorted_words=lanes,
+            built_k=self.max_kmer_len, mask=mask_dev, return_rows=True,
+        )
+        pad = np.asarray(is_pad)
+        keep = pad == 0
+        pos = fuse64_np(np.asarray(hi)[keep], np.asarray(lo)[keep])
+        boundary = np.asarray(rows["boundary"])[keep].astype(bool)
+        s64 = fuse64_np(np.asarray(rows["s_hi"])[keep], np.asarray(rows["s_lo"])[keep])
+        qualifies = np.asarray(rows["qualifies"])[keep].astype(bool)
+        surv = (
+            np.ones(len(pos), dtype=bool)
+            if mask_dev is None
+            else np.asarray(mask_dev)[keep].astype(bool)
+        )
+        assert len(pos) == n_real
+        # expand boundary-row group sizes / qualification to every row
+        b_idx = np.flatnonzero(boundary)
+        counts_per_group = np.diff(np.concatenate([b_idx, [len(pos)]]))
+        gst = np.repeat(s64[b_idx], counts_per_group)
+        gq = np.repeat(qualifies[b_idx], counts_per_group)
+        return pos, surv, boundary, counts_per_group, b_idx, gst, gq
+
+    def get_kmers_arrays(
+        self,
+        kmer_len: Union[int, None] = None,
+        kmer_filter_func=None,
+        min_group_size: int = 1,
+        max_group_size: Union[int, None] = None,
+        yield_first_n: Union[int, None] = None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Bulk array analog of Kmers.get_kmers_arrays for the large
+        regime: (kmer_nums int64, sba_start_indices uint64,
+        group_size_yielded, group_size_total) in yield order — survivors of
+        qualifying groups, first ``yield_first_n`` per group. kmer_num is
+        the row's index in the globally sorted order. NOTE: materializes
+        O(rows) host memory; at multi-billion-row scale slice the work via
+        group-size bounds or run the histogram APIs instead."""
+        self._require_sorted("get_kmers_arrays")
+        kmer_len = self._check_kmer_len(kmer_len)
+        pos, surv, boundary, counts_per_group, b_idx, gst, gq = (
+            self._rows_for_arrays(
+                kmer_len, kmer_filter_func, min_group_size, max_group_size
+            )
+        )
+        svc = np.cumsum(surv.astype(np.int64))
+        start_excl = np.repeat(svc[b_idx] - surv[b_idx].astype(np.int64),
+                               counts_per_group)
+        rank = svc - 1 - start_excl  # survivor rank within group (survivors)
+        yielded = surv & gq
+        if yield_first_n is not None:
+            yielded &= rank < yield_first_n
+        sel = np.flatnonzero(yielded)
+        gst_sel = gst[sel].astype(np.int64)
+        if yield_first_n is None:
+            gsy = gst_sel
+        else:
+            gsy = np.minimum(gst_sel, np.int64(yield_first_n))
+        return sel.astype(np.int64), pos[sel], gsy, gst_sel
+
+    def get_kmers_full_arrays(
+        self,
+        kmer_len: Union[int, None] = None,
+        one_based_seq_index: bool = False,
+        kmer_filter_func=None,
+        min_group_size: int = 1,
+        max_group_size: Union[int, None] = None,
+        yield_first_n: Union[int, None] = None,
+    ) -> dict:
+        """Full-info bulk arrays (large-regime analog of
+        Kmers.get_kmers_full_arrays): kmer_num, record_num, strand,
+        seq_start_idx, kmer_len, group_size_yielded, group_size_total.
+        For a ``both_strands=True`` index, reverse-complement segments
+        report strand "-", forward-convention seq_start_idx, and
+        record_num into the original record list."""
+        kmer_len = self._check_kmer_len(kmer_len)
+        nums, pos, gsy, gst = self.get_kmers_arrays(
+            kmer_len, kmer_filter_func, min_group_size, max_group_size,
+            yield_first_n,
+        )
+        starts = self.seg_starts.astype(np.uint64)
+        seg_ids = np.searchsorted(starts, pos, side="right") - 1
+        seg_s = starts[seg_ids]
+        seg_e = self.seg_ends.astype(np.uint64)[seg_ids]
+        base = np.uint64(1 if one_based_seq_index else 0)
+        n_fwd = self._n_fwd_records
+        if n_fwd is not None:
+            rc_row = seg_ids >= n_fwd
+            strand = np.where(rc_row, "-", "+").astype("U1")
+            seq_idx = np.where(rc_row, seg_e - pos, pos - seg_s) + base
+            record_num = np.where(rc_row, 2 * n_fwd - 1 - seg_ids, seg_ids)
+        else:
+            strand = np.full(len(pos), "+", dtype="U1")
+            seq_idx = pos - seg_s + base
+            record_num = seg_ids
+        if (pos + np.uint64(kmer_len - 1) > seg_e).any():
+            bad = int(nums[np.flatnonzero(pos + np.uint64(kmer_len - 1) > seg_e)[0]])
+            raise ValueError(
+                f"kmer_len ({kmer_len}) for kmer_num ({bad}) extends beyond the end of the segment"
+            )
+        return {
+            "kmer_num": nums,
+            "record_num": record_num.astype(np.int64),
+            "strand": strand,
+            "seq_start_idx": seq_idx,
+            "kmer_len": np.full(len(pos), kmer_len, dtype=np.int64),
+            "group_size_yielded": gsy,
+            "group_size_total": gst,
+        }
+
+    def get_kmer_strs(self, kmer_nums, kmer_len: Union[int, None] = None) -> list:
+        """Decode many k-mers at once from the strided pack (no byte SBA
+        exists in this regime). kmer_num indexes the globally sorted
+        order."""
+        from .ops.large import decode_strided_np
+
+        self._require_sorted("get_kmer_strs")
+        kmer_len = self._check_kmer_len(kmer_len)
+        nums = np.asarray(kmer_nums, dtype=np.int64)
+        if nums.size == 0:
+            return []
+        if (nums < 0).any() or (nums >= self._sorted[3]).any():
+            raise ValueError("kmer_num out of bounds")
+        pos = self.sorted_positions()[nums]
+        starts = self.seg_starts.astype(np.uint64)
+        seg_ids = np.searchsorted(starts, pos, side="right") - 1
+        seg_e = self.seg_ends.astype(np.uint64)[seg_ids]
+        if (pos + np.uint64(kmer_len - 1) > seg_e).any():
+            bad = int(nums[np.flatnonzero(pos + np.uint64(kmer_len - 1) > seg_e)[0]])
+            raise ValueError(
+                f"kmer_len ({kmer_len}) for kmer_num ({bad}) extends beyond the end of the segment"
+            )
+        block = decode_strided_np(self.packed_words, pos, kmer_len, self.two_bit)
+        text = block.tobytes().decode("ascii")
+        return [text[i * kmer_len : (i + 1) * kmer_len] for i in range(len(nums))]
+
+    def get_kmer_str(self, kmer_num: int, kmer_len: Union[int, None] = None) -> str:
+        """Single-k-mer decode (see ``get_kmer_strs``)."""
+        return self.get_kmer_strs([int(kmer_num)], kmer_len)[0]
+
+    # ------------------------------------------------------------------ #
+    # sharded checkpointing
+    # ------------------------------------------------------------------ #
+
+    def save_checkpoint(self, path) -> None:
+        """Checkpoint the sorted sharded layout via orbax (every host
+        writes its own shards; see parallel/checkpoint.py). The genome pack
+        and segment tables are the constructor's inputs and are NOT saved —
+        rebuild the LargeKmers the same way, then ``load_checkpoint``."""
+        from .parallel.checkpoint import save_large_kmers
+
+        self._require_sorted("save_checkpoint")
+        save_large_kmers(self, path)
+
+    def load_checkpoint(self, path, mesh) -> None:
+        """Restore a sorted layout onto ``mesh`` (any device count — shards
+        re-compact locally after the resharded restore). The retained-lanes
+        fast path rebuilds lazily; statistics fall back to the in-kernel
+        strided key build until then."""
+        from .parallel.checkpoint import load_large_kmers
+
+        load_large_kmers(self, path, mesh)

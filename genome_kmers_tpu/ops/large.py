@@ -227,6 +227,30 @@ def build_key_words_strided(packed_s, pos_hi, pos_lo, cap_len, n_words,
                          3, 4, jnp.asarray(NIBBLE_MASKS))
 
 
+def decode_strided_np(packed_words: np.ndarray, positions_u64, length: int,
+                      two_bit: bool) -> np.ndarray:
+    """ASCII byte matrix (n, length) decoded from a strided pack at each
+    uint64 position (host NumPy; the string-extraction path of the large
+    regime, where no byte SBA ever exists). Reads past the last real word
+    hit the zero tail and decode as '$'/'A' — callers bounds-check first."""
+    from .encoding import UNRANK_TABLE
+
+    pos = np.asarray(positions_u64, dtype=np.uint64)
+    bpw = 16 if two_bit else 8
+    bits = 2 if two_bit else 4
+    field_mask = np.uint32((1 << bits) - 1)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8) if two_bit else UNRANK_TABLE
+    out = np.empty((len(pos), length), dtype=np.uint8)
+    for j in range(length):
+        p = pos + np.uint64(j)
+        w = packed_words[np.minimum(p // np.uint64(bpw),
+                                    np.uint64(len(packed_words) - 1)).astype(np.int64)]
+        sh = ((np.uint64(bpw - 1) - (p % np.uint64(bpw))) * np.uint64(bits)).astype(np.uint32)
+        r = (w >> sh) & field_mask
+        out[:, j] = lut[r]
+    return out
+
+
 def compute_valid_len64(pos_hi, pos_lo, starts_hi, starts_lo, ends_hi, ends_lo):
     """uint32-saturated bases-to-segment-end per position (the 64-bit analog
     of ops/keys.compute_valid_len; saturation at NO_CAP is lossless because

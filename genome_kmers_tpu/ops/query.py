@@ -50,6 +50,39 @@ def encode_query_words(queries: list[str], kmer_len: int) -> tuple[np.ndarray, .
     return tuple(out)
 
 
+def encode_query2_words(queries: list[str], kmer_len: int):
+    """Pack query strings into 2-bit rank words (16 bases/word, host side) —
+    the key space of the 2-bit packs (ops/keys.pack_rank2_words and the
+    large strided pack). Non-ACGT queries cannot exist in an ACGT-only
+    genome, so instead of raising they are flagged: returns
+    ``(words_tuple, matchable_bool_array)`` and the caller zeroes the
+    unmatchable queries' counts.
+    """
+    from .encoding import RANK2_TABLE
+
+    n_words = -(-kmer_len // 16)
+    out = [np.zeros(len(queries), dtype=np.uint32) for _ in range(n_words)]
+    ok = np.ones(len(queries), dtype=bool)
+    acgt = frozenset(b"ACGT")
+    for qi, q in enumerate(queries):
+        if len(q) != kmer_len:
+            raise ValueError(
+                f"query '{q}' length ({len(q)}) does not match kmer_len ({kmer_len})"
+            )
+        b = q.encode()
+        if set(b) - acgt:
+            ok[qi] = False
+            continue
+        for w in range(n_words):
+            acc = 0
+            for j in range(16):
+                idx = 16 * w + j
+                r = int(RANK2_TABLE[b[idx]]) if idx < kmer_len else 0
+                acc = (acc << 2) | r
+            out[w][qi] = acc
+    return tuple(out), ok
+
+
 def _lex_less(a: tuple, b: tuple) -> jax.Array:
     """a < b over word tuples (lexicographic, unsigned)."""
     lt = jnp.zeros(a[0].shape, dtype=bool)

@@ -4,8 +4,10 @@ has no distributed code — SURVEY.md §2)."""
 
 from .checkpoint import (
     load_kmers_sharded,
+    load_large_kmers,
     load_sharded_index,
     save_kmers_sharded,
+    save_large_kmers,
     save_sharded_index,
 )
 from .distributed import (
@@ -17,9 +19,11 @@ from .distributed import (
     make_mesh,
 )
 from .large import distributed_group_size_histogram_large_ragged
-from .query import distributed_count_queries
+from .large import large_lanes_filter_flags, rebuild_large_lanes
+from .query import distributed_count_queries, distributed_count_queries_large
 from .sample_sort import (
     sample_sort_canonical_dense_ragged,
+    sample_sort_canonical_large_ragged,
     sample_sort_positions,
     sample_sort_positions_dense_ragged,
     sample_sort_positions_large,
@@ -33,19 +37,25 @@ __all__ = [
     "compact_ragged",
     "distributed_group_size_histogram",
     "distributed_count_queries",
+    "distributed_count_queries_large",
     "distributed_group_size_histogram_large_ragged",
     "distributed_group_size_histogram_ragged",
     "distributed_sort_positions",
     "sample_sort_positions_large",
     "sample_sort_positions_large_ragged",
+    "large_lanes_filter_flags",
     "load_kmers_sharded",
+    "load_large_kmers",
+    "rebuild_large_lanes",
     "load_sharded_index",
     "make_mesh",
     "sample_sort_canonical_dense_ragged",
+    "sample_sort_canonical_large_ragged",
     "sample_sort_positions",
     "sample_sort_positions_dense_ragged",
     "sample_sort_positions_ragged",
     "sample_sort_positions_unbounded",
     "save_kmers_sharded",
+    "save_large_kmers",
     "save_sharded_index",
 ]

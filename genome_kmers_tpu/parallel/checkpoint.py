@@ -107,6 +107,129 @@ def load_sharded_index(path, mesh: Mesh | None = None):
     return tree["sorted_positions"], tree.get("packed_genome"), meta
 
 
+def save_large_kmers(lk, path) -> None:
+    """Checkpoint a sorted LargeKmers layout: the (hi, lo) pair-lane sorted
+    positions + pad flags, sharded, plus metadata. The genome pack and
+    segment tables are constructor inputs and are not written (at >2^32
+    scale the strided pack alone is gigabytes; rebuilding it from the FASTA
+    is the cheaper, more portable path)."""
+    import orbax.checkpoint as ocp
+
+    import jax
+    import jax.numpy as jnp
+
+    path = Path(path).absolute()
+    (hi, lo), is_pad, mesh, n_real, _lanes = lk._sorted
+    n_rows = int(hi.shape[0])
+    mult = 1024
+    n_pad = max(-(-n_rows // mult) * mult, mult)
+
+    def pad_to(a, fill):
+        if n_pad == n_rows:
+            return a
+        return jax.jit(
+            lambda x: jnp.concatenate(
+                [x, jnp.full((n_pad - n_rows,), fill, dtype=x.dtype)]
+            )
+        )(a)
+
+    tree = {
+        "pos_hi": pad_to(hi, 0xFFFFFFFF),
+        "pos_lo": pad_to(lo, 0xFFFFFFFF),
+        "is_pad": pad_to(is_pad, 1),
+    }
+    meta = {
+        "kind": "large_kmers",
+        "min_kmer_len": lk.min_kmer_len,
+        "max_kmer_len": lk.max_kmer_len,
+        "two_bit": lk.two_bit,
+        "num_kmers": lk.num_kmers,
+        "n_real": int(n_real),
+        "custom_positions": bool(lk._custom_positions),
+        "__n_real__": n_rows,
+        "__arrays__": {
+            name: {"shape": list(a.shape), "dtype": str(a.dtype)}
+            for name, a in tree.items()
+        },
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "arrays", tree, force=True)
+    if jax.process_index() == 0:
+        (path / _META_NAME).write_text(json.dumps(meta))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("gkt_large_ckpt_meta_written")
+
+
+def load_large_kmers(lk, path, mesh: Mesh) -> dict:
+    """Restore a LargeKmers sorted layout onto ``mesh`` (any device count).
+
+    Resharding interleaves old shard-tail pads into the row stream, so a
+    stable per-shard (is_pad, hi, lo) compaction restores the ragged
+    invariant (valid rows form a prefix per shard) without touching the
+    global order of real rows. The retained sorted lanes are NOT persisted;
+    statistics after a restore rebuild key words in-kernel
+    (sorted_words=None path) — one strided gather per stats call until the
+    next in-process sort."""
+    import orbax.checkpoint as ocp
+
+    import jax
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from functools import partial as _partial
+
+    path = Path(path).absolute()
+    meta = json.loads((path / _META_NAME).read_text())
+    if meta.get("kind") != "large_kmers":
+        raise ValueError(f"{path} is not a LargeKmers checkpoint")
+    if (
+        meta["min_kmer_len"] != lk.min_kmer_len
+        or meta["max_kmer_len"] != lk.max_kmer_len
+        or bool(meta["two_bit"]) != lk.two_bit
+        or meta["num_kmers"] != lk.num_kmers
+    ):
+        raise ValueError(
+            "checkpoint parameters do not match this LargeKmers "
+            f"(ckpt: min={meta['min_kmer_len']} max={meta['max_kmer_len']} "
+            f"two_bit={meta['two_bit']} n={meta['num_kmers']})"
+        )
+    arrays_info = meta["__arrays__"]
+    with ocp.StandardCheckpointer() as ckptr:
+        target = {
+            name: jax.ShapeDtypeStruct(
+                tuple(info["shape"]),
+                np.dtype(info["dtype"]),
+                sharding=NamedSharding(mesh, P(AXIS)),
+            )
+            for name, info in arrays_info.items()
+        }
+        tree = ckptr.restore(path / "arrays", target)
+
+    @_partial(jax.jit, static_argnames=("mesh",))
+    def compact(hi, lo, pad, mesh):
+        def local(h, l, p):
+            s_p, s_h, s_l = jax.lax.sort((p, h, l), num_keys=1, is_stable=True)
+            return s_h, s_l, s_p
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        )
+        return fn(hi, lo, pad)
+
+    hi, lo, is_pad = compact(tree["pos_hi"], tree["pos_lo"], tree["is_pad"], mesh)
+    lanes = None
+    lk._sorted = ((hi, lo), is_pad, mesh, int(meta["n_real"]), lanes)
+    lk._is_sorted = True
+    lk._custom_positions = bool(meta.get("custom_positions", False))
+    return meta
+
+
 def save_kmers_sharded(kmers, path, include_genome: bool = False) -> None:
     """Checkpoint a sorted Kmers object's device state (EXTENSION).
 

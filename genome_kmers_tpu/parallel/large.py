@@ -74,34 +74,63 @@ def _pairsum_small(vals):
 
 def _large_stats_local(
     pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi, ends_lo,
-    min_gs, max_gs_hi, max_gs_lo,
-    *, kmer_len, n_words, two_bit, n_dev,
+    min_gs, max_gs_hi, max_gs_lo, sorted_words, mask,
+    *, kmer_len, n_words, two_bit, n_dev, keep_bits,
 ):
     """shard_map body: boundary mask via strided key words + halo compare,
     pair-lane valid-row geometry, per-shard qualifying sizes + pair total
-    (adaptive-histogram stage 1; stage 2 is ``_large_hist_local``)."""
+    (adaptive-histogram stage 1; stage 2 is ``_large_hist_local``).
+
+    ``sorted_words``: optional retained sorted lanes from the large sample
+    sort — group identity comes from them (last word masked to ``keep_bits``
+    for kmer_len below the built length) with no strided re-gather; None
+    rebuilds the words in-kernel. ``mask``: optional filter-survivor mask —
+    boundaries stay in ALL-valid-row identity while sizes count only
+    survivors (the reference's previous-survivor walk partitions survivors
+    exactly as the unfiltered groups do; see
+    ops/groups.survivor_sizes_at_boundaries).
+    """
     n_local = pos_hi.shape[0]
     my = jax.lax.axis_index(AXIS)
     valid = is_pad == jnp.uint32(0)
 
-    # caps from segment extents, derived in-kernel (pads masked to 0)
-    valid_len = compute_valid_len64(
-        pos_hi, pos_lo, starts_hi, starts_lo, ends_hi, ends_lo
-    )
-    cap = jnp.minimum(valid_len, jnp.uint32(kmer_len))
-    cap = jnp.where(valid, cap, jnp.uint32(0))
+    if sorted_words is None:
+        # caps from segment extents, derived in-kernel (pads masked to 0)
+        valid_len = compute_valid_len64(
+            pos_hi, pos_lo, starts_hi, starts_lo, ends_hi, ends_lo
+        )
+        cap = jnp.minimum(valid_len, jnp.uint32(kmer_len))
+        cap = jnp.where(valid, cap, jnp.uint32(0))
+        build = build_key2_words_strided if two_bit else build_key_words_strided
+        words = build(genome, pos_hi, pos_lo, cap, n_words, 0)
+        lanes = words + ((cap,) if two_bit else ())
+    else:
+        # retained lanes (words_tuple, cap_lane_or_None) with pads folded to
+        # all-ones. Word content past each row's cap is already zero, so
+        # masking the last needed word recovers the kmer_len-base identity
+        # gather-free; the retained cap lane is clipped to kmer_len.
+        # Canonical lanes carry no cap (full-length rows only).
+        words_only, cap_lane = sorted_words
+        use = list(words_only[:n_words])
+        if keep_bits < 32:
+            use[-1] = use[-1] & jnp.uint32((0xFFFFFFFF << (32 - keep_bits)) & 0xFFFFFFFF)
+        lanes = tuple(use)
+        if two_bit and cap_lane is not None:
+            lanes = lanes + (jnp.minimum(cap_lane, jnp.uint32(kmer_len)),)
 
-    build = build_key2_words_strided if two_bit else build_key_words_strided
-    words = build(genome, pos_hi, pos_lo, cap, n_words, 0)
-    lanes = words + ((cap,) if two_bit else ())
-
-    # global valid-row coordinates as pairs
+    # global valid-row coordinates as pairs; with a filter mask the
+    # coordinates count SURVIVORS, so boundary-to-boundary differences are
+    # survivor group sizes (zero-survivor groups size 0, excluded below)
+    counted = valid if mask is None else (valid & mask)
+    counted_u = counted.astype(jnp.uint32)
     n_valid = jnp.sum(valid.astype(jnp.uint32))
     all_n_valid = jax.lax.all_gather(n_valid, AXIS)  # (n_dev,)
+    n_counted = jnp.sum(counted_u)
+    all_n_counted = jax.lax.all_gather(n_counted, AXIS)
     mask_before = (jnp.arange(n_dev) < my).astype(jnp.uint32)
-    off_hi, off_lo = _pairsum_small(all_n_valid * mask_before)
-    tot_hi, tot_lo = _pairsum_small(all_n_valid)
-    local_excl = jnp.cumsum(valid.astype(jnp.uint32)) - valid.astype(jnp.uint32)
+    off_hi, off_lo = _pairsum_small(all_n_counted * mask_before)
+    tot_hi, tot_lo = _pairsum_small(all_n_counted)
+    local_excl = jnp.cumsum(counted_u) - counted_u
     vhi_idx, vlo_idx = add64_u32(off_hi, off_lo, local_excl)
 
     # intra-shard adjacency (valid rows form a prefix per shard)
@@ -165,7 +194,80 @@ def _large_stats_local(
     # stage-2 bin count by it
     hi_sat = jnp.where(s_hi > jnp.uint32(0), _ONES, s_lo)
     hib = jax.lax.pmax(jnp.max(jnp.where(qualifies, hi_sat, jnp.uint32(0))), AXIS)
-    return s_hi, s_lo, qualifies, th[-1:], tl[-1:], hib
+    return s_hi, s_lo, qualifies, th[-1:], tl[-1:], hib, boundary
+
+
+@partial(jax.jit, static_argnames=("flags_fn", "base", "built_k"))
+def large_lanes_filter_flags(words, cap_lane, pos_hi, pos_lo, is_pad, params,
+                             flags_fn, base, built_k):
+    """Filter survivor mask + error digest over the retained sorted lanes of
+    a LARGE (64-bit coordinate) index — the pair-lane analog of
+    parallel.distributed.mesh_lanes_filter_flags.
+
+    The lanes flags kernels (ops/filters) take uint32 positions only to
+    compare against overflow thresholds of the form (sba_len - offset), so
+    64-bit positions enter as a saturating PROXY ``max(pos - base, 0)``
+    with ``base = max(0, sba_len - 2^31)``: positions below base can never
+    overflow (every threshold is >= sba_len - 64 > base), and positions at
+    or above base sit within 2^31 of it, so the uint32 compare against the
+    rebased threshold (the caller computes params with
+    ``lanes_spec(..., sba_len - base, ...)``) is exact. The err digest's
+    first-bad-position is in proxy coordinates — add ``base`` back on host.
+
+    ``cap_lane`` is the retained sort cap (min(valid_len, built_k)), which
+    is exactly the cap the flags contract expects; pad rows carry all-ones
+    caps/lanes and are excluded from mask and errors.
+    """
+    from ..ops.groups import fold_err_conditions
+
+    del built_k  # part of the cache key: lanes layouts differ per built_k
+    valid = is_pad == jnp.uint32(0)
+    b_hi = jnp.uint32(base >> 32)
+    b_lo = jnp.uint32(base & 0xFFFFFFFF)
+    ge = (pos_hi > b_hi) | ((pos_hi == b_hi) & (pos_lo >= b_lo))
+    d_hi, d_lo = sub64(pos_hi, pos_lo, b_hi, b_lo)
+    proxy = jnp.where(ge, d_lo, jnp.uint32(0))
+    # pad rows: all-ones position pairs would proxy to huge values; fold to
+    # 0 so no error condition can fire on them even before the valid mask
+    proxy = jnp.where(valid, proxy, jnp.uint32(0))
+    mask, errs = flags_fn(words, cap_lane, proxy, params)
+    mask = mask & valid
+    terms = fold_err_conditions(errs, proxy, valid=valid)
+    if terms:
+        return mask, jnp.stack(terms)
+    return mask, jnp.zeros(0, dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("max_kmer_len", "two_bit"))
+def _rebuild_lanes_jit(packed, pos_hi, pos_lo, is_pad, seg_tables,
+                       max_kmer_len, two_bit):
+    starts_hi, starts_lo, ends_hi, ends_lo = seg_tables
+    vl = compute_valid_len64(pos_hi, pos_lo, starts_hi, starts_lo, ends_hi, ends_lo)
+    cap = jnp.minimum(vl, jnp.uint32(max_kmer_len))
+    n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
+    build = build_key2_words_strided if two_bit else build_key_words_strided
+    words = build(packed, pos_hi, pos_lo, cap, n_words, 0)
+    padm = is_pad != jnp.uint32(0)
+    # match the sample sort's retained-lane convention: pad rows all-ones
+    words = tuple(jnp.where(padm, _ONES, w) for w in words)
+    cap = jnp.where(padm, _ONES, cap)
+    return words + (cap,)
+
+
+def rebuild_large_lanes(packed_strided, pos_hi, pos_lo, is_pad,
+                        seg_starts_u64, seg_ends_u64, max_kmer_len, mesh,
+                        two_bit):
+    """Re-derive the sorted key lanes (words + cap, pad rows all-ones) for a
+    restored layout that has no in-process sort to retain them from — one
+    strided gather pass; every later stats/filter call is gather-free again."""
+    sh, sl = split64_np(np.asarray(seg_starts_u64, dtype=np.uint64))
+    eh, el = split64_np(np.asarray(seg_ends_u64, dtype=np.uint64))
+    rep = NamedSharding(mesh, P())
+    seg_tables = tuple(put_global(jnp.asarray(a), rep) for a in (sh, sl, eh, el))
+    genome = put_global(packed_strided, rep)
+    return _rebuild_lanes_jit(
+        genome, pos_hi, pos_lo, is_pad, seg_tables, max_kmer_len, two_bit
+    )
 
 
 def _large_hist_local(s_hi, s_lo, qualifies, *, max_counts_bin):
@@ -188,26 +290,33 @@ def _large_hist_jit(s_hi, s_lo, qualifies, max_counts_bin, mesh):
     return fn(s_hi, s_lo, qualifies)
 
 
-@partial(jax.jit, static_argnames=("kmer_len", "n_words", "two_bit", "mesh"))
+@partial(jax.jit, static_argnames=("kmer_len", "n_words", "two_bit", "mesh",
+                                   "keep_bits"))
 def _large_stats_jit(pos_hi, pos_lo, is_pad, genome, seg_tables, min_gs,
-                     max_gs_hi, max_gs_lo, kmer_len, n_words, two_bit, mesh):
+                     max_gs_hi, max_gs_lo, sorted_words, mask,
+                     kmer_len, n_words, two_bit, mesh, keep_bits=32):
     n_dev = mesh.shape[AXIS]
     starts_hi, starts_lo, ends_hi, ends_lo = seg_tables
 
-    def body(pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml):
+    def body(pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml,
+             sw, msk):
         return _large_stats_local(
             pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml,
+            sw, msk,
             kmer_len=kmer_len, n_words=n_words, two_bit=two_bit, n_dev=n_dev,
+            keep_bits=keep_bits,
         )
 
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * 8,
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        # trailing P(AXIS) specs are pytree prefixes over the optional
+        # sorted_words / mask (None contributes no leaves)
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * 8 + (P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS)),
     )
     return fn(pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi,
-              ends_lo, min_gs, max_gs_hi, max_gs_lo)
+              ends_lo, min_gs, max_gs_hi, max_gs_lo, sorted_words, mask)
 
 
 def distributed_group_size_histogram_large_ragged(
@@ -223,19 +332,44 @@ def distributed_group_size_histogram_large_ragged(
     max_group_size: int | None = None,
     max_counts_bin: int = 1000000,
     two_bit: bool = True,
+    sorted_words=None,
+    built_k: int | None = None,
+    mask=None,
+    return_rows: bool = False,
 ):
     """Group-size histogram + total over a globally sorted, sharded,
     pair-lane position array (the layout
     ``sample_sort_positions_large_ragged`` returns).
 
+    ``sorted_words``: optional retained sorted lanes from the large sample
+    sort (words + cap, built at ``built_k``) — skips the strided key
+    re-gather for any ``kmer_len <= built_k``. ``mask``: optional sharded
+    filter-survivor mask (see ``_large_stats_local``); zero-survivor groups
+    never qualify, matching the reference walk.
+
     Returns ``(counts, total)`` with counts a host uint64 array of length
     ``max_counts_bin + 1`` and total a Python int — exact for any number of
     k-mers (the uint32 engine's output is the uint32 cast of this one's).
+    With ``return_rows=True``, also a dict of the per-row sharded device
+    arrays {boundary, s_hi, s_lo, qualifies} (aligned with the input
+    layout, pads included) for the bulk-array extraction APIs.
     """
     limit = 64 if two_bit else 32
     if kmer_len is None or kmer_len > limit:
         raise NotImplementedError(f"large stats require kmer_len <= {limit}")
-    n_words = _cdiv(kmer_len, 16 if two_bit else 8)
+    bpw = 16 if two_bit else 8
+    n_words = _cdiv(kmer_len, bpw)
+
+    keep_bits = 32
+    sw_arg = None
+    if sorted_words is not None and built_k is not None and kmer_len <= built_k:
+        # lanes layout from the large sample sort: words(built) + cap lane
+        nwb = _cdiv(built_k, bpw)
+        words_only = tuple(sorted_words[:nwb])
+        cap_lane = sorted_words[nwb] if len(sorted_words) > nwb else None
+        rem = kmer_len - (n_words - 1) * bpw
+        keep_bits = rem * (32 // bpw)
+        sw_arg = (words_only, cap_lane)
 
     sh, sl = split64_np(np.asarray(seg_starts_u64, dtype=np.uint64))
     eh, el = split64_np(np.asarray(seg_ends_u64, dtype=np.uint64))
@@ -243,7 +377,9 @@ def distributed_group_size_histogram_large_ragged(
     seg_tables = tuple(
         put_global(jnp.asarray(a), rep) for a in (sh, sl, eh, el)
     )
-    genome = put_global(packed_strided, rep)
+    genome = put_global(packed_strided, rep) if sw_arg is None else put_global(
+        jnp.zeros(1, dtype=jnp.uint32), rep
+    )
 
     if max_group_size is None:
         mgs_hi, mgs_lo = np.uint32(0xFFFFFFFF), np.uint32(0xFFFFFFFF)
@@ -251,10 +387,10 @@ def distributed_group_size_histogram_large_ragged(
         mgs_hi = np.uint32(int(max_group_size) >> 32)
         mgs_lo = np.uint32(int(max_group_size) & 0xFFFFFFFF)
 
-    s_hi_a, s_lo_a, qualifies, tot_hi, tot_lo, hi_digest = _large_stats_jit(
+    s_hi_a, s_lo_a, qualifies, tot_hi, tot_lo, hi_digest, boundary = _large_stats_jit(
         pos_hi, pos_lo, is_pad, genome, seg_tables,
-        np.uint32(min_group_size), mgs_hi, mgs_lo,
-        kmer_len, n_words, two_bit, mesh,
+        np.uint32(max(min_group_size, 1)), mgs_hi, mgs_lo, sw_arg, mask,
+        kmer_len, n_words, two_bit, mesh, keep_bits=keep_bits,
     )
     n_dev = mesh.shape[AXIS]
     # adaptive stage 2: the digest's hi (largest qualifying size, saturated
@@ -286,4 +422,12 @@ def distributed_group_size_histogram_large_ragged(
     hi = np.asarray(tot_hi).astype(np.uint64)
     lo = np.asarray(tot_lo).astype(np.uint64)
     total = int(((hi << np.uint64(32)) | lo).sum())
+    if return_rows:
+        rows = {
+            "boundary": boundary,
+            "s_hi": s_hi_a,
+            "s_lo": s_lo_a,
+            "qualifies": qualifies,
+        }
+        return counts, total, rows
     return counts, total

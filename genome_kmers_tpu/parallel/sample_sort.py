@@ -102,8 +102,22 @@ def _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided=Fals
 
 def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_bit,
                        n_samples, capacity, uniform_cap, gid=None, offset=0,
-                       strided=False):
+                       strided=False, canonical_k=None):
     words = _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided)
+    if canonical_k is not None:
+        # canonical (strand-collapsed) keys: min(fwd, revcomp) per row.
+        # Requires the 2-bit path and full-length rows only (the caller
+        # pads out truncated rows), so the word format matches
+        # ops/canonical.revcomp_key_words exactly.
+        from ..ops.canonical import revcomp_key_words
+
+        rc = revcomp_key_words(words, canonical_k)
+        lt = jnp.zeros(words[0].shape, dtype=bool)
+        eq = jnp.ones(words[0].shape, dtype=bool)
+        for a, b in zip(rc, words):
+            lt = lt | (eq & (a < b))
+            eq = eq & (a == b)
+        words = tuple(jnp.where(lt, a, b) for a, b in zip(rc, words))
     # fold pads into the lanes so they sort last everywhere
     padm = is_pad != jnp.uint32(0)
     ones = jnp.uint32(_ONES)
@@ -206,9 +220,10 @@ def _exchange_merge(lanes, n_pos_lanes, padm, n_dev, n_samples, capacity,
 
 
 @partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity",
-                                   "uniform_cap", "strided", "mesh"))
+                                   "uniform_cap", "strided", "mesh", "canonical_k"))
 def _sample_sort_jit(genome, pos_lanes, cap_len, is_pad, n_words, two_bit,
-                     n_samples, capacity, uniform_cap, strided, mesh):
+                     n_samples, capacity, uniform_cap, strided, mesh,
+                     canonical_k=None):
     n_dev = mesh.shape[AXIS]
     fn = shard_map(
         partial(
@@ -220,6 +235,7 @@ def _sample_sort_jit(genome, pos_lanes, cap_len, is_pad, n_words, two_bit,
             capacity=capacity,
             uniform_cap=uniform_cap,
             strided=strided,
+            canonical_k=canonical_k,
         ),
         mesh=mesh,
         # P(AXIS)/P() are pytree prefixes: one spec covers every position lane
@@ -794,6 +810,8 @@ def sample_sort_positions_large_ragged(
     n_samples: int = 256,
     capacity_factor: float = 1.5,
     uniform_cap: bool = False,
+    return_lanes: bool = False,
+    canonical_k: int | None = None,
 ):
     """Distributed sample sort for genomes past the int32 gather limit.
 
@@ -807,13 +825,22 @@ def sample_sort_positions_large_ragged(
     these inputs (reference kmers.py:805-808).
 
     Returns ``((pos_hi, pos_lo), is_pad)`` device arrays of length
-    n_dev * capacity, globally sorted with per-shard trailing pads.
+    n_dev * capacity, globally sorted with per-shard trailing pads; with
+    ``return_lanes=True`` also the sorted key lanes (words, + the cap lane
+    unless ``uniform_cap``; pad rows folded to all-ones) so downstream
+    statistics/filters can skip the per-shard key re-gather.
+
+    ``canonical_k`` (2-bit only): sort by min(key, revcomp(key)) — the
+    strand-collapsed order; truncated rows (cap < k) become pads since a
+    truncated k-mer has no canonical form.
     """
     limit = 64 if two_bit else 32
     if max_kmer_len is None or max_kmer_len > limit:
         raise NotImplementedError(
             f"large sample sort requires max_kmer_len <= {limit} bases"
         )
+    if canonical_k is not None and (not two_bit or not uniform_cap):
+        raise ValueError("canonical_k requires two_bit=True and uniform_cap=True")
     from ..ops.large import split64_np
 
     pos = np.asarray(positions_u64, dtype=np.uint64)
@@ -823,6 +850,11 @@ def sample_sort_positions_large_ragged(
     valid = ends[seg] - pos + np.uint64(1)
     cap_np = np.minimum(valid, np.uint64(max_kmer_len)).astype(np.uint32)
 
+    pad_mask_np = np.zeros(pos.shape[0], dtype=np.uint32)
+    if canonical_k is not None:
+        # truncated rows have no canonical form: fold them to pads
+        pad_mask_np = (cap_np < np.uint32(canonical_k)).astype(np.uint32)
+
     n = pos.shape[0]
     n_dev = mesh.shape[AXIS]
     n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
@@ -831,7 +863,7 @@ def sample_sort_positions_large_ragged(
     hi_p = _pad_to_multiple(jnp.asarray(hi_np), n_dev, jnp.uint32(_ONES))
     lo_p = _pad_to_multiple(jnp.asarray(lo_np), n_dev, jnp.uint32(_ONES))
     cap_p = _pad_to_multiple(jnp.asarray(cap_np), n_dev, jnp.uint32(0))
-    is_pad = _pad_to_multiple(jnp.zeros(n, dtype=jnp.uint32), n_dev, jnp.uint32(1))
+    is_pad = _pad_to_multiple(jnp.asarray(pad_mask_np), n_dev, jnp.uint32(1))
     m = hi_p.shape[0] // n_dev
     n_samples = min(n_samples, m)
 
@@ -845,15 +877,43 @@ def sample_sort_positions_large_ragged(
     factor = capacity_factor
     while True:
         capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
-        out_pos, out_is_pad, _lanes, overflow = _sample_sort_jit(
+        out_pos, out_is_pad, lanes, overflow = _sample_sort_jit(
             genome, (hi_p, lo_p), cap_p, is_pad, n_words, two_bit, n_samples,
-            capacity, uniform_cap, True, mesh,
+            capacity, uniform_cap, True, mesh, canonical_k=canonical_k,
         )
         if int(overflow) == 0:
+            if return_lanes:
+                return out_pos, out_is_pad, lanes
             return out_pos, out_is_pad
         if capacity >= m:
             raise AssertionError("large sample sort overflow at full capacity (bug)")
         factor *= 2.0
+
+
+def sample_sort_canonical_large_ragged(
+    packed_strided,
+    positions_u64: np.ndarray,
+    seg_starts_u64: np.ndarray,
+    seg_ends_u64: np.ndarray,
+    kmer_len: int,
+    mesh,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+):
+    """Canonical (strand-collapsed) large sample sort: rows ordered by
+    min(key, revcomp(key)) with the position pair as tie-break; truncated
+    rows ride as pads. Returns ``((hi, lo), is_pad, canonical_lanes)`` — the
+    retained canonical word lanes are the group identity for
+    ``distributed_canonical_histogram_large`` (no re-gather, no cap lane:
+    every real row is full-length)."""
+    if kmer_len is None or kmer_len < 1 or kmer_len > 64:
+        raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
+    return sample_sort_positions_large_ragged(
+        packed_strided, positions_u64, seg_starts_u64, seg_ends_u64,
+        kmer_len, mesh, two_bit=True, n_samples=n_samples,
+        capacity_factor=capacity_factor, uniform_cap=True,
+        return_lanes=True, canonical_k=kmer_len,
+    )
 
 
 def sample_sort_positions_large(

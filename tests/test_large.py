@@ -181,63 +181,83 @@ class TestLargeStats:
         assert t_l == int(t_ref)
 
 
+def _tiled_past_2p32():
+    """Shared >2^32 scenario: tiled genome (the 4.3 Gbp SBA never
+    materializes), planted multi-member groups spanning 2^32, and the host
+    oracle ingredients (block ranks + per-position 62-bit keys)."""
+    rng = np.random.default_rng(11)
+    BLOCK = 1 << 24          # 16M-base tile (2^20 strided words)
+    TILES = (1 << 8) + 1     # 257 tiles -> L = 4,311,744,512 > 2^32
+    L = BLOCK * TILES
+    k = 31
+
+    block = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=BLOCK)
+    block_words = pack_rank2_strided_np(block, extra_words=0)
+    n_words_total = TILES * block_words.shape[0]
+    genome_words = np.zeros(n_words_total + 8, dtype=np.uint32)
+    genome_words[:n_words_total].reshape(TILES, -1)[:] = block_words
+
+    # 40k distinct tile offsets, each planted in 1-8 random tiles, so the
+    # tiled genome yields real multi-member groups spanning 2^32
+    n_off = 40_000
+    offs = rng.choice(BLOCK - k, size=n_off, replace=False).astype(np.uint64)
+    reps = rng.integers(1, 9, size=n_off)
+    pos = np.concatenate(
+        [
+            offs[i]
+            + np.uint64(BLOCK)
+            * rng.choice(TILES, size=r, replace=False).astype(np.uint64)
+            for i, r in enumerate(reps)
+        ]
+    )
+    rng.shuffle(pos)
+    assert int(np.sum(pos >= (1 << 32))) > 0
+    assert pos.max() < L - k
+
+    # host oracle: 62-bit packed kmer keys from the tiled block
+    ranks = RANK2_TABLE[block].astype(np.uint64)
+    key = np.zeros(len(pos), dtype=np.uint64)
+    base = pos % np.uint64(BLOCK)
+    for j in range(k):
+        key = (key << np.uint64(2)) | ranks[(base + np.uint64(j)) % np.uint64(BLOCK)]
+    return dict(
+        BLOCK=BLOCK, TILES=TILES, L=L, k=k, block=block, ranks=ranks,
+        genome_words=genome_words, pos=pos, key=key,
+    )
+
+
+def _oracle_hist(sizes, mings, maxgs, bins):
+    q = (sizes >= mings) & (sizes <= maxgs)
+    counts = np.bincount(
+        np.minimum(sizes[q], bins), minlength=bins + 1
+    ).astype(np.uint64)
+    return counts, int(sizes[q].sum())
+
+
 class TestPast2p32:
-    """The headline ceiling lift: a genome just past 2^32 bases (tiled
-    strided pack — the 4.3 Gbp SBA never materializes), k-mer positions
-    above 2^32, sorted + grouped exactly vs a host oracle."""
+    """The headline ceiling lift: a genome just past 2^32 bases, k-mer
+    positions above 2^32, sorted + grouped + filtered + queried + decoded +
+    checkpointed exactly vs a host oracle — through both the functional
+    layer and the LargeKmers API."""
 
-    def test_sort_and_stats_past_2p32(self):
-        rng = np.random.default_rng(11)
-        BLOCK = 1 << 24          # 16M-base tile (2^20 strided words)
-        TILES = (1 << 8) + 1     # 257 tiles -> L = 4,311,744,512 > 2^32
-        L = BLOCK * TILES
-        k = 31
+    @pytest.fixture(scope="class")
+    def big(self):
+        return _tiled_past_2p32()
 
-        block = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=BLOCK)
-        block_words = pack_rank2_strided_np(block, extra_words=0)
-        n_words_total = TILES * block_words.shape[0]
-        genome_words = np.zeros(n_words_total + 8, dtype=np.uint32)
-        genome_words[:n_words_total].reshape(TILES, -1)[:] = block_words
-
-        # 40k distinct tile offsets, each planted in 1-8 random tiles, so the
-        # tiled genome yields real multi-member groups spanning 2^32
-        n_off = 40_000
-        offs = rng.choice(BLOCK - k, size=n_off, replace=False).astype(np.uint64)
-        reps = rng.integers(1, 9, size=n_off)
-        pos = np.concatenate(
-            [
-                offs[i]
-                + np.uint64(BLOCK)
-                * rng.choice(TILES, size=r, replace=False).astype(np.uint64)
-                for i, r in enumerate(reps)
-            ]
-        )
-        rng.shuffle(pos)
-        assert int(np.sum(pos >= (1 << 32))) > 0
-        assert pos.max() < L - k
-
-        # host oracle: 62-bit packed kmer keys from the tiled block
-        ranks = RANK2_TABLE[block].astype(np.uint64)
-        key = np.zeros(len(pos), dtype=np.uint64)
-        base = pos % np.uint64(BLOCK)
-        for j in range(k):
-            key = (key << np.uint64(2)) | ranks[(base + np.uint64(j)) % np.uint64(BLOCK)]
+    def test_sort_and_stats_past_2p32(self, big):
+        k, L, pos, key = big["k"], big["L"], big["pos"], big["key"]
         order = np.lexsort((pos, key))
         want_sorted = pos[order]
         ks = key[order]
         bnd = np.concatenate([[True], ks[1:] != ks[:-1]])
         sizes = np.diff(np.concatenate([np.flatnonzero(bnd), [len(ks)]]))
         MINGS, MAXGS, BINS = 2, 100, 10
-        q = (sizes >= MINGS) & (sizes <= MAXGS)
-        want_counts = np.bincount(
-            np.minimum(sizes[q], BINS), minlength=BINS + 1
-        ).astype(np.uint64)
-        want_total = int(sizes[q].sum())
+        want_counts, want_total = _oracle_hist(sizes, MINGS, MAXGS, BINS)
 
         seg_starts = np.array([0], dtype=np.uint64)
         seg_ends = np.array([L - 1], dtype=np.uint64)
         mesh = make_mesh(2)  # 2 devices: bounds replicated-pack memory
-        g = jnp.asarray(genome_words)
+        g = jnp.asarray(big["genome_words"])
         (hi, lo), pad = sample_sort_positions_large_ragged(
             g, pos, seg_starts, seg_ends, k, mesh, two_bit=True
         )
@@ -252,6 +272,92 @@ class TestPast2p32:
         )
         np.testing.assert_array_equal(counts, want_counts)
         assert total == want_total
+
+    def test_full_api_past_2p32(self, big, tmp_path):
+        """VERDICT round-3 item 1 done-criterion: filtered stats, canonical
+        counts, streaming queries, string decode, and a checkpoint
+        round-trip all exact past 2^32 coordinates, via LargeKmers."""
+        from genome_kmers_tpu import LargeKmers
+        from genome_kmers_tpu.ops.filters import gen_kmer_gc_content_filter_func
+
+        k, L, BLOCK = big["k"], big["L"], big["BLOCK"]
+        pos, key, ranks = big["pos"], big["key"], big["ranks"]
+        mesh = make_mesh(2)
+        lk = LargeKmers(
+            big["genome_words"],
+            np.array([0], dtype=np.uint64),
+            np.array([L - 1], dtype=np.uint64),
+            k, k, two_bit=True,
+        )
+        # the full canonical start set would be 8 B x 4.3e9 of host memory;
+        # the explicit-positions entry point is the supported route
+        lk.sort(mesh, positions=pos)
+
+        # --- filtered stats vs host oracle ---
+        MN, MX = 10, 21  # GC counts in [10, 21] of k=31
+        base = pos % np.uint64(BLOCK)
+        gc_plane = np.isin(ranks, (1, 2)).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(gc_plane)])
+        gc = cs[(base + np.uint64(k)).astype(np.int64)] - cs[base.astype(np.int64)]
+        surv = (gc >= MN) & (gc <= MX)
+        order = np.lexsort((pos, key))
+        ks, surv_s = key[order], surv[order]
+        bnd = np.concatenate([[True], ks[1:] != ks[:-1]])
+        gid = np.cumsum(bnd) - 1
+        surv_sizes = np.bincount(gid, weights=surv_s).astype(np.int64)
+        want_counts, want_total = _oracle_hist(surv_sizes, 1, 1 << 62, 10)
+        # half-step fractions so ceil/floor land exactly on MN/MX counts
+        f = gen_kmer_gc_content_filter_func((MN - 0.5) / k, (MX + 0.5) / k, k)
+        counts, total = lk.get_kmer_group_counts(
+            k, kmer_filter_func=f, max_counts_bin=10
+        )
+        np.testing.assert_array_equal(counts, want_counts)
+        assert total == want_total
+
+        # --- streaming queries (incl. a >2^32 planted k-mer) vs oracle ---
+        hi_rows = np.flatnonzero(pos >= (1 << 32))[:3]
+        inv = np.empty(len(pos), dtype=np.int64)
+        inv[order] = np.arange(len(pos))
+        strs = lk.get_kmer_strs(inv[hi_rows], k)
+        # oracle decode straight from the block
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for row, s in zip(hi_rows, strs):
+            b = int(pos[row] % np.uint64(BLOCK))
+            want = lut[ranks[b : b + k].astype(np.int64)].tobytes().decode()
+            assert s == want
+        want_q = [int(np.sum(key == key[r])) for r in hi_rows]
+        got_q = lk.count_queries(strs, k)
+        assert got_q.tolist() == want_q
+
+        # --- canonical counts vs oracle ---
+        rc_key = np.zeros(len(pos), dtype=np.uint64)
+        tmp = key.copy()
+        for _ in range(k):
+            rc_key = (rc_key << np.uint64(2)) | ((tmp & np.uint64(3)) ^ np.uint64(3))
+            tmp >>= np.uint64(2)
+        can = np.minimum(key, rc_key)
+        cs_sizes = np.unique(np.sort(can), return_counts=True)[1]
+        want_cc, want_ct = _oracle_hist(cs_sizes.astype(np.int64), 1, 1 << 62, 10)
+        cc, ct = lk.get_canonical_kmer_group_counts(
+            k, max_counts_bin=10, positions=pos
+        )
+        np.testing.assert_array_equal(cc, want_cc)
+        assert ct == want_ct
+
+        # --- checkpoint round-trip (restore onto a 1-device mesh) ---
+        lk.save_checkpoint(tmp_path / "big_ck")
+        lk2 = LargeKmers(
+            big["genome_words"],
+            np.array([0], dtype=np.uint64),
+            np.array([L - 1], dtype=np.uint64),
+            k, k, two_bit=True,
+        )
+        lk2.load_checkpoint(tmp_path / "big_ck", make_mesh(1))
+        c2, t2 = lk2.get_kmer_group_counts(
+            k, kmer_filter_func=f, max_counts_bin=10
+        )
+        np.testing.assert_array_equal(c2, counts)
+        assert t2 == total
 
 
 class TestLargeKmersFacade:
