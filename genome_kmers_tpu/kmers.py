@@ -362,7 +362,8 @@ class _DistIndexCache:
     retained-lane path)."""
 
     def __init__(self, mesh, positions, is_pad, n_real: int,
-                 lanes=None, lanes_two_bit=None, built_k=None):
+                 lanes=None, lanes_two_bit=None, built_k=None,
+                 gid_full=None, gid_full_k=None):
         self.mesh = mesh
         self.positions = positions
         self.is_pad = is_pad
@@ -370,6 +371,11 @@ class _DistIndexCache:
         self.lanes = lanes
         self.lanes_two_bit = lanes_two_bit
         self.built_k = built_k
+        # converged refinement run ids at gid_full_k-base identity (None =
+        # suffix) — retained by the unbounded mesh sort so kmer_len-matching
+        # stats reuse them with zero refinement rounds
+        self.gid_full = gid_full
+        self.gid_full_k = gid_full_k
 
 
 class Kmers:
@@ -1505,9 +1511,9 @@ class Kmers:
         """Total k-mers in qualifying groups (reference kmers.py:994-1083).
 
         EXTENSION: pass ``mesh`` to count over the mesh — reuses the layout
-        retained by ``sort(mesh=...)`` when present (see
-        ``get_kmer_group_counts``). Requires a sorted index and bounded
-        kmer_len."""
+        retained by ``sort(mesh=...)`` when present, any ``kmer_len``
+        including ``None``/beyond-word-limit (see
+        ``get_kmer_group_counts``). Requires a sorted index."""
         self._check_forward_only()
         if kmer_len is not None and kmer_len < 1:
             raise ValueError(f"kmer_len ({kmer_len}) must be > 0")
@@ -1589,8 +1595,12 @@ class Kmers:
         histogram fully on the mesh — halo-stitched distributed histogram
         over the sharded sorted index, no host round trip. Reuses the layout
         retained by ``sort(mesh=...)`` when present (no re-sort); library
-        filters (KmerFilter) apply as a sharded device mask. Requires
-        bounded kmer_len.
+        filters (KmerFilter) apply as a sharded device mask. Any
+        ``kmer_len`` works, including ``None`` (suffix identity) and beyond
+        the key-word limits — those take the iterative-refinement group ids
+        (parallel.sample_sort.distributed_adjacent_gids; a suffix-mode
+        ``sort(mesh=...)`` retains its converged run ids so the matching
+        stats call needs zero refinement rounds).
         """
         self._check_forward_only()
         if kmer_len is not None and kmer_len < 1:
@@ -1717,6 +1727,14 @@ class Kmers:
         use2 = kmer_len is not None and kmer_len <= 64 and dc.packed2 is not None
         packed2 = dc.packed2 if use2 else None
         packed = dc.packed if packed2 is None else None
+        # unbounded (kmer_len=None, suffix identity) or beyond-word-limit
+        # kmer_len: group identity comes from converged refinement run ids
+        # (distributed_adjacent_gids) instead of key words — EXTENSION: the
+        # reference's kmer_len=None semantics on the mesh
+        need_gid = kmer_len is None or kmer_len > (
+            64 if dc.packed2 is not None else 32
+        )
+        ext_gid = None
 
         cache = self._dist_cache
         sorted_words = None
@@ -1835,10 +1853,42 @@ class Kmers:
         else:
             mask_for_stats = None
             _, surv_pos, _ = self._survivors(kmer_filter_func)
-            rag_pos, rag_pad, sorted_words = sample_sort_positions_ragged(
-                packed, surv_pos, dc.seg_starts, dc.seg_ends, kmer_len, mesh,
-                packed2=packed2, return_lanes=True,
-            )
+            if need_gid:
+                from .parallel import sample_sort_positions_unbounded
+
+                # the unbounded redistribution's converged run ids ARE the
+                # kmer_len identity (it sorts/refines at exactly kmer_len)
+                rag_pos, rag_pad, ext_gid = sample_sort_positions_unbounded(
+                    dc.packed if dc.packed2 is None else None, surv_pos,
+                    dc.seg_starts, dc.seg_ends, mesh, packed2=dc.packed2,
+                    max_kmer_len=kmer_len, return_ragged=True,
+                )
+            else:
+                rag_pos, rag_pad, sorted_words = sample_sort_positions_ragged(
+                    packed, surv_pos, dc.seg_starts, dc.seg_ends, kmer_len,
+                    mesh, packed2=packed2, return_lanes=True,
+                )
+        if need_gid and ext_gid is None:
+            if (
+                isinstance(kmer_filter_func, KeepAllFilter)
+                and cache is not None
+                and cache.mesh == mesh
+                and cache.gid_full is not None
+                and kmer_len == cache.gid_full_k
+            ):
+                # stats identity equals the sort identity: the retained
+                # converged run ids serve directly, zero refinement rounds
+                ext_gid = cache.gid_full
+            else:
+                from .parallel.sample_sort import distributed_adjacent_gids
+
+                ext_gid = distributed_adjacent_gids(
+                    dc.packed if dc.packed2 is None else None, rag_pos,
+                    rag_pad, dc.seg_starts, dc.seg_ends, kmer_len, mesh,
+                    packed2=dc.packed2,
+                )
+        if ext_gid is not None:
+            sorted_words = None
         from .parallel.distributed import distributed_hist_from_sizes
 
         size, qualifies, digest = distributed_group_size_histogram_ragged(
@@ -1846,6 +1896,7 @@ class Kmers:
             mesh, min_group_size=min_group_size, max_group_size=max_group_size,
             packed2=packed2, strand_split=strand_split,
             sorted_words=sorted_words, mask=mask_for_stats, return_sizes=True,
+            ext_gid=ext_gid,
         )
         # adaptive stage 2 over the sharded sizes: the psum'd histogram runs
         # at a bin count the [total, hi] digest sized — the 1e6-bin default
@@ -2345,10 +2396,25 @@ class Kmers:
                 return
             from .parallel import sample_sort_positions_unbounded
 
-            sorted_pos = sample_sort_positions_unbounded(
+            rag_pos, rag_pad, gid_full = sample_sort_positions_unbounded(
                 m_packed, positions, dc.seg_starts, dc.seg_ends, mesh,
                 packed2=m_packed2, max_kmer_len=self.max_kmer_len,
+                return_ragged=True,
             )
+            # retain the device-resident ragged layout + its converged run
+            # ids: mesh stats at the same identity then need ZERO
+            # refinement rounds (EXTENSION: unbounded stats on the mesh)
+            self._dist_cache = _DistIndexCache(
+                mesh, rag_pos, rag_pad, int(positions.shape[0]),
+                lanes=None, lanes_two_bit=m_packed2 is not None,
+                built_k=None, gid_full=gid_full, gid_full_k=self.max_kmer_len,
+            )
+            self._pos_dev = None
+            self._pos_host = None
+            self._init_geometry = None
+            self._lanes_cache = None
+            self._is_sorted = True
+            return
         else:
             use2 = self.max_kmer_len is not None and self.max_kmer_len <= 64
             packed2 = dc.packed2 if use2 else None

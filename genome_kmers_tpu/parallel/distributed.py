@@ -229,7 +229,7 @@ def distributed_sort_positions(
 
 def _dist_sizes_digest_local(
     packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
-    sorted_words, mask, n_words, two_bit, keep_bits,
+    sorted_words, mask, ext_gid, n_words, two_bit, keep_bits,
 ):
     """shard_map body for distributed group sizes (adaptive-histogram
     stage 1; stage 2 is ``_dist_hist_local``).
@@ -279,7 +279,12 @@ def _dist_sizes_digest_local(
 
     # intra-shard adjacency (valid rows form a prefix, so row i-1 of a valid
     # row i>0 is its true predecessor)
-    if sorted_words is None:
+    if ext_gid is not None:
+        # precomputed group identity (unbounded/beyond-window kmer_len:
+        # converged refinement run ids from sample_sort.
+        # distributed_adjacent_gids) — one identity lane, no key words
+        words = (ext_gid,)
+    elif sorted_words is None:
         words = _words_for(packed, positions, cap_len, n_words, two_bit)
     else:
         # lanes retained by the sample sort (built at its max_kmer_len):
@@ -290,7 +295,9 @@ def _dist_sizes_digest_local(
         if keep_bits < 32:
             use[-1] = use[-1] & jnp.uint32((0xFFFFFFFF << (32 - keep_bits)) & 0xFFFFFFFF)
         words = tuple(use)
-    lanes = words + ((cap_len,) if two_bit else ())
+    # the 2-bit cap lane joins identity only for real key words — a
+    # precomputed gid already encodes termination
+    lanes = words + ((cap_len,) if (two_bit and ext_gid is None) else ())
     # track_strands_separately (both-strand extension): positions at or past
     # strand_split are "-"-strand k-mers and never share a group with "+"
     # entries — one extra identity lane. Disabled when strand_split exceeds
@@ -412,7 +419,7 @@ def mesh_lanes_filter_flags(words, positions, is_pad, params, flags_fn,
 @partial(jax.jit, static_argnames=("n_words", "two_bit", "keep_bits", "mesh"))
 def _dist_sizes_digest_jit(
     packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
-    sorted_words, mask, n_words, two_bit, keep_bits, mesh,
+    sorted_words, mask, ext_gid, n_words, two_bit, keep_bits, mesh,
 ):
     fn = shard_map(
         partial(
@@ -422,13 +429,14 @@ def _dist_sizes_digest_jit(
             keep_bits=keep_bits,
         ),
         mesh=mesh,
-        # P(AXIS) prefixes cover the optional pytrees (sorted_words, mask);
-        # None contributes no leaves
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(AXIS), P(AXIS)),
+        # P(AXIS) prefixes cover the optional pytrees (sorted_words, mask,
+        # ext_gid); None contributes no leaves
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(AXIS),
+                  P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS), P()),
     )
     return fn(packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
-              sorted_words, mask)
+              sorted_words, mask, ext_gid)
 
 
 def distributed_group_size_histogram(
@@ -486,6 +494,7 @@ def distributed_group_size_histogram(
         split,
         None,
         None,
+        None,
         n_words,
         two_bit,
         32,
@@ -512,6 +521,7 @@ def distributed_group_size_histogram_ragged(
     mask=None,
     return_digest: bool = False,
     return_sizes: bool = False,
+    ext_gid=None,
 ):
     """Device-resident variant of ``distributed_group_size_histogram`` for
     the ragged per-shard-padded layout that
@@ -524,24 +534,34 @@ def distributed_group_size_histogram_ragged(
     is then skipped entirely (kmer_len may be <= the lanes' built length).
     ``mask``: optional sharded filter-survivor mask — group sizes then count
     survivors only, with unfiltered group identity (the mesh analog of the
-    single-chip lanes-filtered stats; no compaction, no re-layout)."""
+    single-chip lanes-filtered stats; no compaction, no re-layout).
+    ``ext_gid``: precomputed sharded group ids (sample_sort.
+    distributed_adjacent_gids / the unbounded sort's converged run ids) —
+    the unbounded/beyond-window path: group identity is then the id lane
+    alone and ``kmer_len`` may be None."""
     limit = 64 if packed2 is not None else 32
-    if kmer_len is None or kmer_len > limit:
-        raise NotImplementedError(f"distributed stats require kmer_len <= {limit}")
+    if ext_gid is None and (kmer_len is None or kmer_len > limit):
+        raise NotImplementedError(
+            f"distributed stats require kmer_len <= {limit} "
+            "(pass ext_gid for unbounded/beyond-window group identity)"
+        )
     cap_len = cap_lengths(
         compute_valid_len(sorted_positions, seg_starts, seg_ends), kmer_len
     )
     two_bit = packed2 is not None
     genome = packed2 if two_bit else packed
     bases_per_word = 16 if two_bit else 8
-    n_words = _cdiv(kmer_len, bases_per_word)
+    n_words = 0 if ext_gid is not None else _cdiv(kmer_len, bases_per_word)
     keep_bits = 32
-    if sorted_words is not None:
+    if sorted_words is not None and ext_gid is None:
         if len(sorted_words) < n_words:
             raise ValueError("sorted_words shorter than kmer_len requires")
         bits = 2 if two_bit else 4
         keep_bits = bits * kmer_len - 32 * (n_words - 1)
 
+    if ext_gid is not None:
+        genome = jnp.zeros(1, dtype=jnp.uint32)  # identity never reads it
+        sorted_words = None
     genome = put_global(genome, NamedSharding(mesh, P()))
     max_gs = np.uint32(max_group_size) if max_group_size is not None else np.uint32(0xFFFFFFF0)
     split = np.uint32(strand_split) if strand_split is not None else np.uint32(0xFFFFFFFF)
@@ -555,6 +575,7 @@ def distributed_group_size_histogram_ragged(
         split,
         sorted_words,
         mask,
+        ext_gid,
         n_words,
         two_bit,
         keep_bits,

@@ -369,14 +369,20 @@ def sample_sort_positions_unbounded(
     n_samples: int = 256,
     capacity_factor: float = 1.5,
     max_kmer_len: int | None = None,
-) -> jax.Array:
+    return_ragged: bool = False,
+):
     """Distributed iterative-refinement sort — the mesh analog of the
     single-chip refinement (ops/sort.py): sample-sort by a 32-base window,
     then re-sort runs that are still tied AND extendable, keyed by (global
     run id, next window, cap, position), until no such run remains. Handles
     ``max_kmer_len=None`` (suffix mode: compare to each segment's end) and
     any bounded k beyond the one-window limits. Returns the sorted
-    positions, pads removed."""
+    positions, pads removed — or, with ``return_ragged=True``, the
+    device-resident ragged layout ``(rag_pos, rag_pad, gid)`` where ``gid``
+    is each row's CONVERGED global run id: rows share a gid iff their
+    k-mers are equal under the sort's full (max_kmer_len / suffix)
+    comparison — the group identity the distributed statistics need at
+    ``kmer_len=None`` (pad rows carry gid 0xFFFFFFFF)."""
     two_bit = packed2 is not None
     genome = packed2 if two_bit else packed
     window_bases = 32
@@ -426,11 +432,54 @@ def sample_sort_positions_unbounded(
             n_words, two_bit, offset, window_bases, False, max_cap, mesh,
         )
 
+    if return_ragged:
+        return rag_pos, rag_pad, gid
     pos_np = np.asarray(rag_pos)
     pad_np = np.asarray(rag_pad)
     out = pos_np[pad_np == 0]
     assert out.shape[0] == n
     return jnp.asarray(out)
+
+
+def distributed_adjacent_gids(
+    packed: jax.Array,
+    rag_pos: jax.Array,
+    rag_pad: jax.Array,
+    seg_starts: jax.Array,
+    seg_ends: jax.Array,
+    kmer_len: int | None,
+    mesh: Mesh,
+    packed2: jax.Array | None = None,
+) -> jax.Array:
+    """Global group ids at ``kmer_len``-base identity (None = compare to
+    each segment's end) over an ALREADY globally sorted ragged layout — the
+    mesh analog of ops/sort.adjacent_boundaries' beyond-window loop: 32-base
+    windows refine the run structure (no re-sorting; the layout's order is a
+    refinement of every window prefix) until no tied pair can extend.
+    Returns sharded uint32 run ids; rows share an id iff their k-mers are
+    equal under the reference comparator at max_kmer_len=kmer_len
+    (reference kmers.py:306-397). Pad rows carry 0xFFFFFFFF."""
+    two_bit = packed2 is not None
+    genome = packed2 if two_bit else packed
+    window_bases = 32
+    n_words = window_bases // (16 if two_bit else 8)
+    seg_starts = put_global(seg_starts, NamedSharding(mesh, P()))
+    seg_ends = put_global(seg_ends, NamedSharding(mesh, P()))
+    genome_g = put_global(genome, NamedSharding(mesh, P()))
+    max_cap = 0xFFFFFFF0 if kmer_len is None else int(kmer_len)
+
+    offset = 0
+    gid, unresolved = _run_structure_jit(
+        genome_g, rag_pos, rag_pad, rag_pad, seg_starts, seg_ends,
+        n_words, two_bit, offset, window_bases, True, max_cap, mesh,
+    )
+    while int(unresolved) > 0:
+        offset += window_bases
+        gid, unresolved = _run_structure_jit(
+            genome_g, rag_pos, rag_pad, gid, seg_starts, seg_ends,
+            n_words, two_bit, offset, window_bases, False, max_cap, mesh,
+        )
+    return gid
 
 
 def sample_sort_positions(
