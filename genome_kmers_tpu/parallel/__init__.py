@@ -18,6 +18,7 @@ from .distributed import (
     distributed_sort_positions,
     make_mesh,
 )
+from .hier import make_mesh2, sample_sort_positions_ragged_hier
 from .large import distributed_group_size_histogram_large_ragged
 from .large import large_lanes_filter_flags, rebuild_large_lanes
 from .query import distributed_count_queries, distributed_count_queries_large
@@ -49,11 +50,13 @@ __all__ = [
     "rebuild_large_lanes",
     "load_sharded_index",
     "make_mesh",
+    "make_mesh2",
     "sample_sort_canonical_dense_ragged",
     "sample_sort_canonical_large_ragged",
     "sample_sort_positions",
     "sample_sort_positions_dense_ragged",
     "sample_sort_positions_ragged",
+    "sample_sort_positions_ragged_hier",
     "sample_sort_positions_unbounded",
     "save_kmers_sharded",
     "save_large_kmers",

@@ -160,6 +160,32 @@ def main() -> int:
         exp_q = np.array([sorted_kmers.count(q) for q in queries], dtype=np.uint32)
         assert np.array_equal(np.asarray(got_q), exp_q), f"{name}: query mismatch"
 
+        # --- hierarchical two-stage exchange: node axis == process
+        # boundary (the realistic DCN split), intra-node fan-out second ---
+        if two_bit:
+            from genome_kmers_tpu.parallel.hier import (
+                make_mesh2,
+                sample_sort_positions_ragged_hier,
+            )
+
+            per_proc = [
+                [d for d in jax.devices() if d.process_index == p]
+                for p in range(jax.process_count())
+            ]
+            flat_devs = [d for row in per_proc for d in row]
+            mesh2 = make_mesh2(
+                len(per_proc), len(per_proc[0]), devices=flat_devs
+            )
+            rag_pos_h, rag_pad_h = sample_sort_positions_ragged_hier(
+                packed, positions, seg_starts, seg_ends, k, mesh2,
+                packed2=packed2,
+            )
+            got_h = gather_valid(rag_pos_h, rag_pad_h)
+            assert got_h.tolist() == sorted_idx, f"{name}: hier sort mismatch"
+            results["hier_exchange"] = {
+                "nodes": len(per_proc), "local": len(per_proc[0]),
+            }
+
         results[name] = {
             "n_kmers": int(len(positions)),
             "total": int(exp_total),

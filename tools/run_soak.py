@@ -7,7 +7,8 @@ N_ORACLE = int(_sys.argv[1]) if len(_sys.argv) > 1 else 150
 N_DIST = int(_sys.argv[2]) if len(_sys.argv) > 2 else 40
 import os
 os.environ['JAX_PLATFORMS']='cpu'
-os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+' --xla_force_host_platform_device_count=8'
+N_DEV = int(os.environ.get('GKT_TEST_DEVICES', '8'))
+os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+f' --xla_force_host_platform_device_count={N_DEV}'
 import jax; jax.config.update('jax_platforms','cpu')
 import sys; sys.path.insert(0, 'tests')
 import numpy as np, jax.numpy as jnp
@@ -28,9 +29,11 @@ for seed in range(224, 224 + N_ORACLE):
         print("FAIL", seed, min_k, max_k); fails += 1
 print(f"oracle soak: {N_ORACLE-fails}/{N_ORACLE} ok", flush=True)
 
-mesh = make_mesh(8)
+# random mesh SIZE per case (2..N_DEV devices; GKT_TEST_DEVICES raises the pool)
 dfails = 0
+mesh_rng = np.random.default_rng(77)
 for seed in range(500, 500 + N_DIST):
+    mesh = make_mesh(int(mesh_rng.integers(2, N_DEV + 1)))
     seq_list, min_k, max_k = random_case(seed)
     sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
     km = Kmers(sc, min_kmer_len=min_k, max_kmer_len=max_k)
