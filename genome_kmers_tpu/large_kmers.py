@@ -669,8 +669,8 @@ class LargeKmers:
                 f"kmer_len ({kmer_len}) for kmer_num ({bad}) extends beyond the end of the segment"
             )
         block = decode_strided_np(self.packed_words, pos, kmer_len, self.two_bit)
-        text = block.tobytes().decode("ascii")
-        return [text[i * kmer_len : (i + 1) * kmer_len] for i in range(len(nums))]
+        block = np.ascontiguousarray(block)
+        return block.view(f"S{kmer_len}").ravel().astype(f"U{kmer_len}").tolist()
 
     def get_kmer_str(self, kmer_num: int, kmer_len: Union[int, None] = None) -> str:
         """Single-k-mer decode (see ``get_kmer_strs``)."""
