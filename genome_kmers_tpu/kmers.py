@@ -2364,13 +2364,16 @@ class Kmers:
                 # unbounded (suffix-mode) or beyond-window max_kmer_len: the
                 # first — dominant — refinement round still runs gather-free
                 # over all SBA positions; only the unresolved-group re-sorts
-                # gather (ops/sort.sort_positions_suffix_dense)
+                # gather (ops/sort.sort_positions_suffix_dense). ACGT
+                # genomes ride the 2-bit rounds (half the key lanes).
                 from .ops.sort import sort_positions_suffix_dense
 
+                s_packed2 = dc.packed2
+                s_packed = dc.packed if s_packed2 is None else None
                 sorted_pos = sort_positions_suffix_dense(
-                    dc.packed, dc.seg_starts, dc.seg_ends,
+                    s_packed, dc.seg_starts, dc.seg_ends,
                     int(self._init_geometry[2]),
-                    self.min_kmer_len, self.max_kmer_len,
+                    self.min_kmer_len, self.max_kmer_len, packed2=s_packed2,
                 )
                 self._pos_dev = sorted_pos
                 self._pos_host = None
@@ -2444,8 +2447,10 @@ class Kmers:
             self._is_sorted = True
             return
         else:
-            use2 = self.max_kmer_len is not None and self.max_kmer_len <= 64
-            packed2 = dc.packed2 if use2 else None
+            # the 2-bit pack serves both the single-window sorts (k <= 64)
+            # and the iterative-refinement rounds (suffix mode / long k,
+            # halved key lanes) — only IUPAC genomes need the 4-bit pack
+            packed2 = dc.packed2
             packed = dc.packed if packed2 is None else None
             uniform = (
                 self.max_kmer_len is not None and self.min_kmer_len == self.max_kmer_len

@@ -42,8 +42,9 @@ from .keys import (
     valid_len_all,
 )
 
-WINDOW_WORDS = 4  # 32 bases per refinement round
+WINDOW_WORDS = 4  # 32 bases per refinement round (4-bit encoding)
 WINDOW_BASES = WINDOW_WORDS * 8
+WINDOW2_WORDS = 2  # the same 32 bases in the 2-bit encoding: half the lanes
 
 # Padding sentinel for shape-bucketed sorts. Real positions are < 2**32 - 16
 # (the Kmers uint32 ceiling), so padded rows sort strictly after every real
@@ -168,6 +169,40 @@ def _sort_round(packed, positions, cap_len, group_id, offset, n_words, first):
     return s_pos, s_cap, new_gid, jnp.any(unresolved)
 
 
+@partial(jax.jit, static_argnames=("first",))
+def _sort_round2(packed2, positions, cap_len, group_id, offset, first):
+    """One refinement round on the 2-BIT pack: 2 window words instead of the
+    4-bit round's 4, plus an explicit in-window cap key (rank('A') = 0, so
+    termination cannot ride inside the words — see ops/encoding.py). Same
+    run-structure contract as ``_sort_round``; measured the suffix sort's
+    round cost drops ~2x with the halved key lanes."""
+    words = build_key2_words(packed2, positions, cap_len, WINDOW2_WORDS, offset)
+    win = jnp.where(
+        cap_len > offset,
+        jnp.minimum(cap_len - offset, jnp.uint32(WINDOW_BASES)),
+        jnp.uint32(0),
+    )
+    ops = (group_id,) + words + (win, positions, cap_len)
+    res = jax.lax.sort(ops, num_keys=WINDOW2_WORDS + 3)
+    s_gid = res[0]
+    s_words = res[1 : 1 + WINDOW2_WORDS]
+    s_win = res[1 + WINDOW2_WORDS]
+    if first:
+        gid_eq = jnp.ones(positions.shape[0], dtype=bool)
+    else:
+        prev_gid = jnp.concatenate([s_gid[:1], s_gid[:-1]])
+        gid_eq = s_gid == prev_gid
+    s_pos = res[-2]
+    s_cap = res[-1]
+
+    eq = _adjacent_eq(s_words + (s_win,), gid_eq)
+    beyond = s_cap > offset + jnp.uint32(WINDOW_BASES)
+    prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
+    unresolved = eq & (beyond | prev_beyond)
+    new_gid = jnp.cumsum((~eq).astype(jnp.uint32))
+    return s_pos, s_cap, new_gid, jnp.any(unresolved)
+
+
 def sort_positions(
     packed, positions, cap_len, max_kmer_len, packed2=None, uniform_cap=False,
     return_lanes=False,
@@ -236,6 +271,19 @@ def sort_positions(
         }
         return out, lanes
 
+    if packed2 is not None:
+        # 2-bit refinement rounds: half the key lanes per 32-base window
+        pos, cap, gid, unresolved = _sort_round2(
+            packed2, positions, cap_len, is_pad, jnp.uint32(0), True
+        )
+        offset = WINDOW_BASES
+        while bool(unresolved):
+            pos, cap, gid, unresolved = _sort_round2(
+                packed2, pos, cap, gid, jnp.uint32(offset), False
+            )
+            offset += WINDOW_BASES
+        return (pos[:n], None) if return_lanes else pos[:n]
+
     pos, cap, gid, unresolved = _sort_round(
         packed, positions, cap_len, is_pad, jnp.uint32(0), WINDOW_WORDS, True
     )
@@ -289,8 +337,53 @@ def _first_round_dense(packed, seg_starts, seg_ends, min_len, max_k, n_words):
     return s_pos, s_cap, new_gid, jnp.any(unresolved)
 
 
+# first-dense-round window: 28 bases, so the second word's low 8 bits are
+# free to carry the in-window cap (<= 28) — the round then sorts the SAME
+# lane structure as the flagship bounded 2-bit build (2 key words + one
+# stable payload), with the resolve bit riding in the payload's top bit
+WINDOW2F_BASES = 28
+
+
+@jax.jit
+def _first_round_dense2(packed2, seg_starts, seg_ends, min_len, max_k):
+    """Gather-free FIRST refinement round on the 2-BIT pack.
+
+    Lane budget is the whole game here (the 4-bit round sorts 6 lanes, the
+    flagship bounded build 3): a 28-base window leaves 8 zero bits at the
+    bottom of word 1, which hold the in-window compare cap — equal masked
+    words then order by cap, exactly the shorter-prefix-equal => smaller
+    rule (termination can't ride IN 2-bit words, rank('A') = 0). The
+    position payload's top bit carries "extends beyond the window", so the
+    whole round is 2 key lanes + 1 stable payload. Invalid rows (tails
+    below min_len, '$', bucket padding) fold to all-ones words and sort
+    strictly last (a real word-1 low byte is <= 28 < 0xFF)."""
+    L = packed2.shape[0]
+    iota = jax.lax.iota(jnp.uint32, L)
+    vl = valid_len_all(seg_starts, seg_ends, iota)
+    cap = jnp.minimum(vl, max_k)
+    invalid = cap < min_len
+    cap = jnp.where(invalid, jnp.uint32(0), cap)
+    win = jnp.minimum(cap, jnp.uint32(WINDOW2F_BASES))
+    w0, w1 = build_key2_words_dense(packed2, win, WINDOW2_WORDS)
+    ones = jnp.uint32(0xFFFFFFFF)
+    w0 = jnp.where(invalid, ones, w0)
+    w1 = jnp.where(invalid, ones, w1 | win)  # win <= 28 fits the zeroed low byte
+    beyond = (cap > jnp.uint32(WINDOW2F_BASES)).astype(jnp.uint32)
+    iota_b = iota | (beyond << jnp.uint32(31))
+    s_w0, s_w1, s_iota = jax.lax.sort(
+        (w0, w1, iota_b), num_keys=2, is_stable=True
+    )
+    s_pos = s_iota & jnp.uint32(0x7FFFFFFF)
+    s_beyond = s_iota >> jnp.uint32(31) != 0
+    eq = _adjacent_eq((s_w0, s_w1), jnp.ones(L, dtype=bool))
+    prev_beyond = jnp.concatenate([s_beyond[:1], s_beyond[:-1]])
+    unresolved = eq & (s_beyond | prev_beyond)
+    new_gid = jnp.cumsum((~eq).astype(jnp.uint32))
+    return s_pos, new_gid, jnp.any(unresolved)
+
+
 def sort_positions_suffix_dense(
-    packed, seg_starts, seg_ends, n, min_kmer_len, max_kmer_len,
+    packed, seg_starts, seg_ends, n, min_kmer_len, max_kmer_len, packed2=None,
 ):
     """Fresh sort of the canonical start set for UNBOUNDED or beyond-window
     ``max_kmer_len`` (the iterative-refinement regime): the first — dominant
@@ -298,14 +391,45 @@ def sort_positions_suffix_dense(
     within unresolved groups via gathered window words (unavoidable once the
     order is data-dependent). Output is identical to ``sort_positions`` over
     the canonical start set. ``n`` = the known canonical start count;
-    ``packed`` is the 4-bit per-position pack.
+    ``packed`` is the 4-bit per-position pack, or pass ``packed2`` (2-bit,
+    ACGT genomes) for the folded first round + halved-lane refinement.
+    Measured at 2^24 on v5e (round 4): 2-bit 114.6 ms (146M suffixes/s,
+    ~84 ms device time — the rest is the one ~31 ms tunnel sync on the
+    resolve check) vs 4-bit 198 ms (85M/s).
     """
+    maxk = jnp.uint32(0xFFFFFFFF if max_kmer_len is None else max_kmer_len)
+    if packed2 is not None:
+        from .keys import compute_valid_len
+
+        L = packed2.shape[0]
+        n_pad = _bucket(L)
+        packed2 = _pad_to(packed2, n_pad, jnp.uint32(0))
+        pos, gid, unresolved = _first_round_dense2(
+            packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk
+        )
+        offset = WINDOW2F_BASES
+        cap = None
+        while bool(unresolved):
+            if cap is None:
+                # the folded first round carries no cap lane; rebuild caps
+                # for the (rare) refinement rounds. Rows past their segment
+                # end (separators / bucket padding) wrap compute_valid_len
+                # — clamp them to 0 so they stay resolved.
+                vl = compute_valid_len(pos, seg_starts, seg_ends)
+                cap = jnp.where(
+                    vl >= jnp.uint32(0x80000000), jnp.uint32(0),
+                    jnp.minimum(vl, maxk),
+                )
+            pos, cap, gid, unresolved = _sort_round2(
+                packed2, pos, cap, gid, jnp.uint32(offset), False
+            )
+            offset += WINDOW_BASES
+        return pos[:n]
     L = packed.shape[0]
     n_pad = _bucket(L)
     packed = _pad_to(packed, n_pad, jnp.uint32(0))  # pad rows fall past the last
     # seg_end, so valid_len_all yields 0 for them; the fill value itself is
     # never observed (cap masks every slice read)
-    maxk = jnp.uint32(0xFFFFFFFF if max_kmer_len is None else max_kmer_len)
     pos, cap, gid, unresolved = _first_round_dense(
         packed, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk,
         WINDOW_WORDS,

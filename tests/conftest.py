@@ -27,3 +27,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# --------------------------------------------------------------------------- #
+# Single-process process-age SEGV mitigation experiment (see CLAUDE.md and
+# tools/run_tests.py): a single pytest process over the whole suite SEGVs
+# inside XLA's backend_compile after hundreds of CPU compilations.
+# GKT_CLEAR_CACHES=1 drops every jit/pjit executable between test modules so
+# the compile count per live-executable set stays bounded.
+# --------------------------------------------------------------------------- #
+if os.environ.get("GKT_CLEAR_CACHES"):
+    import pytest
+
+    @pytest.fixture(autouse=True, scope="module")
+    def _gkt_clear_caches_per_module():
+        yield
+        jax.clear_caches()

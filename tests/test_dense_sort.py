@@ -170,6 +170,55 @@ def test_suffix_dense_matches_gather_path(alphabet, seg_lens, mn, mx):
         packed, seg_starts_j, seg_ends, n, mn, mx
     )
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    if alphabet == "ACGT":
+        # 2-bit refinement rounds (round 4: halved key lanes) — dense and
+        # gather entries both must equal the 4-bit truth
+        packed2 = pack_rank2_words(jnp.asarray(sba))
+        got2 = sort_positions_suffix_dense(
+            None, seg_starts_j, seg_ends, n, mn, mx, packed2=packed2
+        )
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got2))
+        got3 = sort_positions(None, positions_j, cap, mx, packed2=packed2)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got3))
+
+
+@pytest.mark.parametrize("mn,mx", [(1, None), (2, None), (1, 150)])
+def test_suffix_2bit_multi_round_repeats(mn, mx):
+    """Long planted repeats force several refinement rounds (ties extend
+    ~200 bases past the first window); 2-bit rounds == 4-bit rounds ==
+    gather truth."""
+    from genome_kmers_tpu.ops.keys import pack_rank2_words
+    from genome_kmers_tpu.ops.sort import sort_positions_suffix_dense
+
+    rng = np.random.default_rng(31)
+    R = "".join(rng.choice(list("ACGT"), size=200))
+    seqs = [R + "".join(rng.choice(list("ACGT"), size=40)) + R, R + "TT" + R]
+    seg_lens = [len(s) for s in seqs]
+    sba = np.frombuffer(("$".join(seqs)).encode(), dtype=np.uint8).copy()
+    seg_starts = np.zeros(len(seqs), dtype=np.uint32)
+    acc = 0
+    for i, s in enumerate(seqs):
+        seg_starts[i] = acc
+        acc += len(s) + 1
+    seg_starts_j = jnp.asarray(seg_starts)
+    seg_ends = compute_seg_ends(seg_starts_j, len(sba))
+    positions = _canonical_positions(seg_starts, seg_ends, mn)
+    n = len(positions)
+    positions_j = jnp.asarray(positions)
+    vl = compute_valid_len(positions_j, seg_starts_j, seg_ends)
+    cap = cap_lengths(vl, mx)
+    packed = pack_rank_words(jnp.asarray(sba))
+    packed2 = pack_rank2_words(jnp.asarray(sba))
+
+    want = sort_positions(packed, positions_j, cap, mx)
+    got_d4 = sort_positions_suffix_dense(packed, seg_starts_j, seg_ends, n, mn, mx)
+    got_d2 = sort_positions_suffix_dense(
+        None, seg_starts_j, seg_ends, n, mn, mx, packed2=packed2
+    )
+    got_g2 = sort_positions(None, positions_j, cap, mx, packed2=packed2)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got_d4))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got_d2))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got_g2))
 
 
 def test_suffix_dense_public_api_matches_materialized():
