@@ -1,17 +1,22 @@
 #!/usr/bin/env python
-"""Run the test suite as a few fresh pytest processes.
+"""Run the full test suite in one pytest process, SEGV-proofed.
 
-A single long pytest process accumulates several hundred XLA CPU
-compilations and can (rarely, ~70% into the full run on this image)
-segfault inside XLA's backend_compile — a process-age flake, not a test
-failure: every file passes in a fresh process, and the crash point moves
-with the file order, not the test content. Chunking the files across a
-handful of subprocesses sidesteps it deterministically and parallels how
-the suite is validated (split runs are equivalent: tests share no state
-across files).
+Mechanism (root-caused round 4): a single long pytest process accumulates
+several hundred XLA CPU compilations and segfaults INSIDE
+``xla_bridge``'s ``backend_compile_and_load`` (~70% into the full run;
+faulthandler stack captured in docs/development.md). Every file passes in
+a fresh process and the crash point moves with file order, not test
+content — the crash correlates with the number of LIVE compiled
+executables the process holds, not with memory (123 GB free at crash).
+Dropping the executable caches between test modules bounds that live set:
+``jax.clear_caches()`` per module (tests/conftest.py, GKT_CLEAR_CACHES=1)
+ran the whole 880-test suite clean twice in a row at ~10.5 min — faster
+than the 4-subprocess chunked fallback it replaces as the default.
 
-Usage: python tools/run_tests.py [n_chunks=4] [extra pytest args...]
-Exit code is nonzero iff any chunk fails.
+Usage:
+    python tools/run_tests.py [extra pytest args...]       # single process
+    python tools/run_tests.py --chunked [n=4] [args...]    # old fallback
+Exit code is nonzero iff any run fails.
 """
 
 import glob
@@ -19,13 +24,25 @@ import os
 import subprocess
 import sys
 
+
 def main() -> int:
     args = sys.argv[1:]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    if not (args and args[0] == "--chunked"):
+        env = dict(os.environ, GKT_CLEAR_CACHES="1")
+        r = subprocess.run(
+            [sys.executable, "-X", "faulthandler", "-m", "pytest", "-q",
+             *args, "tests/"],
+            cwd=root, env=env,
+        )
+        return r.returncode
+
+    args = args[1:]
     n = 4
     if args and args[0].isdigit():
         n = int(args[0])
         args = args[1:]
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "tests", "test_*.py")))
     # round-robin so the heavy files (fuzz, large, mesh) spread out
     chunks = [files[i::n] for i in range(n)]
