@@ -127,6 +127,42 @@ def measure_filtered(n_bp: int, k: int, reps: int) -> float:
     return n_kmers / float(np.median(times))
 
 
+def measure_suffix(n_bp: int, reps: int, chain: int) -> float:
+    """Median suffix-mode (max_kmer_len=None) fresh-build throughput
+    (suffixes/s) — the iterative-refinement path Kmers.sort() takes, with
+    the round-4 2-bit folded first round. Chain links pay the per-round
+    resolve sync each, like real sorts do."""
+    import jax.numpy as jnp
+
+    from genome_kmers_tpu.ops.keys import compute_seg_ends, pack_rank2_words
+    from genome_kmers_tpu.ops.sort import sort_positions_suffix_dense
+
+    rng = np.random.default_rng(0)
+    sba = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n_bp)
+    packed2 = pack_rank2_words(jnp.asarray(sba))
+    seg_starts = jnp.zeros(1, dtype=jnp.uint32)
+    seg_ends = compute_seg_ends(seg_starts, n_bp)
+
+    def run_chain(n_sorts):
+        se = seg_ends
+        p = None
+        for _ in range(n_sorts):
+            p = sort_positions_suffix_dense(
+                None, seg_starts, se, n_bp, 1, None, packed2=packed2
+            )
+            se = seg_ends + (p[0] & jnp.uint32(0))
+        return float(jnp.sum(p))
+
+    run_chain(1)
+    run_chain(1)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_chain(chain)
+        times.append((time.perf_counter() - t0) / chain)
+    return n_bp / float(np.median(times))
+
+
 def main():
     n_bp = int(os.environ.get("GKT_BENCH_BP", 2**24))
     k = int(os.environ.get("GKT_BENCH_K", 31))
@@ -188,6 +224,20 @@ def main():
             }
         except Exception as e:
             out["filtered"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # suffix track: unbounded (max_kmer_len=None) fresh index build — the
+    # reference's min_kmer_len=1 suffix-like mode, via the round-4 2-bit
+    # folded refinement (ops/sort.sort_positions_suffix_dense)
+    if os.environ.get("GKT_BENCH_SUFFIX", "1") != "0":
+        try:
+            sfx = measure_suffix(n_bp, max(1, reps - 1), max(1, chain - 1))
+            out["suffix"] = {
+                "bp": n_bp,
+                "value": round(sfx, 1),
+                "unit": "suffixes/s/chip (max_kmer_len=None fresh build)",
+            }
+        except Exception as e:
+            out["suffix"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps(out))
 
