@@ -2665,24 +2665,31 @@ class Kmers:
                 "canonical k-mer statistics require an ACGT-only genome"
             )
         if mesh is not None:
-            if self._init_geometry is None:
-                raise NotImplementedError(
-                    "canonical statistics on a mesh require the fresh dense "
-                    "index (positions were customized; run without mesh)"
-                )
-            if int(self._init_geometry[2]) == 0:
-                return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
             from .parallel import (
                 distributed_group_size_histogram_ragged,
                 sample_sort_canonical_dense_ragged,
+                sample_sort_canonical_ragged,
             )
 
             from .parallel.distributed import distributed_hist_from_sizes
 
-            rag_pos, rag_pad, rag_words = sample_sort_canonical_dense_ragged(
-                dc.packed2, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
-                kmer_len, mesh,
-            )
+            if self._init_geometry is not None:
+                if int(self._init_geometry[2]) == 0:
+                    return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
+                rag_pos, rag_pad, rag_words = sample_sort_canonical_dense_ragged(
+                    dc.packed2, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
+                    kmer_len, mesh,
+                )
+            else:
+                # customized/filtered position sets: gather canonical
+                # sample sort (round 4 — was NotImplementedError)
+                positions = self._device_positions()
+                if int(positions.shape[0]) == 0:
+                    return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
+                rag_pos, rag_pad, rag_words = sample_sort_canonical_ragged(
+                    dc.packed2, positions, dc.seg_starts, dc.seg_ends,
+                    kmer_len, mesh,
+                )
             size, qualifies, digest = distributed_group_size_histogram_ragged(
                 None, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
                 mesh, packed2=dc.packed2, sorted_words=rag_words,

@@ -25,6 +25,7 @@ from .query import distributed_count_queries, distributed_count_queries_large
 from .sample_sort import (
     sample_sort_canonical_dense_ragged,
     sample_sort_canonical_large_ragged,
+    sample_sort_canonical_ragged,
     sample_sort_positions,
     sample_sort_positions_dense_ragged,
     sample_sort_positions_large,
@@ -53,6 +54,7 @@ __all__ = [
     "make_mesh2",
     "sample_sort_canonical_dense_ragged",
     "sample_sort_canonical_large_ragged",
+    "sample_sort_canonical_ragged",
     "sample_sort_positions",
     "sample_sort_positions_dense_ragged",
     "sample_sort_positions_ragged",

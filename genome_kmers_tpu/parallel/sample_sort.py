@@ -939,6 +939,63 @@ def sample_sort_positions_large_ragged(
         factor *= 2.0
 
 
+def sample_sort_canonical_ragged(
+    packed2,
+    positions,
+    seg_starts,
+    seg_ends,
+    kmer_len: int,
+    mesh,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+):
+    """Canonical (strand-collapsed) sample sort over an ARBITRARY uint32
+    position set: rows ordered by min(key, revcomp(key)) with position
+    tie-break; truncated rows (valid_len < kmer_len — no canonical form)
+    ride as pads. Returns ``(positions, is_pad, canonical_lanes)``; the
+    retained canonical word lanes are the group identity for the ragged
+    histogram (``sorted_words=``). The dense-index variant is
+    ``sample_sort_canonical_dense_ragged``; this one serves customized /
+    filtered position sets (2-bit genomes only)."""
+    from ..ops.keys import compute_valid_len
+
+    if kmer_len is None or kmer_len < 1 or kmer_len > 64:
+        raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
+    n = positions.shape[0]
+    n_dev = mesh.shape[AXIS]
+    n_words = _cdiv(kmer_len, 16)
+
+    vl = compute_valid_len(positions, seg_starts, seg_ends)
+    full = vl >= jnp.uint32(kmer_len)
+    cap = jnp.full(positions.shape, jnp.uint32(kmer_len))
+    pad_mask = (~full).astype(jnp.uint32)
+
+    positions_p = _pad_to_multiple(positions, n_dev, _PAD_POS)
+    cap_p = _pad_to_multiple(cap, n_dev, jnp.uint32(kmer_len))
+    is_pad = _pad_to_multiple(pad_mask, n_dev, jnp.uint32(1))
+    m = positions_p.shape[0] // n_dev
+    n_samples = min(n_samples, m)
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    positions_p = put_global(positions_p, sharding)
+    cap_p = put_global(cap_p, sharding)
+    is_pad = put_global(is_pad, sharding)
+    genome = put_global(packed2, NamedSharding(mesh, P()))
+
+    factor = capacity_factor
+    while True:
+        capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
+        out_pos, out_is_pad, lanes, overflow = _sample_sort_jit(
+            genome, (positions_p,), cap_p, is_pad, n_words, True, n_samples,
+            capacity, True, False, mesh, canonical_k=kmer_len,
+        )
+        if int(overflow) == 0:
+            return out_pos[0], out_is_pad, lanes
+        if capacity >= m:
+            raise AssertionError("canonical sample sort overflow at full capacity")
+        factor *= 2.0
+
+
 def sample_sort_canonical_large_ragged(
     packed_strided,
     positions_u64: np.ndarray,

@@ -256,11 +256,21 @@ class TestCanonicalMesh:
         np.testing.assert_array_equal(want_h, got_h)
         assert want_t == got_t
 
-    def test_canonical_mesh_requires_dense_index(self, mesh8):
-        km = build([("a", random_seq(64, 3))], 1, 8)
-        km.kmer_sba_start_indices = km.kmer_sba_start_indices  # customize
-        with pytest.raises(NotImplementedError, match="fresh dense"):
-            km.get_canonical_kmer_group_counts(5, mesh=mesh8)
+    def test_canonical_mesh_customized_positions(self, mesh8):
+        # round 4: customized position sets take the gather canonical
+        # sample sort (was NotImplementedError)
+        rng = np.random.default_rng(40)
+        km = build([("a", random_seq(300, 3)), ("b", random_seq(150, 4))], 1, 8)
+        pos = km.kmer_sba_start_indices
+        rng.shuffle(pos)
+        keep = pos[: len(pos) * 2 // 3].copy()
+        km.kmer_sba_start_indices = keep
+        got_h, got_t = km.get_canonical_kmer_group_counts(
+            5, max_counts_bin=12, mesh=mesh8
+        )
+        want_h, want_t = km.get_canonical_kmer_group_counts(5, max_counts_bin=12)
+        np.testing.assert_array_equal(got_h, want_h)
+        assert got_t == want_t
 
     def test_canonical_mesh_trivial_duplicates(self, mesh8):
         # AAAA / TTTT collapse to one canonical group across strands
