@@ -382,6 +382,44 @@ def _first_round_dense2(packed2, seg_starts, seg_ends, min_len, max_k):
     return s_pos, new_gid, jnp.any(unresolved)
 
 
+@jax.jit
+def _double_round2(pos, gid, cap, h):
+    """One PREFIX-DOUBLING round (Manber-Myers over the refinement run ids):
+    rows tied at h bases re-key by (rank_h, rank_h of the suffix starting h
+    bases later) — after the sort every row is ordered by 2h bases. Repeat-
+    heavy genomes then resolve in O(log(longest repeat)) rounds instead of
+    O(longest repeat / 32) window rounds.
+
+    Valid ONLY for min_kmer_len == 1 and max_kmer_len == None (every lookup
+    target p + h is then itself a ranked suffix start, and no compare cap
+    can fall strictly inside the doubled span): the reference's flagship
+    suffix semantics. ``gid`` must be the CURRENT run ids in sorted order
+    (ascending = rank order); terminated rows (cap <= h) re-key to 0, which
+    sorts before every real rank + 1 — the shorter-prefix-equal => smaller
+    rule. Ties at (rank, rank2) keep input order (stable payload), which is
+    position-ascending by induction from the first round's iota payload.
+    ``h`` is traced, so every round shares one executable."""
+    L = pos.shape[0]
+    inv = jnp.zeros(L, dtype=jnp.uint32).at[pos.astype(jnp.int32)].set(gid)
+    beyond = cap > h
+    qidx = jnp.where(beyond, pos + h, jnp.uint32(0)).astype(jnp.int32)
+    key2 = jnp.where(
+        beyond, jnp.take(inv, qidx, mode="clip") + jnp.uint32(1), jnp.uint32(0)
+    )
+    s_gid, s_key2, s_pos, s_cap = jax.lax.sort(
+        (gid, key2, pos, cap), num_keys=2, is_stable=True
+    )
+    prev_g = jnp.concatenate([s_gid[:1], s_gid[:-1]])
+    prev_k = jnp.concatenate([s_key2[:1], s_key2[:-1]])
+    eq = (s_gid == prev_g) & (s_key2 == prev_k)
+    h2 = h + h
+    b2 = s_cap > h2
+    prev_b2 = jnp.concatenate([b2[:1], b2[:-1]])
+    unresolved = eq & (b2 | prev_b2)
+    new_gid = jnp.cumsum((~eq).astype(jnp.uint32))
+    return s_pos, new_gid, s_cap, jnp.any(unresolved)
+
+
 def sort_positions_suffix_dense(
     packed, seg_starts, seg_ends, n, min_kmer_len, max_kmer_len, packed2=None,
 ):
@@ -409,6 +447,7 @@ def sort_positions_suffix_dense(
         )
         offset = WINDOW2F_BASES
         cap = None
+        doubling = min_kmer_len == 1 and max_kmer_len is None
         while bool(unresolved):
             if cap is None:
                 # the folded first round carries no cap lane; rebuild caps
@@ -420,10 +459,17 @@ def sort_positions_suffix_dense(
                     vl >= jnp.uint32(0x80000000), jnp.uint32(0),
                     jnp.minimum(vl, maxk),
                 )
-            pos, cap, gid, unresolved = _sort_round2(
-                packed2, pos, cap, gid, jnp.uint32(offset), False
-            )
-            offset += WINDOW_BASES
+            if doubling:
+                # prefix doubling (see _double_round2): O(log repeat) rounds
+                pos, gid, cap, unresolved = _double_round2(
+                    pos, gid, cap, jnp.uint32(offset)
+                )
+                offset += offset
+            else:
+                pos, cap, gid, unresolved = _sort_round2(
+                    packed2, pos, cap, gid, jnp.uint32(offset), False
+                )
+                offset += WINDOW_BASES
         return pos[:n]
     L = packed.shape[0]
     n_pad = _bucket(L)

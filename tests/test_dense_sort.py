@@ -221,6 +221,50 @@ def test_suffix_2bit_multi_round_repeats(mn, mx):
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got_g2))
 
 
+def test_suffix_prefix_doubling_deep_repeats_string_oracle():
+    """min_kmer_len=1, max_kmer_len=None on a genome with a 2kb repeat
+    planted 5 times: the 2-bit path's prefix-doubling rounds
+    (ops/sort._double_round2, O(log repeat) instead of O(repeat/32) window
+    rounds) must match both the 4-bit window path and the absolute
+    suffix-string oracle."""
+    from genome_kmers_tpu.ops.keys import pack_rank2_words
+    from genome_kmers_tpu.ops.sort import sort_positions_suffix_dense
+
+    rng = np.random.default_rng(5)
+    R = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=2000)
+    parts = []
+    for _ in range(5):
+        parts.append(R)
+        parts.append(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=150))
+    # two segments so '$' handling is exercised under doubling
+    sba = np.concatenate(
+        parts[:4] + [np.frombuffer(b"$", dtype=np.uint8).copy()] + parts[4:]
+    )
+    n_sba = len(sba)
+    cut = sum(len(p) for p in parts[:4])
+    seg_starts = jnp.asarray(np.array([0, cut + 1], dtype=np.uint32))
+    seg_ends = compute_seg_ends(seg_starts, n_sba)
+    n = n_sba - 1  # every non-'$' position (min_kmer_len=1)
+    packed = pack_rank_words(jnp.asarray(sba))
+    packed2 = pack_rank2_words(jnp.asarray(sba))
+
+    want = sort_positions_suffix_dense(packed, seg_starts, seg_ends, n, 1, None)
+    got = sort_positions_suffix_dense(
+        None, seg_starts, seg_ends, n, 1, None, packed2=packed2
+    )
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    s = sba.tobytes().decode()
+    ends = np.asarray(seg_ends)
+    def suffix(i):
+        seg_end = ends[0] if i <= ends[0] else ends[1]
+        return s[i : seg_end + 1]
+    oracle = sorted((i for i in range(n_sba) if s[i] != "$"), key=suffix)
+    np.testing.assert_array_equal(
+        np.array(oracle, dtype=np.uint32), np.asarray(got)
+    )
+
+
 def test_suffix_dense_public_api_matches_materialized():
     # unbounded fresh sort routes through the dense first round; forcing
     # position materialization first takes the gather path — identical output
