@@ -481,11 +481,20 @@ def sort_positions_suffix_dense(
         WINDOW_WORDS,
     )
     offset = WINDOW_BASES
+    # prefix doubling applies to the 4-bit (IUPAC) encoding too —
+    # _double_round2 is pack-independent (it re-keys by run ids alone)
+    doubling = min_kmer_len == 1 and max_kmer_len is None
     while bool(unresolved):
-        pos, cap, gid, unresolved = _sort_round(
-            packed, pos, cap, gid, jnp.uint32(offset), WINDOW_WORDS, False
-        )
-        offset += WINDOW_BASES
+        if doubling:
+            pos, gid, cap, unresolved = _double_round2(
+                pos, gid, cap, jnp.uint32(offset)
+            )
+            offset += offset
+        else:
+            pos, cap, gid, unresolved = _sort_round(
+                packed, pos, cap, gid, jnp.uint32(offset), WINDOW_WORDS, False
+            )
+            offset += WINDOW_BASES
     return pos[:n]
 
 
