@@ -513,6 +513,7 @@ class Kmers:
         self._init_geometry = None
         self._dist_cache = None
         self._lanes_cache = None
+        self._suffix_gid_cache = None
         # canonical construction guarantees valid_len >= min_kmer_len for
         # every index position; a user-assigned position set may not — the
         # setter marks it unknown (None) and _cap_covers_min_k verifies
@@ -837,6 +838,7 @@ class Kmers:
         self._init_geometry = None
         self._dist_cache = None
         self._lanes_cache = None
+        self._suffix_gid_cache = None
         # unknown until verified: an assigned set may include positions with
         # valid_len < min_kmer_len (the canonical build never does)
         self._cap_cover_ok = None
@@ -998,6 +1000,25 @@ class Kmers:
             return surv_nums, surv_pos, jnp.zeros(0, dtype=bool)
 
         if self._is_sorted:
+            sg = getattr(self, "_suffix_gid_cache", None)
+            if (
+                sg is not None
+                and surv_nums is None
+                and not self.track_strands_separately
+                and (
+                    (kmer_len is None and sg[1] is None)
+                    or (kmer_len is not None and kmer_len == sg[1])
+                )
+            ):
+                # converged run ids retained by the suffix sort: identity at
+                # the SORT's comparison (max_kmer_len=None => full suffix),
+                # so the boundary is a pure adjacent diff — the window-loop
+                # re-compare (adjacent_boundaries' iterative rounds) never
+                # runs for the flagship sort-then-stats suffix workflow
+                gid = sg[0]
+                prev = jnp.concatenate([gid[:1], gid[:-1]])
+                return surv_nums, surv_pos, (gid != prev).at[0].set(m > 0)
+
             lanes = None
             if (
                 surv_nums is None
@@ -2295,6 +2316,7 @@ class Kmers:
         from .ops.sort import sort_positions
 
         self._lanes_cache = None  # every branch below re-establishes or clears
+        self._suffix_gid_cache = None
         dc = self._dc()
 
         # Fresh-sort fast path: while _init_geometry is live the index IS the
@@ -2370,11 +2392,16 @@ class Kmers:
 
                 s_packed2 = dc.packed2
                 s_packed = dc.packed if s_packed2 is None else None
-                sorted_pos = sort_positions_suffix_dense(
+                sorted_pos, sfx_gid = sort_positions_suffix_dense(
                     s_packed, dc.seg_starts, dc.seg_ends,
                     int(self._init_geometry[2]),
                     self.min_kmer_len, self.max_kmer_len, packed2=s_packed2,
+                    return_gid=True,
                 )
+                # retain the converged run ids: suffix-identity boundary
+                # masks (stats at kmer_len=None / =max_kmer_len) become a
+                # pure adjacent diff — no window-loop re-compare
+                self._suffix_gid_cache = (sfx_gid, self.max_kmer_len)
                 self._pos_dev = sorted_pos
                 self._pos_host = None
                 self._init_geometry = None

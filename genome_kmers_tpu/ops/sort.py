@@ -422,6 +422,7 @@ def _double_round2(pos, gid, cap, h):
 
 def sort_positions_suffix_dense(
     packed, seg_starts, seg_ends, n, min_kmer_len, max_kmer_len, packed2=None,
+    return_gid=False,
 ):
     """Fresh sort of the canonical start set for UNBOUNDED or beyond-window
     ``max_kmer_len`` (the iterative-refinement regime): the first — dominant
@@ -434,6 +435,12 @@ def sort_positions_suffix_dense(
     Measured at 2^24 on v5e (round 4): 2-bit 114.6 ms (146M suffixes/s,
     ~84 ms device time — the rest is the one ~31 ms tunnel sync on the
     resolve check) vs 4-bit 198 ms (85M/s).
+
+    ``return_gid``: also return the CONVERGED run ids aligned with the
+    sorted rows — rows share an id iff their k-mers are equal under the
+    sort's full (max_kmer_len / suffix) comparison, so group-boundary
+    masks at the same identity become a pure adjacent-diff with no window
+    loop (the single-chip analog of the mesh's retained gid_full).
     """
     maxk = jnp.uint32(0xFFFFFFFF if max_kmer_len is None else max_kmer_len)
     if packed2 is not None:
@@ -470,6 +477,8 @@ def sort_positions_suffix_dense(
                     packed2, pos, cap, gid, jnp.uint32(offset), False
                 )
                 offset += WINDOW_BASES
+        if return_gid:
+            return pos[:n], gid[:n]
         return pos[:n]
     L = packed.shape[0]
     n_pad = _bucket(L)
@@ -495,6 +504,8 @@ def sort_positions_suffix_dense(
                 packed, pos, cap, gid, jnp.uint32(offset), WINDOW_WORDS, False
             )
             offset += WINDOW_BASES
+    if return_gid:
+        return pos[:n], gid[:n]
     return pos[:n]
 
 
