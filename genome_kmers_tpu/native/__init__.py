@@ -81,6 +81,10 @@ def get_lib():
         u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint32),
     ]
+    lib.gk_decode_rows.restype = None
+    lib.gk_decode_rows.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
+    ]
     _lib = lib
     return _lib
 
@@ -227,6 +231,35 @@ def pack_strided_native(
         ctypes.c_int64(bits),
         ctypes.c_int64(n_threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
+
+
+def decode_rows_native(sba: np.ndarray, pos: np.ndarray, kmer_len: int) -> np.ndarray | None:
+    """(n, kmer_len) uint8 matrix with row r = sba[pos[r] : pos[r]+kmer_len]
+    (multithreaded contiguous copies), or None if the native library is
+    unavailable. Byte-identical to the per-offset NumPy gather in
+    Kmers._decode_block_bytes, which is the fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import os
+
+    sba = np.ascontiguousarray(sba, dtype=np.uint8)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    n = len(pos)
+    out = np.empty((n, kmer_len), dtype=np.uint8)
+    if n == 0:
+        return out
+    # callers have already validated positions against segment ends; this
+    # guards the raw memcpy against a bad caller (IndexError like NumPy's)
+    pmin, pmax = int(pos.min()), int(pos.max())
+    if pmin < 0 or pmax + kmer_len > len(sba):
+        raise IndexError("decode position out of bounds")
+    n_threads = 1 if n * kmer_len < (4 << 20) else min(os.cpu_count() or 1, 8)
+    lib.gk_decode_rows(
+        _u8(sba), _i64(pos), ctypes.c_int64(n), ctypes.c_int64(kmer_len),
+        ctypes.c_int64(n_threads), _u8(out),
     )
     return out
 

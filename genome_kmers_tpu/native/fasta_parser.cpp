@@ -349,3 +349,43 @@ void gk_pack_strided(const uint8_t* data, int64_t n, const uint8_t* table,
 }
 
 }  // extern "C"
+
+namespace {
+
+// One k-byte contiguous copy per row.  The NumPy formulation is k strided
+// column writes (out[:, j] = sba[pos + j]) — each pass touches every row's
+// cache line once, so the whole decode is k round-trips through the output
+// working set; this is a single pass with sequential writes.
+void decode_rows_chunk(const uint8_t* sba, const int64_t* pos, int64_t r0,
+                       int64_t r1, int64_t k, uint8_t* out) {
+    for (int64_t r = r0; r < r1; r++) {
+        std::memcpy(out + r * k, sba + pos[r], static_cast<size_t>(k));
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Bulk fixed-width k-mer decode: out[r*k : (r+1)*k] = sba[pos[r] : pos[r]+k].
+// Bounds are the CALLER's contract (kmers.py checks pos+k against segment
+// ends before decoding; the ctypes wrapper re-checks against the sba length).
+void gk_decode_rows(const uint8_t* sba, const int64_t* pos, int64_t n,
+                    int64_t k, int64_t n_threads, uint8_t* out) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1) {
+        decode_rows_chunk(sba, pos, 0, n, k, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; t++) {
+        const int64_t r0 = n * t / n_threads;
+        const int64_t r1 = n * (t + 1) / n_threads;
+        if (r0 < r1) {
+            ts.emplace_back(decode_rows_chunk, sba, pos, r0, r1, k, out);
+        }
+    }
+    for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

@@ -135,3 +135,32 @@ class TestPackStrided:
             word |= grid[:, j] << np.uint32(32 - bits - bits * j)
         ref = np.concatenate([word, np.zeros(8, dtype=np.uint32)])
         np.testing.assert_array_equal(nat, ref)
+
+
+class TestDecodeRows:
+    """Native bulk k-mer decode must be byte-identical to the NumPy
+    per-offset gather in Kmers._decode_block_bytes."""
+
+    @pytest.mark.parametrize("n", [0, 1, 7, 100_000])
+    @pytest.mark.parametrize("k", [1, 5, 31])
+    def test_decode_parity(self, n, k):
+        from genome_kmers_tpu.native import decode_rows_native
+
+        rng = np.random.default_rng(n * 13 + k)
+        sba = rng.choice(np.frombuffer(b"ACGTN$", dtype=np.uint8), size=max(n + k + 10, 64))
+        pos = rng.integers(0, len(sba) - k + 1, size=n).astype(np.int64)
+        nat = decode_rows_native(sba, pos, k)
+        assert nat is not None
+        ref = np.empty((n, k), dtype=np.uint8)
+        for j in range(k):
+            ref[:, j] = sba[pos + j]
+        np.testing.assert_array_equal(nat, ref)
+
+    def test_decode_bounds_guard(self):
+        from genome_kmers_tpu.native import decode_rows_native
+
+        sba = np.frombuffer(b"ACGTACGT", dtype=np.uint8)
+        with pytest.raises(IndexError):
+            decode_rows_native(sba, np.array([6], dtype=np.int64), 5)
+        with pytest.raises(IndexError):
+            decode_rows_native(sba, np.array([-1], dtype=np.int64), 3)
