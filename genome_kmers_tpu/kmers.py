@@ -2202,13 +2202,15 @@ class Kmers:
             raise ValueError(f"kmer_strand ({kmer_strand}) not recognized")
         return bytearray(sba[sba_start_idx : sba_start_idx + kmer_len]).decode("utf-8")
 
-    def get_kmer_strs(self, kmer_nums, kmer_len: int) -> list:
-        """EXTENSION: decode many fixed-length k-mers at once — one fancy-
-        indexed slice of the SBA instead of a per-k-mer Python loop
-        (reference kmers.py:1561-1622 is per-k-mer only). Bounds are checked
-        in bulk; a k-mer running past its segment end raises like
-        ``get_kmer_str``."""
-        if kmer_len is None or kmer_len < 1:
+    def get_kmer_strs(self, kmer_nums, kmer_len: Union[int, None]) -> list:
+        """EXTENSION: decode many k-mers at once — bulk native/contiguous
+        decode instead of a per-k-mer Python loop (reference
+        kmers.py:1561-1622 is per-k-mer only). Bounds are checked in bulk; a
+        k-mer running past its segment end raises like ``get_kmer_str``.
+        ``kmer_len=None`` decodes each k-mer at its natural length
+        (``min(max_kmer_len, bases to segment end)``), matching
+        ``get_kmer_str(num, None)``."""
+        if kmer_len is not None and kmer_len < 1:
             raise ValueError(f"kmer_len ({kmer_len}) must be a positive int")
         self._check_forward_only()
         nums = np.asarray(kmer_nums, dtype=np.int64)
@@ -2225,6 +2227,16 @@ class Kmers:
             len(sba) - 1,
             seg_starts[np.minimum(seg_ids + 1, len(seg_starts) - 1)] - 2,
         )
+        if kmer_len is None:
+            lens = seg_e - pos + 1
+            if self.max_kmer_len is not None:
+                lens = np.minimum(lens, self.max_kmer_len)
+            data, offsets = self._decode_var_bytes(sba, pos, lens)
+            b = data.tobytes()
+            return [
+                b[offsets[r] : offsets[r + 1]].decode("ascii")
+                for r in range(len(pos))
+            ]
         if (pos + kmer_len - 1 > seg_e).any():
             bad = int(nums[np.flatnonzero(pos + kmer_len - 1 > seg_e)[0]])
             raise ValueError(
@@ -2258,6 +2270,25 @@ class Kmers:
         Python slicing — ~10x the old text-splitting loop at 10M rows)."""
         block = cls._decode_block_bytes(sba, pos, kmer_len)
         return block.view(f"S{kmer_len}").ravel().astype(f"U{kmer_len}")
+
+    @staticmethod
+    def _decode_var_bytes(sba, pos, lens) -> tuple[np.ndarray, np.ndarray]:
+        """Variable-width decode: (data, offsets) with
+        data[offsets[r] : offsets[r+1]] = sba[pos[r] : pos[r]+lens[r]] — an
+        arrow-style string column (native memcpy rows; NumPy repeat-gather
+        fallback)."""
+        from .native import decode_rows_var_native
+
+        p = pos.astype(np.int64)
+        L = lens.astype(np.int64)
+        native = decode_rows_var_native(sba, p, L)
+        if native is not None:
+            return native
+        offsets = np.zeros(len(p) + 1, dtype=np.int64)
+        np.cumsum(L, out=offsets[1:])
+        total = int(offsets[-1])
+        idx = np.repeat(p - offsets[:-1], L) + np.arange(total, dtype=np.int64)
+        return sba[idx], offsets
 
     def get_kmer_str(self, kmer_num: int, kmer_len: Union[int, None] = None) -> str:
         self._check_forward_only()
@@ -2783,106 +2814,187 @@ class Kmers:
             raise ValueError(f"unrecognized fields: {sorted(bad)}")
         need_full = bool({"chrom", "start", "strand"} & set(fields))
 
-        if kmer_len is not None:
-            # bulk path: vectorized record lookup, one contiguous-gather
-            # string decode, and a columnar C CSV writer (pyarrow; pandas
-            # fallback) — no per-row Python loop (the reference-shaped loop
-            # was the named API's throughput ceiling at 10M+ rows). Output
-            # bytes are identical to the row-loop writer.
-            names = (
-                self.seq_coll.revcomp_record_names
-                if self.kmer_source_strand == "reverse_complement"
-                else self.seq_coll.forward_record_names
+        # bulk path (all kmer_len, incl. None): vectorized record lookup,
+        # one native/contiguous string decode (fixed- or variable-width),
+        # and a columnar C CSV writer (pyarrow; pandas fallback) — no
+        # per-row Python loop (the reference-shaped loop, kept as
+        # _to_csv_row_loop for parity tests, was the named API's throughput
+        # ceiling at 10M+ rows). Output bytes are identical to the row-loop
+        # writer, including its raise behavior.
+        names = (
+            self.seq_coll.revcomp_record_names
+            if self.kmer_source_strand == "reverse_complement"
+            else self.seq_coll.forward_record_names
+        )
+        seg_e = None
+        if "group_size" not in fields:
+            # lean path: with default group parameters every k-mer is
+            # yielded in index order, so the group-geometry pass (and
+            # its device downloads) is pure overhead — skip it
+            nums = np.arange(len(self), dtype=np.int64)
+            pos64 = self.kmer_sba_start_indices.astype(np.int64)
+            gst_arr = None
+            record_num, strand_col, seq_idx, seg_e = self._record_columns(
+                pos64, False
             )
-            if "group_size" not in fields:
-                # lean path: with default group parameters every k-mer is
-                # yielded in index order, so the group-geometry pass (and
-                # its device downloads) is pure overhead — skip it
-                nums = np.arange(len(self), dtype=np.int64)
-                pos64 = self.kmer_sba_start_indices.astype(np.int64)
-                gst_arr = None
-                record_num, strand_col, seq_idx, seg_e = self._record_columns(
-                    pos64, False
+            # the row-loop writer only reaches a per-row length check when
+            # it decodes a kmer (get_kmer_str) or yields full info — a bare
+            # fields=["kmer_num"] run never raises, so neither does this
+            if (
+                kmer_len is not None
+                and (need_full or "kmer" in set(fields))
+                and (pos64 + kmer_len - 1 > seg_e).any()
+            ):
+                bad = int(nums[np.flatnonzero(pos64 + kmer_len - 1 > seg_e)[0]])
+                raise ValueError(
+                    f"kmer_len ({kmer_len}) for kmer_num ({bad}) extends beyond the end of the segment"
                 )
-                if (pos64 + kmer_len - 1 > seg_e).any():
-                    bad = int(nums[np.flatnonzero(pos64 + kmer_len - 1 > seg_e)[0]])
-                    raise ValueError(
-                        f"kmer_len ({kmer_len}) for kmer_num ({bad}) extends beyond the end of the segment"
-                    )
-                arrs = {
-                    "record_num": record_num,
-                    "strand": strand_col,
-                    "seq_start_idx": seq_idx,
-                }
+            arrs = {
+                "record_num": record_num,
+                "strand": strand_col,
+                "seq_start_idx": seq_idx,
+            }
+        else:
+            arrs = self.get_kmers_full_arrays(kmer_len) if need_full else None
+            if need_full:
+                nums = arrs["kmer_num"]
+                gst_arr = arrs["group_size_total"]
             else:
-                arrs = self.get_kmers_full_arrays(kmer_len) if need_full else None
-                if need_full:
-                    nums = arrs["kmer_num"]
-                    gst_arr = arrs["group_size_total"]
+                nums, _, _, gst_arr = self.get_kmers_arrays(kmer_len)
+        var_kmer = None  # (data, offsets) when kmer_len is None
+        cols = {}
+        for field in dict.fromkeys(fields):
+            if field == "kmer":
+                sba = self._host_sba()
+                pos = self.kmer_sba_start_indices[nums].astype(np.int64)
+                if kmer_len is None:
+                    if seg_e is None:
+                        _, _, _, seg_e = self._record_columns(pos, False)
+                    lens = seg_e - pos + 1
+                    if need_full:
+                        # parity: the row-loop writer feeds the UNCLAMPED
+                        # full-info kmer_len into get_kmer_str, which
+                        # min/max-checks it per row
+                        viol_min = lens < self.min_kmer_len
+                        viol_max = (
+                            (lens > self.max_kmer_len)
+                            if self.max_kmer_len is not None
+                            else np.zeros_like(viol_min)
+                        )
+                        viol = np.flatnonzero(viol_min | viol_max)
+                        if viol.size:
+                            r = int(viol[0])
+                            if viol_min[r]:
+                                raise ValueError(
+                                    f"kmer_len ({int(lens[r])}) is less than min_kmer_len ({self.min_kmer_len})"
+                                )
+                            raise ValueError(
+                                f"kmer_len ({int(lens[r])}) is greater than max_kmer_len ({self.max_kmer_len})"
+                            )
+                    elif self.max_kmer_len is not None:
+                        # get_kmer_str(num, None) clamps to max_kmer_len
+                        lens = np.minimum(lens, self.max_kmer_len)
+                    var_kmer = self._decode_var_bytes(sba, pos, lens)
+                    cols[field] = var_kmer
                 else:
-                    nums, _, _, gst_arr = self.get_kmers_arrays(kmer_len)
-            cols = {}
-            for field in dict.fromkeys(fields):
-                if field == "kmer":
-                    sba = self._host_sba()
-                    pos = self.kmer_sba_start_indices[nums].astype(np.int64)
+                    if seg_e is None:
+                        # group_size paths with minimum info skipped the
+                        # upfront check; get_kmer_str would raise per row
+                        _, _, _, seg_e_k = self._record_columns(pos, False)
+                        bad_rows = np.flatnonzero(pos + kmer_len - 1 > seg_e_k)
+                        if bad_rows.size:
+                            raise ValueError(
+                                f"kmer_len ({kmer_len}) for kmer_num ({int(nums[bad_rows[0]])}) extends beyond the end of the segment"
+                            )
                     cols[field] = (
                         self._decode_block_bytes(sba, pos, kmer_len)
                         .view(f"S{kmer_len}")
                         .ravel()
                     )
-                elif field == "kmer_num":
-                    cols[field] = nums
-                elif field == "chrom":
-                    cols[field] = arrs["record_num"]  # id; names applied below
-                elif field == "start":
-                    cols[field] = arrs["seq_start_idx"]
-                elif field == "strand":
-                    cols[field] = arrs["strand"]
-                elif field == "group_size":
-                    cols[field] = gst_arr
-            try:
-                import pyarrow as pa
-                import pyarrow.compute as pc
-                import pyarrow.csv as pacsv
-            except ImportError:
-                import pandas as pd
+            elif field == "kmer_num":
+                cols[field] = nums
+            elif field == "chrom":
+                cols[field] = arrs["record_num"]  # id; names applied below
+            elif field == "start":
+                cols[field] = arrs["seq_start_idx"]
+            elif field == "strand":
+                cols[field] = arrs["strand"]
+            elif field == "group_size":
+                cols[field] = gst_arr
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.csv as pacsv
+        except ImportError:
+            import pandas as pd
 
-                if "chrom" in cols:
-                    cols["chrom"] = np.asarray(names, dtype=object)[cols["chrom"]]
-                if "kmer" in cols:
-                    cols["kmer"] = cols["kmer"].astype(f"U{kmer_len}")
-                pd.DataFrame(cols).to_csv(
-                    output_file_path, index=False, columns=list(fields)
-                )
-                return
-            arrow_cols = {}
-            for field, v in cols.items():
-                if field == "kmer":
-                    arrow_cols[field] = pa.array(v).cast(pa.string())
-                elif field == "chrom":
-                    arrow_cols[field] = pc.take(
-                        pa.array(list(names), type=pa.string()), pa.array(v)
+            if "chrom" in cols:
+                cols["chrom"] = np.asarray(names, dtype=object)[cols["chrom"]]
+            if "kmer" in cols:
+                if var_kmer is not None:
+                    data, offsets = var_kmer
+                    b = data.tobytes()
+                    cols["kmer"] = np.asarray(
+                        [
+                            b[offsets[r] : offsets[r + 1]].decode("ascii")
+                            for r in range(len(offsets) - 1)
+                        ],
+                        dtype=object,
                     )
-                elif field == "strand":
-                    arrow_cols[field] = pa.array(v.astype("U1"))
                 else:
-                    arrow_cols[field] = pa.array(v)
-            tbl = pa.table({f: arrow_cols[f] for f in dict.fromkeys(fields)})
-            if list(dict.fromkeys(fields)) != list(fields):
-                tbl = tbl.select(list(fields))  # duplicated field names
-            with open(output_file_path, "wb") as f:
-                # header written manually: arrow always quotes header cells,
-                # the row-loop writer (and this path's contract) does not
-                f.write((",".join(fields) + "\n").encode())
-                pacsv.write_csv(
-                    tbl, f,
-                    pacsv.WriteOptions(
-                        include_header=False, quoting_style="none"
-                    ),
-                )
+                    cols["kmer"] = cols["kmer"].astype(f"U{kmer_len}")
+            pd.DataFrame(cols).to_csv(
+                output_file_path, index=False, columns=list(fields)
+            )
             return
+        arrow_cols = {}
+        for field, v in cols.items():
+            if field == "kmer":
+                if var_kmer is not None:
+                    # zero-copy arrow string column straight from the
+                    # (offsets, data) decode buffers
+                    data, offsets = var_kmer
+                    n_rows = len(offsets) - 1
+                    if int(offsets[-1]) <= 2**31 - 1:
+                        off32 = offsets.astype(np.int32)
+                        arrow_cols[field] = pa.Array.from_buffers(
+                            pa.string(), n_rows,
+                            [None, pa.py_buffer(off32), pa.py_buffer(data)],
+                        )
+                    else:
+                        arrow_cols[field] = pa.Array.from_buffers(
+                            pa.large_string(), n_rows,
+                            [None, pa.py_buffer(offsets), pa.py_buffer(data)],
+                        )
+                else:
+                    arrow_cols[field] = pa.array(v).cast(pa.string())
+            elif field == "chrom":
+                arrow_cols[field] = pc.take(
+                    pa.array(list(names), type=pa.string()), pa.array(v)
+                )
+            elif field == "strand":
+                arrow_cols[field] = pa.array(v.astype("U1"))
+            else:
+                arrow_cols[field] = pa.array(v)
+        tbl = pa.table({f: arrow_cols[f] for f in dict.fromkeys(fields)})
+        if list(dict.fromkeys(fields)) != list(fields):
+            tbl = tbl.select(list(fields))  # duplicated field names
+        with open(output_file_path, "wb") as f:
+            # header written manually: arrow always quotes header cells,
+            # the row-loop writer (and this path's contract) does not
+            f.write((",".join(fields) + "\n").encode())
+            pacsv.write_csv(
+                tbl, f,
+                pacsv.WriteOptions(
+                    include_header=False, quoting_style="none"
+                ),
+            )
 
+    def _to_csv_row_loop(self, kmer_len, output_file_path, fields=["kmer"]):
+        """The reference-shaped per-row writer (generator walk +
+        ``get_kmer_str`` per k-mer). Retained as the byte-identity oracle
+        for ``to_csv``'s bulk path; tests compare the two outputs."""
+        need_full = bool({"chrom", "start", "strand"} & set(fields))
         info_kind = "full" if need_full else "minimum"
         with open(output_file_path, "w") as f:
             f.write(",".join(fields) + "\n")

@@ -85,6 +85,10 @@ def get_lib():
     lib.gk_decode_rows.argtypes = [
         u8p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
     ]
+    lib.gk_decode_rows_var.restype = None
+    lib.gk_decode_rows_var.argtypes = [
+        u8p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, u8p,
+    ]
     _lib = lib
     return _lib
 
@@ -262,6 +266,41 @@ def decode_rows_native(sba: np.ndarray, pos: np.ndarray, kmer_len: int) -> np.nd
         ctypes.c_int64(n_threads), _u8(out),
     )
     return out
+
+
+def decode_rows_var_native(
+    sba: np.ndarray, pos: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Variable-width bulk decode: returns (data, offsets) where
+    data[offsets[r] : offsets[r+1]] = sba[pos[r] : pos[r]+lens[r]] — an
+    arrow-style string column. None if the native library is unavailable
+    (callers fall back to a repeat-gather NumPy formulation)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import os
+
+    sba = np.ascontiguousarray(sba, dtype=np.uint8)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    n = len(pos)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    data = np.empty(max(total, 1), dtype=np.uint8)[:total]
+    if n == 0:
+        return data, offsets
+    if (lens < 0).any():
+        raise ValueError("negative decode length")
+    end_max = int((pos + lens).max())
+    if int(pos.min()) < 0 or end_max > len(sba):
+        raise IndexError("decode position out of bounds")
+    n_threads = 1 if total < (4 << 20) else min(os.cpu_count() or 1, 8)
+    lib.gk_decode_rows_var(
+        _u8(sba), _i64(pos), _i64(lens), _i64(offsets), ctypes.c_int64(n),
+        ctypes.c_int64(n_threads), _u8(data),
+    )
+    return data, offsets
 
 
 def validate_alphabet_native(sba: np.ndarray, allowed_bytes: set) -> int | None:

@@ -389,3 +389,43 @@ void gk_decode_rows(const uint8_t* sba, const int64_t* pos, int64_t n,
 }
 
 }  // extern "C"
+
+namespace {
+
+void decode_rows_var_chunk(const uint8_t* sba, const int64_t* pos,
+                           const int64_t* lens, const int64_t* offs,
+                           int64_t r0, int64_t r1, uint8_t* out) {
+    for (int64_t r = r0; r < r1; r++) {
+        std::memcpy(out + offs[r], sba + pos[r], static_cast<size_t>(lens[r]));
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Variable-width decode (suffix-mode / kmer_len=None rows): row r copies
+// lens[r] bytes from sba[pos[r]] to out[offs[r]], where offs is the
+// exclusive prefix sum of lens.  Same caller-validates-bounds contract as
+// gk_decode_rows; out is an arrow-style (offsets, data) string column.
+void gk_decode_rows_var(const uint8_t* sba, const int64_t* pos,
+                        const int64_t* lens, const int64_t* offs, int64_t n,
+                        int64_t n_threads, uint8_t* out) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1) {
+        decode_rows_var_chunk(sba, pos, lens, offs, 0, n, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; t++) {
+        const int64_t r0 = n * t / n_threads;
+        const int64_t r1 = n * (t + 1) / n_threads;
+        if (r0 < r1) {
+            ts.emplace_back(decode_rows_var_chunk, sba, pos, lens, offs, r0,
+                            r1, out);
+        }
+    }
+    for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

@@ -106,7 +106,7 @@ def pack_rank2_words_pallas(sba_u8: jax.Array, interpret: bool = False) -> jax.A
         _make_pack2_kernel(interpret),
         out_shape=jax.ShapeDtypeStruct((n_blocks * _BROWS, _LANES), jnp.uint32),
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_BROWS, _LANES), lambda i: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((_BROWS + _HROWS, _LANES), jnp.uint8),

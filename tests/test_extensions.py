@@ -387,3 +387,73 @@ class TestInitFiltersAndDoublePass:
             km._initialize(kmer_filters=[lambda *a: True])
         with pytest.raises(ValueError, match="not recognized"):
             Kmers(sc, min_kmer_len=3, method="triple_pass")
+
+
+class TestToCsvBulkParity:
+    """to_csv's columnar bulk path must be byte-identical to the
+    reference-shaped per-row writer (_to_csv_row_loop), including raise
+    behavior, for every kmer_len mode and field combination."""
+
+    FIELD_SETS = [
+        ["kmer"],
+        ["kmer", "kmer_num"],
+        ["kmer", "chrom", "start", "strand"],
+        ["kmer", "group_size"],
+        ["kmer", "chrom", "group_size"],
+        ["kmer_num"],
+        ["kmer", "kmer_num", "chrom", "start", "strand", "group_size"],
+    ]
+
+    def _run(self, km, fn, kl, fields, tmp_path, name):
+        p = tmp_path / name
+        try:
+            fn(kl, str(p), fields=fields)
+            return p.read_bytes()
+        except ValueError as e:
+            return ("RAISE", str(e))
+
+    @pytest.mark.parametrize("min_k,max_k", [(4, 4), (3, 8), (3, None), (1, None)])
+    def test_bulk_matches_row_loop(self, min_k, max_k, tmp_path):
+        seq_list = [("a", random_seq(70, 81)), ("b", random_seq(45, 82)),
+                    ("c", random_seq(33, 83))]
+        km = make_sorted(seq_list, min_k, max_k)
+        for kl in (min_k, None):
+            for fields in self.FIELD_SETS:
+                bulk = self._run(km, km.to_csv, kl, fields, tmp_path, "b.csv")
+                loop = self._run(km, km._to_csv_row_loop, kl, fields, tmp_path, "s.csv")
+                assert bulk == loop, (min_k, max_k, kl, fields)
+
+    @pytest.mark.parametrize("strand", ["reverse_complement", "both"])
+    def test_bulk_matches_row_loop_strands(self, strand, tmp_path):
+        seq_list = [("a", random_seq(60, 84)), ("b", random_seq(41, 85))]
+        sc = SequenceCollection(sequence_list=seq_list, strands_to_load=strand)
+        km = Kmers.from_strand(sc, min_kmer_len=3, max_kmer_len=None,
+                               source_strand=strand)
+        km.sort()
+        for kl in (3, None):
+            for fields in (["kmer", "chrom", "start", "strand"], ["kmer", "group_size"]):
+                bulk = self._run(km, km.to_csv, kl, fields, tmp_path, "b.csv")
+                loop = self._run(km, km._to_csv_row_loop, kl, fields, tmp_path, "s.csv")
+                assert bulk == loop, (strand, kl, fields)
+
+    def test_unbounded_kmer_len_none_raise_parity(self, tmp_path):
+        # full-info + kmer_len=None feeds the UNCLAMPED length into
+        # get_kmer_str in the row loop, which raises past max_kmer_len; the
+        # bulk path must raise the identical message
+        km = make_sorted([("a", random_seq(30, 86))], 3, 8)
+        bulk = self._run(km, km.to_csv, None, ["kmer", "chrom"], tmp_path, "b.csv")
+        loop = self._run(km, km._to_csv_row_loop, None, ["kmer", "chrom"], tmp_path, "s.csv")
+        assert bulk == loop
+        assert isinstance(bulk, tuple) and "greater than max_kmer_len" in bulk[1]
+        # ...while minimum info clamps and does not raise
+        bulk2 = self._run(km, km.to_csv, None, ["kmer"], tmp_path, "b2.csv")
+        assert not isinstance(bulk2, tuple)
+
+
+def test_get_kmer_strs_kmer_len_none():
+    km = make_sorted([("a", random_seq(40, 87)), ("b", random_seq(25, 88))], 3, 9)
+    nums = list(range(len(km)))
+    assert km.get_kmer_strs(nums, None) == [km.get_kmer_str(i, None) for i in nums]
+    km2 = make_sorted([("a", random_seq(30, 89))], 2, None)
+    nums2 = list(range(len(km2)))
+    assert km2.get_kmer_strs(nums2, None) == [km2.get_kmer_str(i, None) for i in nums2]

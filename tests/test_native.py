@@ -164,3 +164,38 @@ class TestDecodeRows:
             decode_rows_native(sba, np.array([6], dtype=np.int64), 5)
         with pytest.raises(IndexError):
             decode_rows_native(sba, np.array([-1], dtype=np.int64), 3)
+
+
+class TestDecodeRowsVar:
+    """Native variable-width decode must match the NumPy repeat-gather."""
+
+    @pytest.mark.parametrize("n", [0, 1, 9, 50_000])
+    def test_var_decode_parity(self, n):
+        from genome_kmers_tpu.native import decode_rows_var_native
+
+        rng = np.random.default_rng(n * 3 + 1)
+        sba = rng.choice(np.frombuffer(b"ACGTN$", dtype=np.uint8), size=max(n + 40, 64))
+        lens = rng.integers(0, 30, size=n).astype(np.int64)
+        pos = rng.integers(0, len(sba) - 30, size=n).astype(np.int64)
+        nat = decode_rows_var_native(sba, pos, lens)
+        assert nat is not None
+        data, offsets = nat
+        exp_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=exp_off[1:])
+        np.testing.assert_array_equal(offsets, exp_off)
+        total = int(exp_off[-1])
+        idx = np.repeat(pos - exp_off[:-1], lens) + np.arange(total, dtype=np.int64)
+        np.testing.assert_array_equal(data, sba[idx])
+
+    def test_var_decode_bounds_guard(self):
+        from genome_kmers_tpu.native import decode_rows_var_native
+
+        sba = np.frombuffer(b"ACGTACGT", dtype=np.uint8)
+        with pytest.raises(IndexError):
+            decode_rows_var_native(
+                sba, np.array([6], dtype=np.int64), np.array([5], dtype=np.int64)
+            )
+        with pytest.raises(ValueError):
+            decode_rows_var_native(
+                sba, np.array([0], dtype=np.int64), np.array([-1], dtype=np.int64)
+            )
