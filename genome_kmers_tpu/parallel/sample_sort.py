@@ -246,9 +246,12 @@ def _sample_sort_jit(genome, pos_lanes, cap_len, is_pad, n_words, two_bit,
 
 
 @partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples", "capacity",
-                                   "offset", "mesh"))
+                                   "mesh"))
 def _sample_sort_gid_jit(genome, positions, cap_len, is_pad, gid, n_words, two_bit,
                          n_samples, capacity, offset, mesh):
+    # ``offset`` is TRACED (pass jnp.uint32): every refinement round then
+    # shares one compiled executable — offsets 0, 32, 64, ... as static
+    # values would each pay a full remote-TPU compile (minutes apiece)
     n_dev = mesh.shape[AXIS]
 
     def body(genome, positions, cap_len, is_pad, gid):
@@ -336,10 +339,13 @@ def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offse
     return new_gid, any_unresolved
 
 
-@partial(jax.jit, static_argnames=("n_words", "two_bit", "offset", "window_bases",
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "window_bases",
                                    "first", "max_cap", "mesh"))
 def _run_structure_jit(genome, positions, is_pad, gid, seg_starts, seg_ends,
                        n_words, two_bit, offset, window_bases, first, max_cap, mesh):
+    # ``offset`` is TRACED (pass jnp.uint32) so every window round shares
+    # one executable; it rides into the shard_map body as a replicated
+    # closure capture exactly like seg_starts/seg_ends
     fn = shard_map(
         partial(
             _run_structure_local,
@@ -403,7 +409,7 @@ def sample_sort_positions_unbounded(
     offset = 0
     gid, unresolved = _run_structure_jit(
         genome_g, rag_pos, rag_pad, rag_pad, seg_starts, seg_ends,
-        n_words, two_bit, offset, window_bases, True, max_cap, mesh,
+        n_words, two_bit, jnp.uint32(offset), window_bases, True, max_cap, mesh,
     )
     n_dev = mesh.shape[AXIS]
     m = rag_pos.shape[0] // n_dev
@@ -418,7 +424,7 @@ def sample_sort_positions_unbounded(
             capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
             out_pos, out_pad, out_gid, overflow = _sample_sort_gid_jit(
                 genome_g, rag_pos, cap, rag_pad, gid, n_words, two_bit,
-                min(n_samples, m), capacity, offset, mesh,
+                min(n_samples, m), capacity, jnp.uint32(offset), mesh,
             )
             if int(overflow) == 0:
                 break
@@ -429,7 +435,7 @@ def sample_sort_positions_unbounded(
         m = rag_pos.shape[0] // n_dev
         gid, unresolved = _run_structure_jit(
             genome_g, rag_pos, rag_pad, out_gid, seg_starts, seg_ends,
-            n_words, two_bit, offset, window_bases, False, max_cap, mesh,
+            n_words, two_bit, jnp.uint32(offset), window_bases, False, max_cap, mesh,
         )
 
     if return_ragged:
@@ -471,13 +477,13 @@ def distributed_adjacent_gids(
     offset = 0
     gid, unresolved = _run_structure_jit(
         genome_g, rag_pos, rag_pad, rag_pad, seg_starts, seg_ends,
-        n_words, two_bit, offset, window_bases, True, max_cap, mesh,
+        n_words, two_bit, jnp.uint32(offset), window_bases, True, max_cap, mesh,
     )
     while int(unresolved) > 0:
         offset += window_bases
         gid, unresolved = _run_structure_jit(
             genome_g, rag_pos, rag_pad, gid, seg_starts, seg_ends,
-            n_words, two_bit, offset, window_bases, False, max_cap, mesh,
+            n_words, two_bit, jnp.uint32(offset), window_bases, False, max_cap, mesh,
         )
     return gid
 
