@@ -52,6 +52,32 @@ WINDOW2_WORDS = 2  # the same 32 bases in the 2-bit encoding: half the lanes
 _PAD_POS = jnp.uint32(0xFFFFFFF0)
 
 
+def _device_loops_ok() -> bool:
+    """True when data-dependent device-side control flow (lax.while_loop)
+    actually EXECUTES on the active backend.
+
+    The refinement loops below have two equivalent drivers: a fused
+    ``lax.while_loop`` program (zero host round-trips — the right design on
+    real TPU runtimes and CPU) and a host-driven loop that re-dispatches one
+    round per ``bool(unresolved)`` check. The remote-tunnel "axon" runtime
+    COMPILES while_loop programs but their execution never completes
+    (probed 2026-08-20: even a 1000-iteration scalar while_loop dispatches,
+    then hangs forever on the result transfer), so hosts drive the loops
+    there, paying one ~31 ms resolve sync per round.
+
+    ``GKT_HOST_LOOPS=1`` forces the host driver everywhere (differential
+    tests pin the two drivers equal; also the escape hatch should another
+    runtime ship broken while_loop)."""
+    import os
+
+    if os.environ.get("GKT_HOST_LOOPS"):
+        return False
+    try:
+        return jax.default_backend() != "axon"
+    except Exception:  # pragma: no cover - backend probing never raises today
+        return True
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -272,7 +298,14 @@ def sort_positions(
         return out, lanes
 
     if packed2 is not None:
-        # 2-bit refinement rounds: half the key lanes per 32-base window
+        # 2-bit refinement rounds: half the key lanes per 32-base window.
+        # Where the backend executes device-side loops, first round + ALL
+        # refinement rounds run as ONE compiled program with zero host
+        # round-trips; otherwise the host re-dispatches rounds, one ~31 ms
+        # resolve sync each (see _device_loops_ok).
+        if _device_loops_ok():
+            pos = _sort_iterative2(packed2, positions, cap_len, is_pad)
+            return (pos[:n], None) if return_lanes else pos[:n]
         pos, cap, gid, unresolved = _sort_round2(
             packed2, positions, cap_len, is_pad, jnp.uint32(0), True
         )
@@ -284,6 +317,9 @@ def sort_positions(
             offset += WINDOW_BASES
         return (pos[:n], None) if return_lanes else pos[:n]
 
+    if _device_loops_ok():
+        pos = _sort_iterative(packed, positions, cap_len, is_pad)
+        return (pos[:n], None) if return_lanes else pos[:n]
     pos, cap, gid, unresolved = _sort_round(
         packed, positions, cap_len, is_pad, jnp.uint32(0), WINDOW_WORDS, True
     )
@@ -294,6 +330,56 @@ def sort_positions(
         )
         offset += WINDOW_BASES
     return (pos[:n], None) if return_lanes else pos[:n]
+
+
+def _window_refine_loop(sort_round, pos, cap, gid, offset0, unresolved):
+    """Run window-refinement rounds to convergence ON DEVICE.
+
+    ``sort_round(pos, cap, gid, offset) -> (pos, cap, gid, unresolved)`` is
+    one 32-base re-sort round (a closure over the packed genome). The loop is
+    a ``lax.while_loop`` so a fully-resolved input executes zero rounds and
+    NO host synchronization ever happens — the reference's comparator loop
+    (kmers.py:360-393) walks bases on the host per compare; here even the
+    "are we done" control decision stays on the TPU.
+    """
+
+    def body(c):
+        pos, cap, gid, off, _ = c
+        pos, cap, gid, unr = sort_round(pos, cap, gid, off)
+        return (pos, cap, gid, off + jnp.uint32(WINDOW_BASES), unr)
+
+    out = jax.lax.while_loop(
+        lambda c: c[-1], body, (pos, cap, gid, jnp.uint32(offset0), unresolved)
+    )
+    return out[0], out[1], out[2]
+
+
+@jax.jit
+def _sort_iterative2(packed2, positions, cap_len, is_pad):
+    """Fused unbounded/beyond-window sort on the 2-bit pack: first round +
+    while_loop refinement, one dispatch, no host syncs."""
+    pos, cap, gid, unresolved = _sort_round2(
+        packed2, positions, cap_len, is_pad, jnp.uint32(0), True
+    )
+    pos, _, _ = _window_refine_loop(
+        lambda p, c, g, o: _sort_round2(packed2, p, c, g, o, False),
+        pos, cap, gid, WINDOW_BASES, unresolved,
+    )
+    return pos
+
+
+@jax.jit
+def _sort_iterative(packed, positions, cap_len, is_pad):
+    """Fused unbounded/beyond-window sort on the 4-bit pack (see
+    ``_sort_iterative2``)."""
+    pos, cap, gid, unresolved = _sort_round(
+        packed, positions, cap_len, is_pad, jnp.uint32(0), WINDOW_WORDS, True
+    )
+    pos, _, _ = _window_refine_loop(
+        lambda p, c, g, o: _sort_round(packed, p, c, g, o, WINDOW_WORDS, False),
+        pos, cap, gid, WINDOW_BASES, unresolved,
+    )
+    return pos
 
 
 @partial(jax.jit, static_argnames=("n_words",))
@@ -443,40 +529,48 @@ def sort_positions_suffix_dense(
     loop (the single-chip analog of the mesh's retained gid_full).
     """
     maxk = jnp.uint32(0xFFFFFFFF if max_kmer_len is None else max_kmer_len)
+    # prefix doubling applies to BOTH encodings — _double_round2 is
+    # pack-independent (it re-keys by run ids alone)
+    doubling = min_kmer_len == 1 and max_kmer_len is None
+    fused = _device_loops_ok()
     if packed2 is not None:
-        from .keys import compute_valid_len
-
         L = packed2.shape[0]
         n_pad = _bucket(L)
         packed2 = _pad_to(packed2, n_pad, jnp.uint32(0))
-        pos, gid, unresolved = _first_round_dense2(
-            packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk
-        )
-        offset = WINDOW2F_BASES
-        cap = None
-        doubling = min_kmer_len == 1 and max_kmer_len is None
-        while bool(unresolved):
-            if cap is None:
-                # the folded first round carries no cap lane; rebuild caps
-                # for the (rare) refinement rounds. Rows past their segment
-                # end (separators / bucket padding) wrap compute_valid_len
-                # — clamp them to 0 so they stay resolved.
-                vl = compute_valid_len(pos, seg_starts, seg_ends)
-                cap = jnp.where(
-                    vl >= jnp.uint32(0x80000000), jnp.uint32(0),
-                    jnp.minimum(vl, maxk),
-                )
-            if doubling:
-                # prefix doubling (see _double_round2): O(log repeat) rounds
-                pos, gid, cap, unresolved = _double_round2(
-                    pos, gid, cap, jnp.uint32(offset)
-                )
-                offset += offset
-            else:
-                pos, cap, gid, unresolved = _sort_round2(
-                    packed2, pos, cap, gid, jnp.uint32(offset), False
-                )
-                offset += WINDOW_BASES
+        if fused:
+            pos, gid = _suffix_dense2_all(
+                packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk,
+                doubling,
+            )
+        else:
+            pos, gid, unresolved = _first_round_dense2(
+                packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk
+            )
+            offset = WINDOW2F_BASES
+            cap = None
+            while bool(unresolved):
+                if cap is None:
+                    # the folded first round carries no cap lane; rebuild
+                    # caps for the (rare) refinement rounds. Rows past
+                    # their segment end (separators / bucket padding) wrap
+                    # compute_valid_len — clamp to 0 so they stay resolved.
+                    from .keys import compute_valid_len
+
+                    vl = compute_valid_len(pos, seg_starts, seg_ends)
+                    cap = jnp.where(
+                        vl >= jnp.uint32(0x80000000), jnp.uint32(0),
+                        jnp.minimum(vl, maxk),
+                    )
+                if doubling:
+                    pos, gid, cap, unresolved = _double_round2(
+                        pos, gid, cap, jnp.uint32(offset)
+                    )
+                    offset += offset
+                else:
+                    pos, cap, gid, unresolved = _sort_round2(
+                        packed2, pos, cap, gid, jnp.uint32(offset), False
+                    )
+                    offset += WINDOW_BASES
         if return_gid:
             return pos[:n], gid[:n]
         return pos[:n]
@@ -485,28 +579,103 @@ def sort_positions_suffix_dense(
     packed = _pad_to(packed, n_pad, jnp.uint32(0))  # pad rows fall past the last
     # seg_end, so valid_len_all yields 0 for them; the fill value itself is
     # never observed (cap masks every slice read)
-    pos, cap, gid, unresolved = _first_round_dense(
-        packed, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk,
-        WINDOW_WORDS,
-    )
-    offset = WINDOW_BASES
-    # prefix doubling applies to the 4-bit (IUPAC) encoding too —
-    # _double_round2 is pack-independent (it re-keys by run ids alone)
-    doubling = min_kmer_len == 1 and max_kmer_len is None
-    while bool(unresolved):
-        if doubling:
-            pos, gid, cap, unresolved = _double_round2(
-                pos, gid, cap, jnp.uint32(offset)
-            )
-            offset += offset
-        else:
-            pos, cap, gid, unresolved = _sort_round(
-                packed, pos, cap, gid, jnp.uint32(offset), WINDOW_WORDS, False
-            )
-            offset += WINDOW_BASES
+    if fused:
+        pos, gid = _suffix_dense_all(
+            packed, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk,
+            doubling,
+        )
+    else:
+        pos, cap, gid, unresolved = _first_round_dense(
+            packed, seg_starts, seg_ends, jnp.uint32(min_kmer_len), maxk,
+            WINDOW_WORDS,
+        )
+        offset = WINDOW_BASES
+        while bool(unresolved):
+            if doubling:
+                pos, gid, cap, unresolved = _double_round2(
+                    pos, gid, cap, jnp.uint32(offset)
+                )
+                offset += offset
+            else:
+                pos, cap, gid, unresolved = _sort_round(
+                    packed, pos, cap, gid, jnp.uint32(offset), WINDOW_WORDS,
+                    False,
+                )
+                offset += WINDOW_BASES
     if return_gid:
         return pos[:n], gid[:n]
     return pos[:n]
+
+
+def _doubling_refine_loop(pos, gid, cap, h0, unresolved):
+    """Prefix-doubling rounds to convergence ON DEVICE (see
+    ``_double_round2``): the classic Manber-Myers outer loop expressed as a
+    ``lax.while_loop`` — no host sync per doubling, O(log repeat) fused
+    rounds in the one compiled program."""
+
+    def body(c):
+        pos, gid, cap, h, _ = c
+        pos, gid, cap, unr = _double_round2(pos, gid, cap, h)
+        return (pos, gid, cap, h + h, unr)
+
+    out = jax.lax.while_loop(
+        lambda c: c[-1], body, (pos, gid, cap, jnp.uint32(h0), unresolved)
+    )
+    return out[0], out[1]
+
+
+def _refine_cap(pos, seg_starts, seg_ends, maxk, unresolved):
+    """Per-row compare caps for refinement rounds, rebuilt only when a round
+    will actually run (lax.cond — the resolved common case skips the
+    gathered segment lookup entirely). Rows past their segment end
+    (separators / bucket padding) wrap compute_valid_len — clamp them to 0
+    so they stay resolved."""
+    from .keys import compute_valid_len
+
+    def rebuild(p):
+        vl = compute_valid_len(p, seg_starts, seg_ends)
+        return jnp.where(
+            vl >= jnp.uint32(0x80000000), jnp.uint32(0), jnp.minimum(vl, maxk)
+        )
+
+    return jax.lax.cond(unresolved, rebuild, jnp.zeros_like, pos)
+
+
+@partial(jax.jit, static_argnames=("doubling",))
+def _suffix_dense2_all(packed2, seg_starts, seg_ends, min_len, maxk, doubling):
+    """The ENTIRE 2-bit suffix/beyond-window fresh sort as one compiled
+    program: gather-free folded first round + refinement to convergence
+    (prefix doubling or 32-base window rounds) under ``lax.while_loop``.
+    One dispatch, zero host round-trips — the old per-round
+    ``bool(unresolved)`` checks each cost a ~31 ms tunnel sync on v5e."""
+    pos, gid, unresolved = _first_round_dense2(
+        packed2, seg_starts, seg_ends, min_len, maxk
+    )
+    # the folded first round carries no cap lane; rebuild caps for the
+    # (rare) refinement rounds
+    cap = _refine_cap(pos, seg_starts, seg_ends, maxk, unresolved)
+    if doubling:
+        return _doubling_refine_loop(pos, gid, cap, WINDOW2F_BASES, unresolved)
+    pos, _, gid = _window_refine_loop(
+        lambda p, c, g, o: _sort_round2(packed2, p, c, g, o, False),
+        pos, cap, gid, WINDOW2F_BASES, unresolved,
+    )
+    return pos, gid
+
+
+@partial(jax.jit, static_argnames=("doubling",))
+def _suffix_dense_all(packed, seg_starts, seg_ends, min_len, maxk, doubling):
+    """4-bit (IUPAC) variant of ``_suffix_dense2_all``."""
+    pos, cap, gid, unresolved = _first_round_dense(
+        packed, seg_starts, seg_ends, min_len, maxk, WINDOW_WORDS
+    )
+    if doubling:
+        return _doubling_refine_loop(pos, gid, cap, WINDOW_BASES, unresolved)
+    pos, _, gid = _window_refine_loop(
+        lambda p, c, g, o: _sort_round(packed, p, c, g, o, WINDOW_WORDS, False),
+        pos, cap, gid, WINDOW_BASES, unresolved,
+    )
+    return pos, gid
 
 
 @partial(jax.jit, static_argnames=("n_words", "k", "uniform_cap", "two_bit"))
@@ -695,13 +864,35 @@ def adjacent_boundaries(
         eq = _adjacent_eq(words, jnp.ones(n_pad, dtype=bool))
         return (~eq)[:n]
 
+    if _device_loops_ok():
+        return (~_adj_eq_all(packed, sorted_positions, cap_len))[:n]
     eq = jnp.ones(n_pad, dtype=bool)
     offset = 0
     while True:
         eq, unresolved = _adj_eq_round(
-            packed, sorted_positions, cap_len, eq, jnp.uint32(offset), WINDOW_WORDS
+            packed, sorted_positions, cap_len, eq, jnp.uint32(offset),
+            WINDOW_WORDS,
         )
         offset += WINDOW_BASES
         if not bool(unresolved):
             break
     return (~eq)[:n]
+
+
+@jax.jit
+def _adj_eq_all(packed, sorted_positions, cap_len):
+    """Beyond-window adjacent equality to convergence as ONE compiled
+    program (do-while via lax.while_loop — no per-window host sync)."""
+    eq0 = jnp.ones(sorted_positions.shape[0], dtype=bool)
+
+    def body(c):
+        eq, off, _ = c
+        eq, unr = _adj_eq_round(
+            packed, sorted_positions, cap_len, eq, off, WINDOW_WORDS
+        )
+        return (eq, off + jnp.uint32(WINDOW_BASES), unr)
+
+    out = jax.lax.while_loop(
+        lambda c: c[-1], body, (eq0, jnp.uint32(0), jnp.bool_(True))
+    )
+    return out[0]
