@@ -676,6 +676,105 @@ class LargeKmers:
         """Single-k-mer decode (see ``get_kmer_strs``)."""
         return self.get_kmer_strs([int(kmer_num)], kmer_len)[0]
 
+    def to_csv(self, kmer_len, output_file_path, fields=["kmer"]) -> None:
+        """CSV output for the 64-bit regime — EXTENSION twice over: the
+        reference's to_csv is an empty stub (reference kmers.py:1733-1737)
+        and its engine hard-fails past 2^32 kmers (kmers.py:805-808).
+        Same fields and byte-identical output as Kmers.to_csv on genomes
+        both engines can hold (tests/test_large_api.py); bounded kmer_len
+        only (the large regime's invariant). Columnar throughout: strided
+        bulk decode for the kmer column + pyarrow C CSV writer (pandas
+        fallback), no per-row Python loop. NOTE: materializes O(rows) host
+        memory — at multi-billion-row scale slice via kmer_filter_func /
+        group-size bounds before writing."""
+        from .ops.large import decode_strided_np
+
+        allowed = {"kmer", "kmer_num", "chrom", "start", "strand", "group_size"}
+        bad = set(fields) - allowed
+        if bad:
+            raise ValueError(f"unrecognized fields: {sorted(bad)}")
+        self._require_sorted("to_csv")
+        kmer_len = self._check_kmer_len(kmer_len)
+        need_full = bool({"chrom", "start", "strand", "group_size"} & set(fields))
+        names = self.record_names
+        if need_full:
+            full = self.get_kmers_full_arrays(kmer_len)
+            nums = full["kmer_num"]
+            pos = self.sorted_positions()[nums]
+        else:
+            # lean path: default group params yield every row in sorted
+            # order — skip the group-geometry pass entirely
+            full = None
+            nums = np.arange(self._sorted[3], dtype=np.int64)
+            pos = self.sorted_positions()
+            if "kmer" in set(fields):
+                starts = self.seg_starts.astype(np.uint64)
+                seg_ids = np.searchsorted(starts, pos, side="right") - 1
+                seg_e = self.seg_ends.astype(np.uint64)[seg_ids]
+                viol = np.flatnonzero(pos + np.uint64(kmer_len - 1) > seg_e)
+                if viol.size:
+                    raise ValueError(
+                        f"kmer_len ({kmer_len}) for kmer_num ({int(nums[viol[0]])}) extends beyond the end of the segment"
+                    )
+        cols = {}
+        for field in dict.fromkeys(fields):
+            if field == "kmer":
+                block = np.ascontiguousarray(
+                    decode_strided_np(self.packed_words, pos, kmer_len,
+                                      self.two_bit)
+                )
+                cols[field] = block.view(f"S{kmer_len}").ravel()
+            elif field == "kmer_num":
+                cols[field] = nums
+            elif field == "chrom":
+                cols[field] = full["record_num"]  # id; names applied below
+            elif field == "start":
+                cols[field] = full["seq_start_idx"].astype(np.int64)
+            elif field == "strand":
+                cols[field] = full["strand"]
+            elif field == "group_size":
+                cols[field] = full["group_size_total"]
+        if "chrom" in cols and names is None:
+            names = [str(i) for i in range(int(cols["chrom"].max()) + 1)]
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.csv as pacsv
+        except ImportError:
+            import pandas as pd
+
+            if "chrom" in cols:
+                cols["chrom"] = np.asarray(names, dtype=object)[cols["chrom"]]
+            if "kmer" in cols:
+                cols["kmer"] = cols["kmer"].astype(f"U{kmer_len}")
+            pd.DataFrame(cols).to_csv(
+                output_file_path, index=False, columns=list(fields)
+            )
+            return
+        arrow_cols = {}
+        for field, v in cols.items():
+            if field == "kmer":
+                arrow_cols[field] = pa.array(v).cast(pa.string())
+            elif field == "chrom":
+                arrow_cols[field] = pc.take(
+                    pa.array(list(names), type=pa.string()), pa.array(v)
+                )
+            elif field == "strand":
+                arrow_cols[field] = pa.array(v.astype("U1"))
+            else:
+                arrow_cols[field] = pa.array(v)
+        tbl = pa.table({f: arrow_cols[f] for f in dict.fromkeys(fields)})
+        if list(dict.fromkeys(fields)) != list(fields):
+            tbl = tbl.select(list(fields))  # duplicated field names
+        with open(output_file_path, "wb") as f:
+            # header written manually: arrow always quotes header cells,
+            # the Kmers.to_csv contract (and its row-loop oracle) does not
+            f.write((",".join(fields) + "\n").encode())
+            pacsv.write_csv(
+                tbl, f,
+                pacsv.WriteOptions(include_header=False, quoting_style="none"),
+            )
+
     # ------------------------------------------------------------------ #
     # sharded checkpointing
     # ------------------------------------------------------------------ #

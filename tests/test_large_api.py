@@ -306,3 +306,46 @@ class TestLargeCheckpoint:
         lk = LargeKmers.from_records(_acgt_seqs(11, sizes=(500,)), 4, 8)
         with pytest.raises(AssertionError, match="sorted"):
             lk.save_checkpoint(tmp_path / "ck")
+
+
+class TestLargeCsv:
+    """to_csv for the 64-bit regime: byte-identical to Kmers.to_csv
+    (itself byte-pinned to the reference-shaped row-loop writer) on
+    genomes both engines can hold."""
+
+    FIELDS = ["kmer", "kmer_num", "chrom", "start", "strand", "group_size"]
+
+    def test_full_fields_match_uint32_engine(self, tmp_path):
+        km, lk = _pair(_acgt_seqs(7, sizes=(301, 157)), 8, 12, make_mesh(4))
+        a, b = tmp_path / "km.csv", tmp_path / "lk.csv"
+        km.to_csv(8, str(a), fields=self.FIELDS)
+        lk.to_csv(8, str(b), fields=self.FIELDS)
+        assert a.read_bytes() == b.read_bytes()
+
+    def test_lean_fields_match(self, tmp_path):
+        km, lk = _pair(_acgt_seqs(9, sizes=(222,)), 6, 9, make_mesh(2))
+        a, b = tmp_path / "km.csv", tmp_path / "lk.csv"
+        km.to_csv(6, str(a), fields=["kmer", "kmer_num"])
+        lk.to_csv(6, str(b), fields=["kmer", "kmer_num"])
+        assert a.read_bytes() == b.read_bytes()
+
+    def test_both_strands_match(self, tmp_path):
+        km, lk = _pair(_acgt_seqs(13, sizes=(120, 80)), 7, 10, make_mesh(4),
+                       both=True)
+        a, b = tmp_path / "km.csv", tmp_path / "lk.csv"
+        km.to_csv(7, str(a), fields=self.FIELDS)
+        lk.to_csv(7, str(b), fields=self.FIELDS)
+        assert a.read_bytes() == b.read_bytes()
+
+    def test_beyond_segment_raise_parity(self, tmp_path):
+        km, lk = _pair(_acgt_seqs(9, sizes=(64,)), 3, 12, make_mesh(2))
+        with pytest.raises(ValueError) as e1:
+            km.to_csv(12, str(tmp_path / "a.csv"), fields=["kmer"])
+        with pytest.raises(ValueError) as e2:
+            lk.to_csv(12, str(tmp_path / "b.csv"), fields=["kmer"])
+        assert str(e1.value) == str(e2.value)
+
+    def test_bad_field_rejected(self, tmp_path):
+        _, lk = _pair(_acgt_seqs(9, sizes=(64,)), 3, 8, make_mesh(2))
+        with pytest.raises(ValueError, match="unrecognized fields"):
+            lk.to_csv(4, str(tmp_path / "x.csv"), fields=["kmer", "nope"])
