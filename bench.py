@@ -30,6 +30,7 @@ scale via the mesh, docs/development.md).
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -181,6 +182,35 @@ def main():
     enable_persistent_compilation_cache(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
+
+    # Device health watchdog: a wedged chip (e.g. a stuck device-side loop
+    # from ANOTHER session — see CLAUDE.md on axon while_loop) makes every
+    # transfer hang forever, which would hang the whole benchmark run. A
+    # trivial transfer must complete before we commit to the real runs;
+    # otherwise emit ONE machine-readable error line and exit hard (the
+    # hung transfer thread cannot be interrupted from Python).
+    health_budget_s = float(os.environ.get("GKT_BENCH_HEALTH_TIMEOUT", 600))
+    done = threading.Event()
+
+    def _probe():
+        import jax.numpy as jnp
+
+        float(jnp.sum(jnp.arange(1024, dtype=jnp.float32)))
+        done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not done.wait(health_budget_s):
+        print(json.dumps({
+            "metric": f"k{k}_sorted_index_build_throughput",
+            "value": 0,
+            "unit": "kmers/s/chip",
+            "vs_baseline": 0,
+            "error": (
+                f"device unresponsive: trivial transfer did not complete in "
+                f"{health_budget_s:.0f}s (backend {jax.default_backend()})"
+            ),
+        }))
+        os._exit(3)
 
     kmers_per_s = measure(n_bp, k, reps, chain)
 

@@ -67,15 +67,23 @@ def _device_loops_ok() -> bool:
 
     ``GKT_HOST_LOOPS=1`` forces the host driver everywhere (differential
     tests pin the two drivers equal; also the escape hatch should another
-    runtime ship broken while_loop)."""
+    runtime ship broken while_loop).
+
+    Detection detail: the axon plugin registers its devices with
+    ``platform == "tpu"`` (``jax.default_backend()`` says "tpu", NOT
+    "axon" — only the env var and the client's ``platform_version``
+    string carry the runtime identity), so the check reads
+    ``platform_version`` ("axon 0.1.0; ..." on the tunnel) and falls back
+    to ``JAX_PLATFORMS``."""
     import os
 
     if os.environ.get("GKT_HOST_LOOPS"):
         return False
     try:
-        return jax.default_backend() != "axon"
-    except Exception:  # pragma: no cover - backend probing never raises today
-        return True
+        pv = getattr(jax.devices()[0].client, "platform_version", "") or ""
+        return "axon" not in pv.lower()
+    except Exception:  # backend not initializable — fall back to the env pin
+        return "axon" not in os.environ.get("JAX_PLATFORMS", "")
 
 
 def _cdiv(a: int, b: int) -> int:

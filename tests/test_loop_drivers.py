@@ -106,3 +106,26 @@ def test_adjacent_boundaries_drivers_equal(monkeypatch):
 
     bf, bh = _both_drivers(monkeypatch, run)
     np.testing.assert_array_equal(np.asarray(bf), np.asarray(bh))
+
+
+def test_axon_runtime_detected_by_platform_version(monkeypatch):
+    """The axon plugin registers platform == "tpu" (jax.default_backend()
+    says "tpu", not "axon") — only the client's platform_version string
+    identifies the tunnel runtime. A platform check alone would route the
+    fused while_loop driver onto axon and wedge the chip."""
+
+    class _Client:
+        platform_version = (
+            "axon 0.1.0; SerializedExecutable v9; compile-cache v14"
+        )
+
+    class _Dev:
+        platform = "tpu"
+        client = _Client()
+
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "devices", lambda *a, **k: [_Dev()])
+    assert not sort_mod._device_loops_ok()
+    _Client.platform_version = "TFRT CPU v0"
+    assert sort_mod._device_loops_ok()
