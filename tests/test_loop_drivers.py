@@ -129,3 +129,46 @@ def test_axon_runtime_detected_by_platform_version(monkeypatch):
     assert not sort_mod._device_loops_ok()
     _Client.platform_version = "TFRT CPU v0"
     assert sort_mod._device_loops_ok()
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_suffix_dense_drivers_fuzz_multiseg(monkeypatch, seed):
+    """Random multi-segment genomes (tiny + repeat-bearing segments, '$'
+    boundaries in play) through both drivers, both encodings."""
+    rng = np.random.default_rng(seed)
+    segs = []
+    for _ in range(int(rng.integers(2, 5))):
+        n = int(rng.integers(40, 900))
+        seg = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n)
+        if rng.random() < 0.7 and n > 120:  # plant a long internal repeat
+            u = seg[: int(rng.integers(36, 70))]
+            reps = min(n // len(u), 4)
+            seg[: len(u) * reps] = np.tile(u, reps)
+        segs.append(seg)
+    dollar = np.frombuffer(b"$", dtype=np.uint8)
+    sba = np.concatenate(sum(([s, dollar] for s in segs), []))[:-1]
+    starts, pos_acc = [], 0
+    for s in segs:
+        starts.append(pos_acc)
+        pos_acc += len(s) + 1
+    seg_starts = jnp.asarray(np.asarray(starts, dtype=np.uint32))
+    seg_ends = jnp.asarray(
+        np.asarray([st + len(s) - 1 for st, s in zip(starts, segs)],
+                   dtype=np.uint32)
+    )
+    min_k = int(rng.integers(1, 4))
+    max_k = None if rng.random() < 0.6 else int(rng.integers(40, 90))
+    n = sum(len(s) - min_k + 1 for s in segs)
+    packed2 = pack_rank2_words(jnp.asarray(sba))
+    packed = pack_rank_words(jnp.asarray(sba))
+
+    for p, p2 in ((None, packed2), (packed, None)):
+        def run():
+            return sort_mod.sort_positions_suffix_dense(
+                p, seg_starts, seg_ends, n, min_k, max_k, packed2=p2,
+                return_gid=True,
+            )
+
+        (pf, gf), (ph, gh) = _both_drivers(monkeypatch, run)
+        np.testing.assert_array_equal(np.asarray(pf), np.asarray(ph))
+        np.testing.assert_array_equal(np.asarray(gf), np.asarray(gh))
