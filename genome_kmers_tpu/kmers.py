@@ -2921,74 +2921,10 @@ class Kmers:
                 cols[field] = arrs["strand"]
             elif field == "group_size":
                 cols[field] = gst_arr
-        try:
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            import pyarrow.csv as pacsv
-        except ImportError:
-            import pandas as pd
+        from .io.csv_out import write_csv_columnar
 
-            if "chrom" in cols:
-                cols["chrom"] = np.asarray(names, dtype=object)[cols["chrom"]]
-            if "kmer" in cols:
-                if var_kmer is not None:
-                    data, offsets = var_kmer
-                    b = data.tobytes()
-                    cols["kmer"] = np.asarray(
-                        [
-                            b[offsets[r] : offsets[r + 1]].decode("ascii")
-                            for r in range(len(offsets) - 1)
-                        ],
-                        dtype=object,
-                    )
-                else:
-                    cols["kmer"] = cols["kmer"].astype(f"U{kmer_len}")
-            pd.DataFrame(cols).to_csv(
-                output_file_path, index=False, columns=list(fields)
-            )
-            return
-        arrow_cols = {}
-        for field, v in cols.items():
-            if field == "kmer":
-                if var_kmer is not None:
-                    # zero-copy arrow string column straight from the
-                    # (offsets, data) decode buffers
-                    data, offsets = var_kmer
-                    n_rows = len(offsets) - 1
-                    if int(offsets[-1]) <= 2**31 - 1:
-                        off32 = offsets.astype(np.int32)
-                        arrow_cols[field] = pa.Array.from_buffers(
-                            pa.string(), n_rows,
-                            [None, pa.py_buffer(off32), pa.py_buffer(data)],
-                        )
-                    else:
-                        arrow_cols[field] = pa.Array.from_buffers(
-                            pa.large_string(), n_rows,
-                            [None, pa.py_buffer(offsets), pa.py_buffer(data)],
-                        )
-                else:
-                    arrow_cols[field] = pa.array(v).cast(pa.string())
-            elif field == "chrom":
-                arrow_cols[field] = pc.take(
-                    pa.array(list(names), type=pa.string()), pa.array(v)
-                )
-            elif field == "strand":
-                arrow_cols[field] = pa.array(v.astype("U1"))
-            else:
-                arrow_cols[field] = pa.array(v)
-        tbl = pa.table({f: arrow_cols[f] for f in dict.fromkeys(fields)})
-        if list(dict.fromkeys(fields)) != list(fields):
-            tbl = tbl.select(list(fields))  # duplicated field names
-        with open(output_file_path, "wb") as f:
-            # header written manually: arrow always quotes header cells,
-            # the row-loop writer (and this path's contract) does not
-            f.write((",".join(fields) + "\n").encode())
-            pacsv.write_csv(
-                tbl, f,
-                pacsv.WriteOptions(
-                    include_header=False, quoting_style="none"
-                ),
-            )
+        write_csv_columnar(cols, fields, names, kmer_len, var_kmer,
+                           output_file_path)
 
     def _to_csv_row_loop(self, kmer_len, output_file_path, fields=["kmer"]):
         """The reference-shaped per-row writer (generator walk +

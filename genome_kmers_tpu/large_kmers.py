@@ -616,11 +616,31 @@ class LargeKmers:
             kmer_len, kmer_filter_func, min_group_size, max_group_size,
             yield_first_n,
         )
+        record_num, strand, seq_idx, _ = self._record_cols(
+            pos, nums, kmer_len, one_based_seq_index
+        )
+        return {
+            "kmer_num": nums,
+            "record_num": record_num,
+            "strand": strand,
+            "seq_start_idx": seq_idx,
+            "kmer_len": np.full(len(pos), kmer_len, dtype=np.int64),
+            "group_size_yielded": gsy,
+            "group_size_total": gst,
+        }
+
+    def _record_cols(self, pos, nums, kmer_len, one_based=False):
+        """(record_num int64, strand U1, seq_start_idx, seg_e) for sorted
+        rows, with the beyond-segment raise (first offending row, by
+        ``nums``) — shared by get_kmers_full_arrays and to_csv. For a
+        ``both_strands=True`` index, reverse-complement segments report
+        strand "-", forward-convention seq_start_idx, and record_num into
+        the original record list."""
         starts = self.seg_starts.astype(np.uint64)
         seg_ids = np.searchsorted(starts, pos, side="right") - 1
         seg_s = starts[seg_ids]
         seg_e = self.seg_ends.astype(np.uint64)[seg_ids]
-        base = np.uint64(1 if one_based_seq_index else 0)
+        base = np.uint64(1 if one_based else 0)
         n_fwd = self._n_fwd_records
         if n_fwd is not None:
             rc_row = seg_ids >= n_fwd
@@ -636,15 +656,7 @@ class LargeKmers:
             raise ValueError(
                 f"kmer_len ({kmer_len}) for kmer_num ({bad}) extends beyond the end of the segment"
             )
-        return {
-            "kmer_num": nums,
-            "record_num": record_num.astype(np.int64),
-            "strand": strand,
-            "seq_start_idx": seq_idx,
-            "kmer_len": np.full(len(pos), kmer_len, dtype=np.int64),
-            "group_size_yielded": gsy,
-            "group_size_total": gst,
-        }
+        return record_num.astype(np.int64), strand, seq_idx, seg_e
 
     def get_kmer_strs(self, kmer_nums, kmer_len: Union[int, None] = None) -> list:
         """Decode many k-mers at once from the strided pack (no byte SBA
@@ -683,10 +695,13 @@ class LargeKmers:
         Same fields and byte-identical output as Kmers.to_csv on genomes
         both engines can hold (tests/test_large_api.py); bounded kmer_len
         only (the large regime's invariant). Columnar throughout: strided
-        bulk decode for the kmer column + pyarrow C CSV writer (pandas
-        fallback), no per-row Python loop. NOTE: materializes O(rows) host
-        memory — at multi-billion-row scale slice via kmer_filter_func /
-        group-size bounds before writing."""
+        bulk decode for the kmer column + the shared pyarrow C CSV writer
+        (io/csv_out.py), no per-row Python loop. NOTE: materializes
+        O(rows) host memory — at multi-billion-row scale extract a
+        filtered slice first (``get_kmers_full_arrays(kmer_filter_func=,
+        min_group_size=, max_group_size=, yield_first_n=)`` +
+        ``get_kmer_strs``) instead of writing every row."""
+        from .io.csv_out import write_csv_columnar
         from .ops.large import decode_strided_np
 
         allowed = {"kmer", "kmer_num", "chrom", "start", "strand", "group_size"}
@@ -695,27 +710,31 @@ class LargeKmers:
             raise ValueError(f"unrecognized fields: {sorted(bad)}")
         self._require_sorted("to_csv")
         kmer_len = self._check_kmer_len(kmer_len)
-        need_full = bool({"chrom", "start", "strand", "group_size"} & set(fields))
+        fset = set(fields)
+        need_full = bool({"chrom", "start", "strand"} & fset)
         names = self.record_names
-        if need_full:
-            full = self.get_kmers_full_arrays(kmer_len)
-            nums = full["kmer_num"]
-            pos = self.sorted_positions()[nums]
-        else:
+        record_num = strand_col = seq_idx = gst = None
+        if "group_size" not in fset:
             # lean path: default group params yield every row in sorted
             # order — skip the group-geometry pass entirely
-            full = None
             nums = np.arange(self._sorted[3], dtype=np.int64)
             pos = self.sorted_positions()
-            if "kmer" in set(fields):
-                starts = self.seg_starts.astype(np.uint64)
-                seg_ids = np.searchsorted(starts, pos, side="right") - 1
-                seg_e = self.seg_ends.astype(np.uint64)[seg_ids]
-                viol = np.flatnonzero(pos + np.uint64(kmer_len - 1) > seg_e)
-                if viol.size:
-                    raise ValueError(
-                        f"kmer_len ({kmer_len}) for kmer_num ({int(nums[viol[0]])}) extends beyond the end of the segment"
-                    )
+            if need_full or "kmer" in fset:
+                # _record_cols raises the Kmers.to_csv lean-path
+                # beyond-segment error (first offending row)
+                record_num, strand_col, seq_idx, _ = self._record_cols(
+                    pos, nums, kmer_len
+                )
+        else:
+            # group_size rides the group-geometry pass; ONE pipeline pass
+            # serves positions AND sizes (mirrors Kmers.to_csv: no
+            # beyond-segment raise unless record columns / kmer decode
+            # actually need the segment extents)
+            nums, pos, _, gst = self.get_kmers_arrays(kmer_len)
+            if need_full or "kmer" in fset:
+                record_num, strand_col, seq_idx, _ = self._record_cols(
+                    pos, nums, kmer_len
+                )
         cols = {}
         for field in dict.fromkeys(fields):
             if field == "kmer":
@@ -727,54 +746,17 @@ class LargeKmers:
             elif field == "kmer_num":
                 cols[field] = nums
             elif field == "chrom":
-                cols[field] = full["record_num"]  # id; names applied below
+                cols[field] = record_num  # id; names applied in the writer
             elif field == "start":
-                cols[field] = full["seq_start_idx"].astype(np.int64)
+                cols[field] = seq_idx.astype(np.int64)
             elif field == "strand":
-                cols[field] = full["strand"]
+                cols[field] = strand_col
             elif field == "group_size":
-                cols[field] = full["group_size_total"]
+                cols[field] = gst
         if "chrom" in cols and names is None:
             names = [str(i) for i in range(int(cols["chrom"].max()) + 1)]
-        try:
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            import pyarrow.csv as pacsv
-        except ImportError:
-            import pandas as pd
-
-            if "chrom" in cols:
-                cols["chrom"] = np.asarray(names, dtype=object)[cols["chrom"]]
-            if "kmer" in cols:
-                cols["kmer"] = cols["kmer"].astype(f"U{kmer_len}")
-            pd.DataFrame(cols).to_csv(
-                output_file_path, index=False, columns=list(fields)
-            )
-            return
-        arrow_cols = {}
-        for field, v in cols.items():
-            if field == "kmer":
-                arrow_cols[field] = pa.array(v).cast(pa.string())
-            elif field == "chrom":
-                arrow_cols[field] = pc.take(
-                    pa.array(list(names), type=pa.string()), pa.array(v)
-                )
-            elif field == "strand":
-                arrow_cols[field] = pa.array(v.astype("U1"))
-            else:
-                arrow_cols[field] = pa.array(v)
-        tbl = pa.table({f: arrow_cols[f] for f in dict.fromkeys(fields)})
-        if list(dict.fromkeys(fields)) != list(fields):
-            tbl = tbl.select(list(fields))  # duplicated field names
-        with open(output_file_path, "wb") as f:
-            # header written manually: arrow always quotes header cells,
-            # the Kmers.to_csv contract (and its row-loop oracle) does not
-            f.write((",".join(fields) + "\n").encode())
-            pacsv.write_csv(
-                tbl, f,
-                pacsv.WriteOptions(include_header=False, quoting_style="none"),
-            )
-
+        write_csv_columnar(cols, fields, names, kmer_len, None,
+                           output_file_path)
     # ------------------------------------------------------------------ #
     # sharded checkpointing
     # ------------------------------------------------------------------ #

@@ -349,3 +349,19 @@ class TestLargeCsv:
         _, lk = _pair(_acgt_seqs(9, sizes=(64,)), 3, 8, make_mesh(2))
         with pytest.raises(ValueError, match="unrecognized fields"):
             lk.to_csv(4, str(tmp_path / "x.csv"), fields=["kmer", "nope"])
+
+    def test_group_size_without_full_info_never_raises(self, tmp_path):
+        # review-found parity bug: group_size used to route through
+        # get_kmers_full_arrays, whose beyond-segment check raised where
+        # Kmers.to_csv (via get_kmers_arrays) writes the file fine
+        km, lk = _pair(_acgt_seqs(9, sizes=(64,)), 3, 12, make_mesh(2))
+        a, b = tmp_path / "km.csv", tmp_path / "lk.csv"
+        km.to_csv(12, str(a), fields=["kmer_num", "group_size"])
+        lk.to_csv(12, str(b), fields=["kmer_num", "group_size"])
+        assert a.read_bytes() == b.read_bytes()
+        # ... but the kmer column still raises identically on both engines
+        with pytest.raises(ValueError) as e1:
+            km.to_csv(12, str(a), fields=["kmer", "group_size"])
+        with pytest.raises(ValueError) as e2:
+            lk.to_csv(12, str(b), fields=["kmer", "group_size"])
+        assert str(e1.value) == str(e2.value)

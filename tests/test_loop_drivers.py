@@ -29,6 +29,10 @@ def _repeat_genome(n=4096, unit=96, seed=0):
 
 
 def _both_drivers(monkeypatch, fn):
+    # a pre-set GKT_HOST_LOOPS (the axon escape hatch) would silently turn
+    # this into host==host — force the fused driver for the first run
+    monkeypatch.delenv("GKT_HOST_LOOPS", raising=False)
+    assert sort_mod._device_loops_ok()
     res_fused = fn()
     monkeypatch.setenv("GKT_HOST_LOOPS", "1")
     assert not sort_mod._device_loops_ok()
