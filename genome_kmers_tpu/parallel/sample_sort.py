@@ -271,6 +271,33 @@ def _sample_sort_gid_jit(genome, positions, cap_len, is_pad, gid, n_words, two_b
     return fn(genome, positions, cap_len, is_pad, gid)
 
 
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples",
+                                   "capacity", "window_bases", "max_cap",
+                                   "mesh"))
+def _refine_round_jit(genome, positions, cap_len, is_pad, gid, seg_starts,
+                      seg_ends, n_words, two_bit, n_samples, capacity, offset,
+                      window_bases, max_cap, mesh):
+    """One unbounded refinement round as a single program: gid-keyed
+    sample-sort exchange + global run structure over the new layout.
+    Returns (pos, pad, new_gid, flags) with flags = [overflow, unresolved]
+    stacked so the host learns both outcomes in ONE scalar transfer. On
+    overflow the run-structure half is wasted work, but overflow is the
+    rare retry path and the fused common case saves a full host sync per
+    round."""
+    pos, pad, g, overflow = _sample_sort_gid_jit(
+        genome, positions, cap_len, is_pad, gid, n_words, two_bit,
+        n_samples, capacity, offset, mesh,
+    )
+    new_gid, unresolved = _run_structure_jit(
+        genome, pos, pad, g, seg_starts, seg_ends,
+        n_words, two_bit, offset, window_bases, False, max_cap, mesh,
+    )
+    flags = jnp.stack(
+        [jnp.asarray(overflow, jnp.uint32), jnp.asarray(unresolved, jnp.uint32)]
+    )
+    return pos, pad, new_gid, flags
+
+
 def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offset,
                          window_bases, first, seg_starts, seg_ends, max_cap):
     """Global run structure after a refinement round: new run ids (global
@@ -422,21 +449,23 @@ def sample_sort_positions_unbounded(
         factor = capacity_factor
         while True:
             capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
-            out_pos, out_pad, out_gid, overflow = _sample_sort_gid_jit(
-                genome_g, rag_pos, cap, rag_pad, gid, n_words, two_bit,
-                min(n_samples, m), capacity, jnp.uint32(offset), mesh,
+            # exchange + run-structure fused: ONE dispatch and ONE scalar
+            # transfer per round (the split form paid a host sync on the
+            # overflow check and another on the unresolved check)
+            out_pos, out_pad, out_gid, flags = _refine_round_jit(
+                genome_g, rag_pos, cap, rag_pad, gid, seg_starts, seg_ends,
+                n_words, two_bit, min(n_samples, m), capacity,
+                jnp.uint32(offset), window_bases, max_cap, mesh,
             )
-            if int(overflow) == 0:
+            flags = np.asarray(flags)
+            if int(flags[0]) == 0:
                 break
             if capacity >= m:
                 raise AssertionError("unbounded sample sort overflow at full capacity")
             factor *= 2.0
-        rag_pos, rag_pad = out_pos, out_pad
+        rag_pos, rag_pad, gid = out_pos, out_pad, out_gid
         m = rag_pos.shape[0] // n_dev
-        gid, unresolved = _run_structure_jit(
-            genome_g, rag_pos, rag_pad, out_gid, seg_starts, seg_ends,
-            n_words, two_bit, jnp.uint32(offset), window_bases, False, max_cap, mesh,
-        )
+        unresolved = int(flags[1])
 
     if return_ragged:
         return rag_pos, rag_pad, gid
