@@ -559,6 +559,52 @@ class LargeKmers:
         gq = np.repeat(qualifies[b_idx], counts_per_group)
         return pos, surv, boundary, counts_per_group, b_idx, gst, gq
 
+    def get_kmers(
+        self,
+        kmer_len: Union[int, None] = None,
+        one_based_seq_index: bool = False,
+        kmer_filter_func=None,
+        kmer_info_to_yield: str = "minimum",
+        min_group_size: int = 1,
+        max_group_size: Union[int, None] = None,
+        yield_first_n: Union[int, None] = None,
+    ):
+        """Generator analog of ``Kmers.get_kmers`` (reference
+        kmers.py:869-992) for the 64-bit regime — same tuple shapes:
+        ``(kmer_num, group_size_yielded, group_size_total)`` for
+        "minimum", ``(kmer_num, strand, chrom, seq_start_idx, kmer_len,
+        group_size_yielded, group_size_total)`` for "full". Backed by the
+        bulk arrays (one vectorized pass, then a host loop over the
+        results); prefer the arrays directly at scale."""
+        if kmer_info_to_yield not in ("minimum", "full"):
+            raise ValueError(
+                f"kmer_info_to_yield ({kmer_info_to_yield}) not recognized"
+            )
+        if kmer_info_to_yield == "minimum":
+            nums, _, gsy, gst = self.get_kmers_arrays(
+                kmer_len, kmer_filter_func, min_group_size, max_group_size,
+                yield_first_n,
+            )
+            for i in range(len(nums)):
+                yield (int(nums[i]), int(gsy[i]), int(gst[i]))
+            return
+        d = self.get_kmers_full_arrays(
+            kmer_len, one_based_seq_index, kmer_filter_func, min_group_size,
+            max_group_size, yield_first_n,
+        )
+        names = self.record_names
+        for i in range(len(d["kmer_num"])):
+            rn = int(d["record_num"][i])
+            yield (
+                int(d["kmer_num"][i]),
+                str(d["strand"][i]),
+                names[rn] if names is not None else str(rn),
+                int(d["seq_start_idx"][i]),
+                int(d["kmer_len"][i]),
+                int(d["group_size_yielded"][i]),
+                int(d["group_size_total"][i]),
+            )
+
     def get_kmers_arrays(
         self,
         kmer_len: Union[int, None] = None,

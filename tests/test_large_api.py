@@ -365,3 +365,43 @@ class TestLargeCsv:
         with pytest.raises(ValueError) as e2:
             lk.to_csv(12, str(b), fields=["kmer", "group_size"])
         assert str(e1.value) == str(e2.value)
+
+
+class TestLargeGenerator:
+    """get_kmers generator parity: same tuples as the uint32 engine."""
+
+    def test_minimum_and_full_match(self):
+        km, lk = _pair(_acgt_seqs(21, sizes=(180, 90)), 8, 12, make_mesh(4))
+        a = list(km.get_kmers(8, kmer_info_to_yield="minimum",
+                              min_group_size=1))
+        b = list(lk.get_kmers(8, kmer_info_to_yield="minimum",
+                              min_group_size=1))
+        assert a == b and len(a) > 0
+        a = list(km.get_kmers(8, kmer_info_to_yield="full",
+                              one_based_seq_index=True))
+        b = list(lk.get_kmers(8, kmer_info_to_yield="full",
+                              one_based_seq_index=True))
+        assert a == b
+
+    def test_filtered_and_grouped_match(self):
+        km, lk = _pair(_acgt_seqs(22, sizes=(400,), p=(0.4, 0.1, 0.1, 0.4)),
+                       6, 10, make_mesh(2))
+        f = gen_kmer_gc_content_filter_func(0.2, 0.8, 6)
+        a = list(km.get_kmers(6, kmer_filter_func=f, min_group_size=2,
+                              yield_first_n=1))
+        b = list(lk.get_kmers(6, kmer_filter_func=f, min_group_size=2,
+                              yield_first_n=1))
+        assert a == b and len(a) > 0
+
+    def test_beyond_segment_raise_parity(self):
+        km, lk = _pair(_acgt_seqs(23, sizes=(70,)), 4, 12, make_mesh(2))
+        with pytest.raises(ValueError) as e1:
+            list(km.get_kmers(12, kmer_info_to_yield="full"))
+        with pytest.raises(ValueError) as e2:
+            list(lk.get_kmers(12, kmer_info_to_yield="full"))
+        assert str(e1.value) == str(e2.value)
+
+    def test_bad_info_kind(self):
+        _, lk = _pair(_acgt_seqs(9, sizes=(64,)), 3, 8, make_mesh(2))
+        with pytest.raises(ValueError, match="not recognized"):
+            list(lk.get_kmers(4, kmer_info_to_yield="nope"))
