@@ -573,36 +573,51 @@ class LargeKmers:
         kmers.py:869-992) for the 64-bit regime — same tuple shapes:
         ``(kmer_num, group_size_yielded, group_size_total)`` for
         "minimum", ``(kmer_num, strand, chrom, seq_start_idx, kmer_len,
-        group_size_yielded, group_size_total)`` for "full". Backed by the
-        bulk arrays (one vectorized pass, then a host loop over the
-        results); prefer the arrays directly at scale."""
+        group_size_yielded, group_size_total)`` for "full", same lazy
+        per-row beyond-segment raise (valid prefix rows are yielded
+        first). Two large-regime DIVERGENCES, both class-wide invariants:
+        a sorted index is required (``sort(mesh)`` first — the uint32
+        engine can walk unsorted indexes), and ``kmer_len=None`` means
+        ``max_kmer_len`` (this regime has no unbounded suffix mode, so
+        "full" yields fixed ``max_kmer_len`` rows where ``Kmers`` would
+        yield per-row suffix lengths). Backed by the bulk arrays (one
+        vectorized pass, then a host loop); prefer the arrays directly at
+        scale."""
+        self._require_sorted("get_kmers")
         if kmer_info_to_yield not in ("minimum", "full"):
             raise ValueError(
                 f"kmer_info_to_yield ({kmer_info_to_yield}) not recognized"
             )
+        nums, pos, gsy, gst = self.get_kmers_arrays(
+            kmer_len, kmer_filter_func, min_group_size, max_group_size,
+            yield_first_n,
+        )
         if kmer_info_to_yield == "minimum":
-            nums, _, gsy, gst = self.get_kmers_arrays(
-                kmer_len, kmer_filter_func, min_group_size, max_group_size,
-                yield_first_n,
-            )
             for i in range(len(nums)):
                 yield (int(nums[i]), int(gsy[i]), int(gst[i]))
             return
-        d = self.get_kmers_full_arrays(
-            kmer_len, one_based_seq_index, kmer_filter_func, min_group_size,
-            max_group_size, yield_first_n,
+        kmer_len = self._check_kmer_len(kmer_len)
+        record_num, strand, seq_idx, seg_e = self._record_cols(
+            pos, nums, kmer_len, one_based_seq_index, check=False
         )
         names = self.record_names
-        for i in range(len(d["kmer_num"])):
-            rn = int(d["record_num"][i])
+        viol = pos + np.uint64(kmer_len - 1) > seg_e
+        for i in range(len(nums)):
+            if viol[i]:
+                # parity with the uint32 engine's per-row check: the valid
+                # prefix has already been yielded when this fires
+                raise ValueError(
+                    f"kmer_len ({kmer_len}) for kmer_num ({int(nums[i])}) extends beyond the end of the segment"
+                )
+            rn = int(record_num[i])
             yield (
-                int(d["kmer_num"][i]),
-                str(d["strand"][i]),
+                int(nums[i]),
+                str(strand[i]),
                 names[rn] if names is not None else str(rn),
-                int(d["seq_start_idx"][i]),
-                int(d["kmer_len"][i]),
-                int(d["group_size_yielded"][i]),
-                int(d["group_size_total"][i]),
+                int(seq_idx[i]),
+                kmer_len,
+                int(gsy[i]),
+                int(gst[i]),
             )
 
     def get_kmers_arrays(
@@ -675,13 +690,14 @@ class LargeKmers:
             "group_size_total": gst,
         }
 
-    def _record_cols(self, pos, nums, kmer_len, one_based=False):
+    def _record_cols(self, pos, nums, kmer_len, one_based=False, check=True):
         """(record_num int64, strand U1, seq_start_idx, seg_e) for sorted
         rows, with the beyond-segment raise (first offending row, by
-        ``nums``) — shared by get_kmers_full_arrays and to_csv. For a
-        ``both_strands=True`` index, reverse-complement segments report
-        strand "-", forward-convention seq_start_idx, and record_num into
-        the original record list."""
+        ``nums``; ``check=False`` skips it so lazy callers can yield the
+        valid prefix first) — shared by get_kmers_full_arrays, get_kmers,
+        and to_csv. For a ``both_strands=True`` index, reverse-complement
+        segments report strand "-", forward-convention seq_start_idx, and
+        record_num into the original record list."""
         starts = self.seg_starts.astype(np.uint64)
         seg_ids = np.searchsorted(starts, pos, side="right") - 1
         seg_s = starts[seg_ids]
@@ -697,7 +713,7 @@ class LargeKmers:
             strand = np.full(len(pos), "+", dtype="U1")
             seq_idx = pos - seg_s + base
             record_num = seg_ids
-        if (pos + np.uint64(kmer_len - 1) > seg_e).any():
+        if check and (pos + np.uint64(kmer_len - 1) > seg_e).any():
             bad = int(nums[np.flatnonzero(pos + np.uint64(kmer_len - 1) > seg_e)[0]])
             raise ValueError(
                 f"kmer_len ({kmer_len}) for kmer_num ({bad}) extends beyond the end of the segment"

@@ -395,11 +395,27 @@ class TestLargeGenerator:
 
     def test_beyond_segment_raise_parity(self):
         km, lk = _pair(_acgt_seqs(23, sizes=(70,)), 4, 12, make_mesh(2))
-        with pytest.raises(ValueError) as e1:
-            list(km.get_kmers(12, kmer_info_to_yield="full"))
-        with pytest.raises(ValueError) as e2:
-            list(lk.get_kmers(12, kmer_info_to_yield="full"))
-        assert str(e1.value) == str(e2.value)
+
+        def collect(gen):
+            rows, err = [], None
+            try:
+                for r in gen:
+                    rows.append(r)
+            except ValueError as e:
+                err = str(e)
+            return rows, err
+
+        # the raise is LAZY in both engines: the valid prefix is yielded
+        # before the first violating row fires the error
+        rows1, err1 = collect(km.get_kmers(12, kmer_info_to_yield="full"))
+        rows2, err2 = collect(lk.get_kmers(12, kmer_info_to_yield="full"))
+        assert err1 is not None and err1 == err2
+        assert rows1 == rows2 and len(rows1) > 0
+
+    def test_requires_sorted_names_get_kmers(self):
+        lk = LargeKmers.from_records(_acgt_seqs(11, sizes=(500,)), 4, 8)
+        with pytest.raises(AssertionError, match="get_kmers"):
+            next(lk.get_kmers(4))
 
     def test_bad_info_kind(self):
         _, lk = _pair(_acgt_seqs(9, sizes=(64,)), 3, 8, make_mesh(2))

@@ -112,3 +112,46 @@ def test_unbounded_mesh_stats_parity():
     assert km_m.get_kmer_count(None, mesh=mesh, min_group_size=2) == km_s.get_kmer_count(None, min_group_size=2)
     print("8. count parity ok")
 
+
+
+def test_unbounded_overflow_retry_parity():
+    """The fused refinement round's overflow-retry path (capacity doubling
+    through _refine_round_jit, gid re-threading after a failed attempt)
+    must stay exact — an absurdly small capacity_factor forces retries on
+    every round. Repeat-heavy genome so multiple refinement rounds run."""
+    import jax.numpy as jnp
+
+    from genome_kmers_tpu.ops.keys import (
+        compute_seg_ends,
+        pack_rank2_words,
+        pack_rank_words,
+    )
+    from genome_kmers_tpu.ops.sort import sort_positions_suffix_dense
+    from genome_kmers_tpu.parallel.sample_sort import (
+        sample_sort_positions_unbounded,
+    )
+
+    rng = np.random.default_rng(31)
+    unit = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=80)
+    sba = np.concatenate([np.tile(unit, 6),
+                          rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                                     size=300)])
+    n_bp = len(sba)
+    seg_starts = jnp.zeros(1, dtype=jnp.uint32)
+    seg_ends = compute_seg_ends(seg_starts, n_bp)
+    packed = pack_rank_words(jnp.asarray(sba))
+    packed2 = pack_rank2_words(jnp.asarray(sba))
+    positions = jnp.arange(n_bp, dtype=jnp.uint32)
+    expected = np.asarray(
+        sort_positions_suffix_dense(packed, seg_starts, seg_ends, n_bp, 1,
+                                    None)
+    )
+    mesh = make_mesh(4)
+    for p2 in (packed2, None):
+        got = np.asarray(
+            sample_sort_positions_unbounded(
+                packed, positions, seg_starts, seg_ends, mesh, packed2=p2,
+                n_samples=4, capacity_factor=0.05,
+            )
+        )
+        assert np.array_equal(got, expected)
