@@ -6,8 +6,10 @@ The reference publishes no kmers.sort() numbers (BASELINE.md); its documented
 scale is "whole-genome calculations can take hours" for a ~3.1 Gbp genome
 (reference docs/overview.rst:20-21). We take the charitable end of that —
 2 hours for 3.1e9 k-mers ≈ 430e3 kmers/s — as the baseline denominator, and
-override it with a directly measured number in BASELINE_MEASURED.json when
-one exists (see tools/measure_reference_baseline.py).
+override it with a directly measured number when a BASELINE_MEASURED.json
+(schema: {"kmers_per_s": N}) exists at the repo root. The reference cannot
+execute in this image (no numba), so no measuring tool ships; drop the file
+in by hand if a measured number becomes available.
 
 Timing method: each measurement dispatches a CHAIN of sorts (output positions
 feed the next sort — lax.sort is data-oblivious, so a sorted input costs the
@@ -191,24 +193,35 @@ def main():
     # hung transfer thread cannot be interrupted from Python).
     health_budget_s = float(os.environ.get("GKT_BENCH_HEALTH_TIMEOUT", 600))
     done = threading.Event()
+    probe_exc = []
 
     def _probe():
         import jax.numpy as jnp
 
-        float(jnp.sum(jnp.arange(1024, dtype=jnp.float32)))
+        try:
+            float(jnp.sum(jnp.arange(1024, dtype=jnp.float32)))
+        except Exception as e:  # a raising probe is NOT a wedged chip —
+            # report the real traceback immediately instead of waiting out
+            # the watchdog and mislabeling it "device unresponsive"
+            probe_exc.append(f"{type(e).__name__}: {e}")
         done.set()
 
     threading.Thread(target=_probe, daemon=True).start()
-    if not done.wait(health_budget_s):
+    if not done.wait(health_budget_s) or probe_exc:
+        err = (
+            f"health probe failed: {probe_exc[0]}"
+            if probe_exc
+            else (
+                f"device unresponsive: trivial transfer did not complete in "
+                f"{health_budget_s:.0f}s (backend {jax.default_backend()})"
+            )
+        )
         print(json.dumps({
             "metric": f"k{k}_sorted_index_build_throughput",
             "value": 0,
             "unit": "kmers/s/chip",
             "vs_baseline": 0,
-            "error": (
-                f"device unresponsive: trivial transfer did not complete in "
-                f"{health_budget_s:.0f}s (backend {jax.default_backend()})"
-            ),
+            "error": err,
         }))
         os._exit(3)
 
@@ -260,7 +273,12 @@ def main():
     # folded refinement (ops/sort.sort_positions_suffix_dense)
     if os.environ.get("GKT_BENCH_SUFFIX", "1") != "0":
         try:
-            sfx = measure_suffix(n_bp, max(1, reps - 1), max(1, chain - 1))
+            # full reps (median-of-3 by default): each chain link pays the
+            # per-round ~31 ms resolve sync on axon, so this track is more
+            # transfer-jitter-sensitive than the headline — two reps left a
+            # ~12% builder-vs-driver gap in round 4 (BENCH_r04 128.9M vs the
+            # measured 146M); a 3-sample median absorbs one outlier rep
+            sfx = measure_suffix(n_bp, reps, max(1, chain - 1))
             out["suffix"] = {
                 "bp": n_bp,
                 "value": round(sfx, 1),

@@ -28,6 +28,7 @@ from .kmers import (
     kmer_info_by_group_generator,
 )
 from .large_kmers import LargeKmers
+from .ops.filters import VectorizedFilter
 from .sequence_collection import SequenceCollection
 
 __version__ = "0.1.0"
@@ -36,6 +37,7 @@ __all__ = [
     "Kmers",
     "LargeKmers",
     "SequenceCollection",
+    "VectorizedFilter",
     "compare_sba_kmers_always_less_than",
     "compare_sba_kmers_lexicographically",
     "crispr_ngg_pam_filter",

@@ -43,6 +43,11 @@ from .sequence_collection import SequenceCollection
 
 _DOLLAR = ord("$")
 
+# index size at which the arbitrary-callable filter path (a per-position
+# Python loop) warns and points at VectorizedFilter; module-level so tests
+# can lower it without walking a million positions
+_CALLABLE_WARN_THRESHOLD = 1_000_000
+
 
 # --------------------------------------------------------------------------- #
 # comparison kernels (host parity versions of reference kmers.py:262-397)
@@ -682,7 +687,22 @@ class Kmers:
         (the documented slow path). In both mode each position is presented
         in ITS strand's own SBA coordinates, preserving the reference's
         single-strand filter contract."""
+        import warnings
+
         n = len(positions)
+        if n >= _CALLABLE_WARN_THRESHOLD:
+            # a plain callable walks every position in Python — minutes at
+            # index scale; surface the fast path instead of silently crawling
+            warnings.warn(
+                f"kmer filter {getattr(f, '__name__', type(f).__name__)} is an "
+                f"arbitrary callable, so it runs as a per-position Python loop "
+                f"over {n} positions (the reference's walk semantics). For a "
+                f"vectorized device evaluation wrap it as "
+                f"genome_kmers_tpu.VectorizedFilter, or use the library "
+                f"KmerFilter classes.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         if self.kmer_source_strand == "both":
             off = self._revcomp_offset()
             fwd, rc = self.seq_coll.forward_sba, self.seq_coll.revcomp_sba

@@ -816,7 +816,12 @@ class LargeKmers:
             elif field == "group_size":
                 cols[field] = gst
         if "chrom" in cols and names is None:
-            names = [str(i) for i in range(int(cols["chrom"].max()) + 1)]
+            # zero-row output (fully-filtered index): header-only CSV, no ids
+            names = (
+                [str(i) for i in range(int(cols["chrom"].max()) + 1)]
+                if len(cols["chrom"])
+                else []
+            )
         write_csv_columnar(cols, fields, names, kmer_len, None,
                            output_file_path)
     # ------------------------------------------------------------------ #

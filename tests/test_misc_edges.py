@@ -46,3 +46,27 @@ def test_len_from_geometry_without_materialization():
     assert km._pos_host is None and km._pos_dev is None  # lazy
     assert len(km) == 9  # answered from geometry
     assert km._pos_host is None  # still not materialized
+
+
+def test_callable_filter_slow_path_warns(monkeypatch):
+    """An arbitrary-callable filter over a big index warns (host Python walk)
+    and points at VectorizedFilter; small indexes stay silent."""
+    import warnings
+
+    import genome_kmers_tpu.kmers as kmers_mod
+
+    sc = SequenceCollection(sequence_list=[("c", "ATCGAATTAG")], strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=3, max_kmer_len=3)
+    km.sort()
+
+    def keep_all(sba, sba_strand, idx):
+        return True
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a warning would raise
+        n_quiet = km.get_kmer_count(3, kmer_filter_func=keep_all)
+
+    monkeypatch.setattr(kmers_mod, "_CALLABLE_WARN_THRESHOLD", 1)
+    with pytest.warns(RuntimeWarning, match="VectorizedFilter"):
+        n_warn = km.get_kmer_count(3, kmer_filter_func=keep_all)
+    assert n_quiet == n_warn == len(km)
