@@ -12,8 +12,15 @@ is ``ops/large.py`` + ``parallel/large.py`` (see docs/algorithm.md, "The
 ``sort`` / ``get_kmer_group_counts`` / ``get_kmer_count`` surface.
 
 The regime is distributed by design: ``sort`` requires a
-``jax.sharding.Mesh`` (a 1-device mesh works) and a bounded
-``max_kmer_len`` (<= 64 on the 2-bit path, <= 32 on 4-bit).
+``jax.sharding.Mesh`` (a 1-device mesh works). ``max_kmer_len`` may be any
+bound — or ``None`` for SUFFIX MODE (compare to each segment's end,
+reference kmers.py:315-316): one-window builds (<= 64 bases on the 2-bit
+pack, <= 32 on 4-bit) sort in a single exchange, anything longer runs the
+pair-gid iterative refinement
+(parallel.sample_sort.sample_sort_positions_large_unbounded). A
+``both_strands=True`` index additionally supports
+``track_strands_separately`` (strand-split group statistics — the large
+analog of ``Kmers.from_strand``'s extra boundary term).
 
 Memory note: the host position array is 8 bytes per k-mer (~50 GB for a
 both-strand human genome). At that scale run multi-host so each process
@@ -48,27 +55,28 @@ class LargeKmers:
         seg_starts_u64: np.ndarray,
         seg_ends_u64: np.ndarray,
         min_kmer_len: int,
-        max_kmer_len: int,
+        max_kmer_len: Union[int, None],
         two_bit: bool = True,
         record_names: Union[list, None] = None,
     ) -> None:
         limit = 64 if two_bit else 32
-        if max_kmer_len is None or max_kmer_len > limit:
-            raise NotImplementedError(
-                f"the large regime requires a bounded max_kmer_len <= {limit}"
-                f" ({'2' if two_bit else '4'}-bit pack)"
-            )
-        if min_kmer_len < 1 or min_kmer_len > max_kmer_len:
+        if min_kmer_len < 1 or (
+            max_kmer_len is not None and min_kmer_len > max_kmer_len
+        ):
             raise ValueError(
                 f"min_kmer_len ({min_kmer_len}) must be in [1, max_kmer_len]"
             )
+        # suffix mode (max_kmer_len=None) / beyond-one-window bounds take
+        # the pair-gid iterative-refinement sort; one-window bounds take the
+        # single-exchange sample sort with retained lanes
+        self._one_window = max_kmer_len is not None and max_kmer_len <= limit
         self.packed_words = np.asarray(packed_words, dtype=np.uint32)
         self.seg_starts = np.asarray(seg_starts_u64, dtype=np.uint64)
         self.seg_ends = np.asarray(seg_ends_u64, dtype=np.uint64)
         if len(self.seg_starts) != len(self.seg_ends) or len(self.seg_starts) == 0:
             raise ValueError("segment starts/ends must be non-empty and aligned")
         self.min_kmer_len = int(min_kmer_len)
-        self.max_kmer_len = int(max_kmer_len)
+        self.max_kmer_len = None if max_kmer_len is None else int(max_kmer_len)
         self.two_bit = bool(two_bit)
         self.record_names = record_names
         seg_kmers = (
@@ -85,6 +93,10 @@ class LargeKmers:
         self._is_sorted = False
         self._custom_positions = False
         self._n_fwd_records = None  # set by from_records(both_strands=True)
+        self._track_strands = False  # from_records(track_strands_separately=)
+        # converged refinement run-id pairs: {identity_kmer_len: (ghi, glo)}
+        # — identity None = full suffix; rebuilt lazily after a restore
+        self._gid_cache = {}
 
     # ------------------------------------------------------------------ #
     # construction
@@ -95,9 +107,10 @@ class LargeKmers:
         cls,
         records: Iterable,
         min_kmer_len: int,
-        max_kmer_len: int,
+        max_kmer_len: Union[int, None],
         both_strands: bool = False,
         two_bit: Union[bool, None] = None,
+        track_strands_separately: bool = False,
     ) -> "LargeKmers":
         """Build streaming from ``(name, sequence)`` pairs (str or bytes).
 
@@ -105,11 +118,23 @@ class LargeKmers:
         concatenated ASCII SBA never materializes. ``both_strands=True``
         appends every record's reverse complement as additional segments
         (the large-regime analog of ``Kmers.from_strand(source_strand=
-        "both")`` — equal strings from the two strands share groups).
+        "both")`` — equal strings from the two strands share groups);
+        ``track_strands_separately=True`` additionally splits every group
+        by strand (the large analog of the uint32 engine's extra boundary
+        term — the reference declares the flag but raises, reference
+        kmers.py:689-692, and cannot reach this scale at all). Within an
+        equal-string run the position tie-break orders all "+" rows (the
+        forward segments, lower coordinates) before all "-" rows, so
+        strand-split groups stay contiguous — one extra identity lane in
+        the distributed stats, not an extra sort pass.
         ``two_bit=None`` autodetects by scanning the records first, so
         ``records`` must be re-iterable (a list); pass an explicit bool to
         stream a one-shot iterator.
         """
+        if track_strands_separately and not both_strands:
+            raise ValueError(
+                "track_strands_separately can only be true if both_strands is True"
+            )
         if two_bit is None or both_strands:
             records = list(records)
         if two_bit is None:
@@ -181,12 +206,13 @@ class LargeKmers:
         )
         if both_strands:
             out._n_fwd_records = len(names) // 2
+            out._track_strands = bool(track_strands_separately)
         return out
 
     @classmethod
     def from_sequence_collection(
-        cls, seq_coll, min_kmer_len: int, max_kmer_len: int,
-        both_strands: bool = False,
+        cls, seq_coll, min_kmer_len: int, max_kmer_len: Union[int, None],
+        both_strands: bool = False, track_strands_separately: bool = False,
     ) -> "LargeKmers":
         """Build from an existing (host-sized) SequenceCollection — useful
         when an index was prototyped with ``Kmers`` and the workload then
@@ -197,7 +223,7 @@ class LargeKmers:
         ]
         return cls.from_records(
             records, min_kmer_len, max_kmer_len, both_strands=both_strands,
-            two_bit=None,
+            two_bit=None, track_strands_separately=track_strands_separately,
         )
 
     # ------------------------------------------------------------------ #
@@ -218,13 +244,26 @@ class LargeKmers:
         return self.num_kmers
 
     def sort(self, mesh, positions: Union[np.ndarray, None] = None) -> None:
-        """Distributed 64-bit sample sort of the index over ``mesh``
-        (parallel.sample_sort_positions_large_ragged); the sorted layout —
-        positions, pad flags, AND the sorted key lanes — stays
-        device-resident, so every statistics/filter/query call afterwards
-        runs gather-free over the retained lanes. ``positions`` optionally
-        restricts the index to an explicit uint64 subset."""
-        from .parallel.sample_sort import sample_sort_positions_large_ragged
+        """Distributed 64-bit sample sort of the index over ``mesh``.
+
+        One-window bounds (<= 64 bases 2-bit / <= 32 4-bit) take the single
+        sample-sort exchange (parallel.sample_sort_positions_large_ragged);
+        the sorted layout — positions, pad flags, AND the sorted key
+        lanes — stays device-resident, so every statistics/filter/query
+        call afterwards runs gather-free over the retained lanes.
+
+        Suffix mode (``max_kmer_len=None``) and longer bounds take the
+        pair-gid iterative refinement
+        (parallel.sample_sort_positions_large_unbounded); the converged run
+        ids are retained as the built-identity group structure, so stats at
+        ``kmer_len=None`` need zero refinement rounds.
+
+        ``positions`` optionally restricts the index to an explicit uint64
+        subset."""
+        from .parallel.sample_sort import (
+            sample_sort_positions_large_ragged,
+            sample_sort_positions_large_unbounded,
+        )
 
         if positions is None:
             pos = self.build_positions()
@@ -232,11 +271,22 @@ class LargeKmers:
         else:
             pos = np.asarray(positions, dtype=np.uint64)
             self._custom_positions = True
-        (hi, lo), is_pad, lanes = sample_sort_positions_large_ragged(
-            self.packed_words, pos, self.seg_starts, self.seg_ends,
-            self.max_kmer_len, mesh, two_bit=self.two_bit, return_lanes=True,
-        )
-        self._sorted = ((hi, lo), is_pad, mesh, len(pos), lanes)
+        self._gid_cache = {}
+        if self._one_window:
+            (hi, lo), is_pad, lanes = sample_sort_positions_large_ragged(
+                self.packed_words, pos, self.seg_starts, self.seg_ends,
+                self.max_kmer_len, mesh, two_bit=self.two_bit,
+                return_lanes=True,
+            )
+            self._sorted = ((hi, lo), is_pad, mesh, len(pos), lanes)
+        else:
+            (hi, lo), is_pad, gid = sample_sort_positions_large_unbounded(
+                self.packed_words, pos, self.seg_starts, self.seg_ends,
+                mesh, two_bit=self.two_bit, max_kmer_len=self.max_kmer_len,
+            )
+            self._sorted = ((hi, lo), is_pad, mesh, len(pos), None)
+            # built identity (suffix when max_kmer_len is None) comes free
+            self._gid_cache[self.max_kmer_len] = gid
         self._is_sorted = True
 
     def sorted_positions(self) -> np.ndarray:
@@ -268,24 +318,83 @@ class LargeKmers:
 
     def _check_kmer_len(self, kmer_len):
         if kmer_len is None:
-            kmer_len = self.max_kmer_len
-        if kmer_len < 1 or kmer_len > self.max_kmer_len:
+            # reference parity (round 5): kmer_len=None means UNBOUNDED
+            # suffix comparison in group identity — on ANY build, exactly
+            # like the uint32 engine and the reference comparator
+            # (reference kmers.py:315-316: max_kmer_len=None compares to
+            # the segment end). Extraction lengths clamp to max_kmer_len
+            # separately (_row_lens).
+            return None
+        if kmer_len < 1 or (
+            self.max_kmer_len is not None and kmer_len > self.max_kmer_len
+        ):
             raise ValueError(
                 f"kmer_len ({kmer_len}) must be in [1, max_kmer_len ({self.max_kmer_len})]"
             )
         return kmer_len
 
+    def _row_lens(self, pos, seg_e) -> np.ndarray:
+        """Per-row extraction lengths for ``kmer_len=None``: natural length
+        (to the segment end) clamped at ``max_kmer_len`` — the uint32
+        engine's ``get_kmer_str(num, None)`` rule."""
+        lens = (seg_e - pos + np.uint64(1)).astype(np.int64)
+        if self.max_kmer_len is not None:
+            lens = np.minimum(lens, np.int64(self.max_kmer_len))
+        return lens
+
+    @property
+    def _lanes_k(self) -> int:
+        """Built length of the retained/rebuilt key lanes: the bounded
+        max_kmer_len when it fits one window, else one full window — lane
+        filters and bounded-k fast paths evaluate at this length."""
+        limit = 64 if self.two_bit else 32
+        return self.max_kmer_len if self._one_window else limit
+
+    def _strand_split(self) -> Union[int, None]:
+        """uint64 position threshold splitting "+" rows from "-" rows for
+        track_strands_separately group identity, or None."""
+        if not self._track_strands:
+            return None
+        return int(self.seg_starts[self._n_fwd_records])
+
+    def _ensure_gid(self, kmer_len) -> tuple:
+        """Converged (hi, lo) run-id pair at ``kmer_len`` identity (None =
+        full suffix) over the sorted layout, via window refinement
+        (parallel.distributed_adjacent_gids_large), cached per identity.
+        The identity the sort itself converged on is retained by ``sort``
+        for free; a restored checkpoint rebuilds lazily here."""
+        if kmer_len not in self._gid_cache:
+            from .parallel.sample_sort import distributed_adjacent_gids_large
+
+            (hi, lo), is_pad, mesh, _, _ = self._sorted
+            self._gid_cache[kmer_len] = distributed_adjacent_gids_large(
+                self.packed_words, hi, lo, is_pad, self.seg_starts,
+                self.seg_ends, kmer_len, mesh, two_bit=self.two_bit,
+            )
+        return self._gid_cache[kmer_len]
+
+    def _identity_kwargs(self, kmer_len) -> dict:
+        """Group-identity arguments for a large stats call: in-kernel key
+        words for one-window ``kmer_len``; converged run ids (``ext_gid``)
+        for suffix (None) / beyond-window identity."""
+        limit = 64 if self.two_bit else 32
+        if kmer_len is None or kmer_len > limit:
+            return {"kmer_len": None, "ext_gid": self._ensure_gid(kmer_len)}
+        return {"kmer_len": kmer_len, "ext_gid": None}
+
     def _ensure_lanes(self):
-        """Retained sorted key lanes (words + cap), rebuilding them once
-        from the sorted positions when absent — a restored checkpoint has
-        no in-process sort to retain lanes from."""
+        """Retained sorted key lanes (words + cap) at ``_lanes_k``,
+        rebuilding them once from the sorted positions when absent — a
+        restored checkpoint (or an unbounded-mode sort, which retains run
+        ids instead of lanes) has no in-process one-window sort to retain
+        lanes from."""
         (hi, lo), is_pad, mesh, n_real, lanes = self._sorted
         if lanes is None:
             from .parallel.large import rebuild_large_lanes
 
             lanes = rebuild_large_lanes(
                 self.packed_words, hi, lo, is_pad, self.seg_starts,
-                self.seg_ends, self.max_kmer_len, mesh, self.two_bit,
+                self.seg_ends, self._lanes_k, mesh, self.two_bit,
             )
             self._sorted = ((hi, lo), is_pad, mesh, n_real, lanes)
         return lanes
@@ -297,6 +406,8 @@ class LargeKmers:
         retained cap lane once (the CRISPR PAM lanes flags depend on it)."""
         if not self._custom_positions:
             return True
+        if self.min_kmer_len > self._lanes_k:
+            return False  # the cap lane saturates below min_kmer_len
         import jax.numpy as jnp
 
         _, is_pad, _, _, _ = self._sorted
@@ -333,13 +444,14 @@ class LargeKmers:
         (hi, lo), is_pad, mesh, _, _ = self._sorted
         lanes = self._ensure_lanes()
         bpw = 16 if self.two_bit else 8
-        nwb = -(-self.max_kmer_len // bpw)
+        lanes_k = self._lanes_k
+        nwb = -(-lanes_k // bpw)
         words = tuple(lanes[:nwb])
         cap_lane = lanes[nwb]
         base = max(0, self.sba_len - (1 << 31))
         lanes_dict = {
             "two_bit": self.two_bit,
-            "built_k": self.max_kmer_len,
+            "built_k": lanes_k,
             "words": words,
             "cap": cap_lane,
             "cap_cover_check": self._cap_covers_min_k,
@@ -351,13 +463,13 @@ class LargeKmers:
             raise NotImplementedError(
                 f"filter {type(kmer_filter_func).__name__} cannot be "
                 f"evaluated on the large index's key lanes at this "
-                f"configuration (built max_kmer_len={self.max_kmer_len}, "
+                f"configuration (lane length {lanes_k}, "
                 f"min_kmer_len={self.min_kmer_len})"
             )
         flags_fn, params, msgs = spec
         mask, err = large_lanes_filter_flags(
             words, cap_lane, hi, lo, is_pad, jnp.asarray(params), flags_fn,
-            base, self.max_kmer_len,
+            base, lanes_k,
         )
         err = np.asarray(err)
         if len(err) and int(err[0]):
@@ -375,12 +487,17 @@ class LargeKmers:
     ) -> tuple[np.ndarray, int]:
         """Group-size histogram (uint64) + exact total over the sorted
         sharded layout (parallel.distributed_group_size_histogram_large_
-        ragged), gather-free over the retained sorted lanes. ``kmer_len``
-        defaults to ``max_kmer_len``; any ``kmer_len <= max_kmer_len`` is
-        exact (the sorted order refines every shorter-prefix order).
-        ``kmer_filter_func``: a library KmerFilter — survivors are counted
-        in unfiltered group identity, the reference's previous-survivor
-        walk semantics (reference kmers.py:597-601)."""
+        ragged), gather-free over the retained sorted lanes. Any bounded
+        ``kmer_len <= max_kmer_len`` is exact (the sorted order refines
+        every shorter-prefix order); ``kmer_len=None`` means UNBOUNDED
+        suffix identity on ANY build (compare to each segment's end —
+        reference kmers.py:315-316, matching the uint32 engine's walk),
+        via converged refinement run ids (retained by a suffix-mode sort,
+        window-refined otherwise). ``kmer_filter_func``: a library
+        KmerFilter — survivors are counted in unfiltered group identity,
+        the reference's previous-survivor walk semantics (reference
+        kmers.py:597-601). With ``track_strands_separately`` groups
+        additionally split by strand."""
         from .parallel.large import distributed_group_size_histogram_large_ragged
 
         self._require_sorted()
@@ -389,12 +506,14 @@ class LargeKmers:
             raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
         mask = self._filter_mask(kmer_filter_func, kmer_len)
         (hi, lo), is_pad, mesh, _, lanes = self._sorted
+        idk = self._identity_kwargs(kmer_len)
         return distributed_group_size_histogram_large_ragged(
             self.packed_words, hi, lo, is_pad, self.seg_starts, self.seg_ends,
-            kmer_len, mesh, min_group_size=min_group_size,
+            idk["kmer_len"], mesh, min_group_size=min_group_size,
             max_group_size=max_group_size, max_counts_bin=max_counts_bin,
             two_bit=self.two_bit, sorted_words=lanes,
-            built_k=self.max_kmer_len, mask=mask,
+            built_k=self._lanes_k if lanes is not None else None, mask=mask,
+            ext_gid=idk["ext_gid"], strand_split=self._strand_split(),
         )
 
     def get_kmer_count(
@@ -490,6 +609,13 @@ class LargeKmers:
         if kmer_len is None:
             kmer_len = len(queries[0])
         kmer_len = self._check_kmer_len(kmer_len)
+        limit = 64 if self.two_bit else 32
+        if kmer_len > limit:
+            raise NotImplementedError(
+                f"count_queries requires kmer_len <= {limit} (query keys "
+                f"are one-window; the sorted order itself supports any "
+                f"kmer_len)"
+            )
         (hi, lo), is_pad, mesh, _, _ = self._sorted
         return distributed_count_queries_large(
             self.packed_words, hi, lo, is_pad, self.seg_starts, self.seg_ends,
@@ -533,12 +659,15 @@ class LargeKmers:
 
         mask_dev = self._filter_mask(kmer_filter_func, kmer_len)
         (hi, lo), is_pad, mesh, n_real, lanes = self._sorted
+        idk = self._identity_kwargs(kmer_len)
         _, _, rows = distributed_group_size_histogram_large_ragged(
             self.packed_words, hi, lo, is_pad, self.seg_starts, self.seg_ends,
-            kmer_len, mesh, min_group_size=min_group_size,
+            idk["kmer_len"], mesh, min_group_size=min_group_size,
             max_group_size=max_group_size, max_counts_bin=1,
             two_bit=self.two_bit, sorted_words=lanes,
-            built_k=self.max_kmer_len, mask=mask_dev, return_rows=True,
+            built_k=self._lanes_k if lanes is not None else None,
+            mask=mask_dev, return_rows=True,
+            ext_gid=idk["ext_gid"], strand_split=self._strand_split(),
         )
         pad = np.asarray(is_pad)
         keep = pad == 0
@@ -575,14 +704,13 @@ class LargeKmers:
         "minimum", ``(kmer_num, strand, chrom, seq_start_idx, kmer_len,
         group_size_yielded, group_size_total)`` for "full", same lazy
         per-row beyond-segment raise (valid prefix rows are yielded
-        first). Two large-regime DIVERGENCES, both class-wide invariants:
-        a sorted index is required (``sort(mesh)`` first — the uint32
-        engine can walk unsorted indexes), and ``kmer_len=None`` means
-        ``max_kmer_len`` (this regime has no unbounded suffix mode, so
-        "full" yields fixed ``max_kmer_len`` rows where ``Kmers`` would
-        yield per-row suffix lengths). Backed by the bulk arrays (one
-        vectorized pass, then a host loop); prefer the arrays directly at
-        scale."""
+        first). One large-regime DIVERGENCE, a class-wide invariant: a
+        sorted index is required (``sort(mesh)`` first — the uint32
+        engine can walk unsorted indexes). ``kmer_len=None`` means
+        unbounded-suffix group identity with "full" yielding per-row
+        natural lengths clamped at ``max_kmer_len``, matching ``Kmers``.
+        Backed by the bulk arrays (one vectorized pass, then a host
+        loop); prefer the arrays directly at scale."""
         self._require_sorted("get_kmers")
         if kmer_info_to_yield not in ("minimum", "full"):
             raise ValueError(
@@ -601,7 +729,14 @@ class LargeKmers:
             pos, nums, kmer_len, one_based_seq_index, check=False
         )
         names = self.record_names
-        viol = pos + np.uint64(kmer_len - 1) > seg_e
+        if kmer_len is None:
+            # per-row natural lengths clamped at max_kmer_len (the uint32
+            # engine's rule), never beyond-segment
+            viol = np.zeros(len(nums), dtype=bool)
+            row_len = self._row_lens(pos, seg_e)
+        else:
+            viol = pos + np.uint64(kmer_len - 1) > seg_e
+            row_len = None
         for i in range(len(nums)):
             if viol[i]:
                 # parity with the uint32 engine's per-row check: the valid
@@ -615,7 +750,7 @@ class LargeKmers:
                 str(strand[i]),
                 names[rn] if names is not None else str(rn),
                 int(seq_idx[i]),
-                kmer_len,
+                kmer_len if row_len is None else int(row_len[i]),
                 int(gsy[i]),
                 int(gst[i]),
             )
@@ -677,7 +812,7 @@ class LargeKmers:
             kmer_len, kmer_filter_func, min_group_size, max_group_size,
             yield_first_n,
         )
-        record_num, strand, seq_idx, _ = self._record_cols(
+        record_num, strand, seq_idx, seg_e = self._record_cols(
             pos, nums, kmer_len, one_based_seq_index
         )
         return {
@@ -685,7 +820,12 @@ class LargeKmers:
             "record_num": record_num,
             "strand": strand,
             "seq_start_idx": seq_idx,
-            "kmer_len": np.full(len(pos), kmer_len, dtype=np.int64),
+            # kmer_len None: per-row natural lengths clamped at max_kmer_len
+            "kmer_len": (
+                np.full(len(pos), kmer_len, dtype=np.int64)
+                if kmer_len is not None
+                else self._row_lens(pos, seg_e)
+            ),
             "group_size_yielded": gsy,
             "group_size_total": gst,
         }
@@ -713,7 +853,11 @@ class LargeKmers:
             strand = np.full(len(pos), "+", dtype="U1")
             seq_idx = pos - seg_s + base
             record_num = seg_ids
-        if check and (pos + np.uint64(kmer_len - 1) > seg_e).any():
+        if (
+            check
+            and kmer_len is not None
+            and (pos + np.uint64(kmer_len - 1) > seg_e).any()
+        ):
             bad = int(nums[np.flatnonzero(pos + np.uint64(kmer_len - 1) > seg_e)[0]])
             raise ValueError(
                 f"kmer_len ({kmer_len}) for kmer_num ({bad}) extends beyond the end of the segment"
@@ -723,8 +867,10 @@ class LargeKmers:
     def get_kmer_strs(self, kmer_nums, kmer_len: Union[int, None] = None) -> list:
         """Decode many k-mers at once from the strided pack (no byte SBA
         exists in this regime). kmer_num indexes the globally sorted
-        order."""
-        from .ops.large import decode_strided_np
+        order. In suffix mode ``kmer_len=None`` decodes each row at its
+        natural length (to the segment end), matching
+        ``Kmers.get_kmer_strs(None)``."""
+        from .ops.large import decode_strided_np, decode_strided_var_np
 
         self._require_sorted("get_kmer_strs")
         kmer_len = self._check_kmer_len(kmer_len)
@@ -737,6 +883,16 @@ class LargeKmers:
         starts = self.seg_starts.astype(np.uint64)
         seg_ids = np.searchsorted(starts, pos, side="right") - 1
         seg_e = self.seg_ends.astype(np.uint64)[seg_ids]
+        if kmer_len is None:
+            lens = self._row_lens(pos, seg_e)
+            data, offsets = decode_strided_var_np(
+                self.packed_words, pos, lens, self.two_bit
+            )
+            b = data.tobytes()
+            return [
+                b[offsets[r] : offsets[r + 1]].decode("ascii")
+                for r in range(len(pos))
+            ]
         if (pos + np.uint64(kmer_len - 1) > seg_e).any():
             bad = int(nums[np.flatnonzero(pos + np.uint64(kmer_len - 1) > seg_e)[0]])
             raise ValueError(
@@ -755,16 +911,18 @@ class LargeKmers:
         reference's to_csv is an empty stub (reference kmers.py:1733-1737)
         and its engine hard-fails past 2^32 kmers (kmers.py:805-808).
         Same fields and byte-identical output as Kmers.to_csv on genomes
-        both engines can hold (tests/test_large_api.py); bounded kmer_len
-        only (the large regime's invariant). Columnar throughout: strided
-        bulk decode for the kmer column + the shared pyarrow C CSV writer
-        (io/csv_out.py), no per-row Python loop. NOTE: materializes
+        both engines can hold (tests/test_large_api.py). In suffix mode
+        ``kmer_len=None`` writes each row's natural-length suffix (variable
+        width, matching Kmers.to_csv(None) — output is O(sum of suffix
+        lengths), sane only for modest genomes). Columnar throughout:
+        strided bulk decode for the kmer column + the shared pyarrow C CSV
+        writer (io/csv_out.py), no per-row Python loop. NOTE: materializes
         O(rows) host memory — at multi-billion-row scale extract a
         filtered slice first (``get_kmers_full_arrays(kmer_filter_func=,
         min_group_size=, max_group_size=, yield_first_n=)`` +
         ``get_kmer_strs``) instead of writing every row."""
         from .io.csv_out import write_csv_columnar
-        from .ops.large import decode_strided_np
+        from .ops.large import decode_strided_np, decode_strided_var_np
 
         allowed = {"kmer", "kmer_num", "chrom", "start", "strand", "group_size"}
         bad = set(fields) - allowed
@@ -775,7 +933,7 @@ class LargeKmers:
         fset = set(fields)
         need_full = bool({"chrom", "start", "strand"} & fset)
         names = self.record_names
-        record_num = strand_col = seq_idx = gst = None
+        record_num = strand_col = seq_idx = gst = seg_e = None
         if "group_size" not in fset:
             # lean path: default group params yield every row in sorted
             # order — skip the group-geometry pass entirely
@@ -784,7 +942,7 @@ class LargeKmers:
             if need_full or "kmer" in fset:
                 # _record_cols raises the Kmers.to_csv lean-path
                 # beyond-segment error (first offending row)
-                record_num, strand_col, seq_idx, _ = self._record_cols(
+                record_num, strand_col, seq_idx, seg_e = self._record_cols(
                     pos, nums, kmer_len
                 )
         else:
@@ -794,12 +952,22 @@ class LargeKmers:
             # actually need the segment extents)
             nums, pos, _, gst = self.get_kmers_arrays(kmer_len)
             if need_full or "kmer" in fset:
-                record_num, strand_col, seq_idx, _ = self._record_cols(
+                record_num, strand_col, seq_idx, seg_e = self._record_cols(
                     pos, nums, kmer_len
                 )
+        var_kmer = None
         cols = {}
         for field in dict.fromkeys(fields):
             if field == "kmer":
+                if kmer_len is None:
+                    # per-row natural-length (clamped at max_kmer_len)
+                    # decode into an arrow-style (data, offsets) column
+                    lens = self._row_lens(pos, seg_e)
+                    var_kmer = decode_strided_var_np(
+                        self.packed_words, pos, lens, self.two_bit
+                    )
+                    cols[field] = var_kmer
+                    continue
                 block = np.ascontiguousarray(
                     decode_strided_np(self.packed_words, pos, kmer_len,
                                       self.two_bit)
@@ -822,7 +990,7 @@ class LargeKmers:
                 if len(cols["chrom"])
                 else []
             )
-        write_csv_columnar(cols, fields, names, kmer_len, None,
+        write_csv_columnar(cols, fields, names, kmer_len, var_kmer,
                            output_file_path)
     # ------------------------------------------------------------------ #
     # sharded checkpointing
@@ -846,3 +1014,7 @@ class LargeKmers:
         from .parallel.checkpoint import load_large_kmers
 
         load_large_kmers(self, path, mesh)
+        # converged run ids are not persisted; suffix/beyond-window group
+        # identity rebuilds lazily via _ensure_gid (window refinement over
+        # the restored layout)
+        self._gid_cache = {}

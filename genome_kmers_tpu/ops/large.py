@@ -185,12 +185,16 @@ def pack_rank_strided_np(sba_u8: np.ndarray, extra_words: int = 8) -> np.ndarray
 def _funnel_words(packed_s, pos_hi, pos_lo, cap_len, n_words, offset,
                   log2_bpw, bits, masks):
     """Shared funnel-shift core: key word w covers bases
-    [offset + bpw*w, offset + bpw*(w+1)) from each position."""
+    [offset + bpw*w, offset + bpw*(w+1)) from each position. ``offset`` may
+    be a TRACED uint32 scalar — the unbounded-suffix refinement rounds pass
+    it traced so every round (offset 0, 64, 128, ...) shares ONE compiled
+    executable (remote-TPU compiles run minutes per shape)."""
     bpw = 1 << log2_bpw
+    offset = jnp.asarray(offset, dtype=jnp.uint32)
     words = []
     for w in range(n_words):
-        off = int(offset) + bpw * w
-        bhi, blo = add64_u32(pos_hi, pos_lo, jnp.uint32(off))
+        off = offset + jnp.uint32(bpw * w)
+        bhi, blo = add64_u32(pos_hi, pos_lo, off)
         widx = ((blo >> jnp.uint32(log2_bpw))
                 | (bhi << jnp.uint32(32 - log2_bpw))).astype(jnp.int32)
         a = jnp.take(packed_s, widx, mode="clip")
@@ -203,26 +207,27 @@ def _funnel_words(packed_s, pos_hi, pos_lo, cap_len, n_words, offset,
         # zero fields at or beyond the compare cap (identical semantics to
         # ops/keys.build_key*_words: comparison stops where the reference's
         # comparator would, kmers.py:360-393)
-        offw = jnp.uint32(off)
-        beyond = cap_len > offw
-        r = jnp.where(beyond, jnp.minimum(cap_len - offw, jnp.uint32(bpw)), jnp.uint32(0))
+        beyond = cap_len > off
+        r = jnp.where(beyond, jnp.minimum(cap_len - off, jnp.uint32(bpw)), jnp.uint32(0))
         words.append(word & jnp.take(masks, r.astype(jnp.int32)))
     return tuple(words)
 
 
-@partial(jax.jit, static_argnames=("n_words", "offset"))
+@partial(jax.jit, static_argnames=("n_words",))
 def build_key2_words_strided(packed2_s, pos_hi, pos_lo, cap_len, n_words,
                              offset=0):
     """2-bit key words from the strided pack (16 bases/word). The cap must
-    also ride as an explicit sort lane (see ops/encoding.py docstring)."""
+    also ride as an explicit sort lane (see ops/encoding.py docstring).
+    ``offset`` is traced (one executable serves every window offset)."""
     return _funnel_words(packed2_s, pos_hi, pos_lo, cap_len, n_words, offset,
                          4, 2, jnp.asarray(DIBIT_MASKS))
 
 
-@partial(jax.jit, static_argnames=("n_words", "offset"))
+@partial(jax.jit, static_argnames=("n_words",))
 def build_key_words_strided(packed_s, pos_hi, pos_lo, cap_len, n_words,
                             offset=0):
-    """4-bit key words from the strided pack (8 bases/word)."""
+    """4-bit key words from the strided pack (8 bases/word). ``offset`` is
+    traced (one executable serves every window offset)."""
     return _funnel_words(packed_s, pos_hi, pos_lo, cap_len, n_words, offset,
                          3, 4, jnp.asarray(NIBBLE_MASKS))
 
@@ -249,6 +254,39 @@ def decode_strided_np(packed_words: np.ndarray, positions_u64, length: int,
         r = (w >> sh) & field_mask
         out[:, j] = lut[r]
     return out
+
+
+def decode_strided_var_np(packed_words: np.ndarray, positions_u64, lens,
+                          two_bit: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Variable-width decode from a strided pack: ``(data, offsets)`` with
+    ``data[offsets[r] : offsets[r+1]]`` = the ASCII bases at
+    ``positions[r] .. positions[r]+lens[r]-1`` — an arrow-style string
+    column, the large-regime analog of ``Kmers._decode_var_bytes`` (suffix
+    strings have per-row natural lengths; no byte SBA exists here). Work is
+    O(total output bytes), fully vectorized: one gather per output byte off
+    the strided words."""
+    from .encoding import UNRANK_TABLE
+
+    pos = np.asarray(positions_u64, dtype=np.uint64)
+    L = np.asarray(lens, dtype=np.int64)
+    offsets = np.zeros(len(pos) + 1, dtype=np.int64)
+    np.cumsum(L, out=offsets[1:])
+    total = int(offsets[-1])
+    bpw = 16 if two_bit else 8
+    bits = 2 if two_bit else 4
+    field_mask = np.uint32((1 << bits) - 1)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8) if two_bit else UNRANK_TABLE
+    # absolute base coordinate of every output byte
+    j = np.arange(total, dtype=np.uint64) - np.repeat(
+        offsets[:-1].astype(np.uint64), L
+    )
+    p = np.repeat(pos, L) + j
+    w = packed_words[
+        np.minimum(p // np.uint64(bpw), np.uint64(len(packed_words) - 1)).astype(np.int64)
+    ]
+    sh = ((np.uint64(bpw - 1) - (p % np.uint64(bpw))) * np.uint64(bits)).astype(np.uint32)
+    r = (w >> sh) & field_mask
+    return lut[r], offsets
 
 
 def compute_valid_len64(pos_hi, pos_lo, starts_hi, starts_lo, ends_hi, ends_lo):

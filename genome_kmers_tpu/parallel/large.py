@@ -74,8 +74,8 @@ def _pairsum_small(vals):
 
 def _large_stats_local(
     pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi, ends_lo,
-    min_gs, max_gs_hi, max_gs_lo, sorted_words, mask,
-    *, kmer_len, n_words, two_bit, n_dev, keep_bits,
+    min_gs, max_gs_hi, max_gs_lo, sorted_words, mask, ext_gid,
+    *, kmer_len, n_words, two_bit, n_dev, keep_bits, strand_split,
 ):
     """shard_map body: boundary mask via strided key words + halo compare,
     pair-lane valid-row geometry, per-shard qualifying sizes + pair total
@@ -88,13 +88,24 @@ def _large_stats_local(
     boundaries stay in ALL-valid-row identity while sizes count only
     survivors (the reference's previous-survivor walk partitions survivors
     exactly as the unfiltered groups do; see
-    ops/groups.survivor_sizes_at_boundaries).
+    ops/groups.survivor_sizes_at_boundaries). ``ext_gid``: optional
+    (gid_hi, gid_lo) pair of CONVERGED refinement run ids — the group
+    identity for unbounded (kmer_len=None) / beyond-window stats, replacing
+    the key words entirely. ``strand_split``: optional (hi, lo) uint64
+    threshold — positions >= it are "-"-strand rows that never share a
+    group with "+" rows (track_strands_separately; one extra identity
+    lane, the large analog of the uint32 engine's strand term).
     """
+    from ..ops.large import lesseq64
+
     n_local = pos_hi.shape[0]
     my = jax.lax.axis_index(AXIS)
     valid = is_pad == jnp.uint32(0)
 
-    if sorted_words is None:
+    if ext_gid is not None:
+        # converged run ids ARE the group identity (pads carry all-ones)
+        lanes = tuple(ext_gid)
+    elif sorted_words is None:
         # caps from segment extents, derived in-kernel (pads masked to 0)
         valid_len = compute_valid_len64(
             pos_hi, pos_lo, starts_hi, starts_lo, ends_hi, ends_lo
@@ -117,6 +128,12 @@ def _large_stats_local(
         lanes = tuple(use)
         if two_bit and cap_lane is not None:
             lanes = lanes + (jnp.minimum(cap_lane, jnp.uint32(kmer_len)),)
+
+    if strand_split is not None:
+        sp_hi = jnp.uint32(strand_split >> 32)
+        sp_lo = jnp.uint32(strand_split & 0xFFFFFFFF)
+        is_rc = lesseq64(sp_hi, sp_lo, pos_hi, pos_lo)  # split <= pos
+        lanes = lanes + (is_rc.astype(jnp.uint32),)
 
     # global valid-row coordinates as pairs; with a filter mask the
     # coordinates count SURVIVORS, so boundary-to-boundary differences are
@@ -291,32 +308,35 @@ def _large_hist_jit(s_hi, s_lo, qualifies, max_counts_bin, mesh):
 
 
 @partial(jax.jit, static_argnames=("kmer_len", "n_words", "two_bit", "mesh",
-                                   "keep_bits"))
+                                   "keep_bits", "strand_split"))
 def _large_stats_jit(pos_hi, pos_lo, is_pad, genome, seg_tables, min_gs,
-                     max_gs_hi, max_gs_lo, sorted_words, mask,
-                     kmer_len, n_words, two_bit, mesh, keep_bits=32):
+                     max_gs_hi, max_gs_lo, sorted_words, mask, ext_gid,
+                     kmer_len, n_words, two_bit, mesh, keep_bits=32,
+                     strand_split=None):
     n_dev = mesh.shape[AXIS]
     starts_hi, starts_lo, ends_hi, ends_lo = seg_tables
 
     def body(pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml,
-             sw, msk):
+             sw, msk, eg):
         return _large_stats_local(
             pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml,
-            sw, msk,
+            sw, msk, eg,
             kmer_len=kmer_len, n_words=n_words, two_bit=two_bit, n_dev=n_dev,
-            keep_bits=keep_bits,
+            keep_bits=keep_bits, strand_split=strand_split,
         )
 
     fn = shard_map(
         body,
         mesh=mesh,
         # trailing P(AXIS) specs are pytree prefixes over the optional
-        # sorted_words / mask (None contributes no leaves)
-        in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * 8 + (P(AXIS), P(AXIS)),
+        # sorted_words / mask / ext_gid (None contributes no leaves)
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * 8
+        + (P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS)),
     )
     return fn(pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi,
-              ends_lo, min_gs, max_gs_hi, max_gs_lo, sorted_words, mask)
+              ends_lo, min_gs, max_gs_hi, max_gs_lo, sorted_words, mask,
+              ext_gid)
 
 
 def distributed_group_size_histogram_large_ragged(
@@ -336,6 +356,8 @@ def distributed_group_size_histogram_large_ragged(
     built_k: int | None = None,
     mask=None,
     return_rows: bool = False,
+    ext_gid=None,
+    strand_split: int | None = None,
 ):
     """Group-size histogram + total over a globally sorted, sharded,
     pair-lane position array (the layout
@@ -345,7 +367,13 @@ def distributed_group_size_histogram_large_ragged(
     sort (words + cap, built at ``built_k``) — skips the strided key
     re-gather for any ``kmer_len <= built_k``. ``mask``: optional sharded
     filter-survivor mask (see ``_large_stats_local``); zero-survivor groups
-    never qualify, matching the reference walk.
+    never qualify, matching the reference walk. ``ext_gid``: optional
+    (gid_hi, gid_lo) converged run-id pair — group identity for unbounded
+    (``kmer_len=None``) / beyond-window stats
+    (sample_sort.sample_sort_positions_large_unbounded /
+    distributed_adjacent_gids_large). ``strand_split``: optional uint64
+    position threshold — rows at or past it form strand-separate groups
+    (track_strands_separately).
 
     Returns ``(counts, total)`` with counts a host uint64 array of length
     ``max_counts_bin + 1`` and total a Python int — exact for any number of
@@ -355,13 +383,19 @@ def distributed_group_size_histogram_large_ragged(
     layout, pads included) for the bulk-array extraction APIs.
     """
     limit = 64 if two_bit else 32
-    if kmer_len is None or kmer_len > limit:
-        raise NotImplementedError(f"large stats require kmer_len <= {limit}")
+    if ext_gid is None and (kmer_len is None or kmer_len > limit):
+        raise NotImplementedError(
+            f"large stats require kmer_len <= {limit} "
+            "(pass ext_gid for unbounded/beyond-window group identity)"
+        )
     bpw = 16 if two_bit else 8
-    n_words = _cdiv(kmer_len, bpw)
+    n_words = 0 if ext_gid is not None else _cdiv(kmer_len, bpw)
 
     keep_bits = 32
     sw_arg = None
+    if ext_gid is not None:
+        ext_gid = tuple(ext_gid)
+        sorted_words = None
     if sorted_words is not None and built_k is not None and kmer_len <= built_k:
         # lanes layout from the large sample sort: words(built) + cap lane
         nwb = _cdiv(built_k, bpw)
@@ -377,8 +411,10 @@ def distributed_group_size_histogram_large_ragged(
     seg_tables = tuple(
         put_global(jnp.asarray(a), rep) for a in (sh, sl, eh, el)
     )
-    genome = put_global(packed_strided, rep) if sw_arg is None else put_global(
-        jnp.zeros(1, dtype=jnp.uint32), rep
+    genome = (
+        put_global(packed_strided, rep)
+        if (sw_arg is None and ext_gid is None)
+        else put_global(jnp.zeros(1, dtype=jnp.uint32), rep)
     )
 
     if max_group_size is None:
@@ -390,7 +426,10 @@ def distributed_group_size_histogram_large_ragged(
     s_hi_a, s_lo_a, qualifies, tot_hi, tot_lo, hi_digest, boundary = _large_stats_jit(
         pos_hi, pos_lo, is_pad, genome, seg_tables,
         np.uint32(max(min_group_size, 1)), mgs_hi, mgs_lo, sw_arg, mask,
-        kmer_len, n_words, two_bit, mesh, keep_bits=keep_bits,
+        ext_gid,
+        0 if ext_gid is not None else kmer_len, n_words, two_bit, mesh,
+        keep_bits=keep_bits,
+        strand_split=None if strand_split is None else int(strand_split),
     )
     n_dev = mesh.shape[AXIS]
     # adaptive stage 2: the digest's hi (largest qualifying size, saturated

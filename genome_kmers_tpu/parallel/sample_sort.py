@@ -91,7 +91,7 @@ def _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided=Fals
 
         hi, lo = pos_lanes
         fn = build_key2_words_strided if two_bit else build_key_words_strided
-        return fn(genome, hi, lo, cap_len, n_words, int(offset))
+        return fn(genome, hi, lo, cap_len, n_words, offset)
     from ..ops.keys import build_key2_words, build_key_words
 
     (positions,) = pos_lanes
@@ -123,8 +123,11 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
     ones = jnp.uint32(_ONES)
     words = tuple(jnp.where(padm, ones, w) for w in words)
     if gid is not None:
-        # refinement rounds: run id leads the key (unbounded-k suffix mode)
-        words = (jnp.where(padm, ones, gid),) + words
+        # refinement rounds: run id leads the key (unbounded-k suffix mode).
+        # A single uint32 lane on the flat path; a (hi, lo) lane PAIR on the
+        # large path, where run counts can exceed 2^32.
+        gid_lanes = gid if isinstance(gid, tuple) else (gid,)
+        words = tuple(jnp.where(padm, ones, g) for g in gid_lanes) + words
     pos_k = tuple(jnp.where(padm, ones, p) for p in pos_lanes)
 
     # local sort key (cap lane dropped when every real cap equals the same k).
@@ -139,12 +142,12 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
         lanes = words + (cap_k,) + pos_k
     return _exchange_merge(
         lanes, len(pos_lanes), padm, n_dev, n_samples, capacity,
-        has_gid=gid is not None,
+        n_gid=0 if gid is None else len(gid) if isinstance(gid, tuple) else 1,
     )
 
 
 def _exchange_merge(lanes, n_pos_lanes, padm, n_dev, n_samples, capacity,
-                    has_gid=False):
+                    n_gid=0):
     """Steps 1-5 of the sample-sort pipeline over a prepared key-lane tuple.
 
     ``lanes`` = (key lanes ..., position lanes) with pads already folded to
@@ -209,9 +212,9 @@ def _exchange_merge(lanes, n_pos_lanes, padm, n_dev, n_samples, capacity,
     out_is_pad = merged[0]
     out_pos = tuple(merged[len(merged) - n_pos_lanes:])
     ov = jax.lax.psum(overflow.astype(jnp.uint32), AXIS)
-    if has_gid:
+    if n_gid:
         # refinement callers need the old run ids aligned to the new order
-        return out_pos, out_is_pad, merged[1], ov
+        return out_pos, out_is_pad, tuple(merged[1 : 1 + n_gid]), ov
     # sorted word (+cap) lanes ride along so downstream statistics can skip
     # the per-shard key re-gather (same trick as the single-chip
     # ops/sort.boundaries_from_sorted_lanes path)
@@ -260,7 +263,7 @@ def _sample_sort_gid_jit(genome, positions, cap_len, is_pad, gid, n_words, two_b
             two_bit=two_bit, n_samples=n_samples, capacity=capacity,
             uniform_cap=False, gid=gid, offset=offset,
         )
-        return pos[0], pad, g, ov
+        return pos[0], pad, g[0], ov
 
     fn = shard_map(
         body,
@@ -972,6 +975,304 @@ def sample_sort_positions_large_ragged(
         if capacity >= m:
             raise AssertionError("large sample sort overflow at full capacity (bug)")
         factor *= 2.0
+
+
+# --------------------------------------------------------------------------- #
+# large regime, UNBOUNDED: suffix-mode / beyond-one-window refinement with
+# 64-bit coordinates AND 64-bit run ids. The uint32 machinery above
+# (_run_structure_local / _refine_round_jit) is the template; here positions
+# ride as (hi, lo) uint32 pairs and — because a > 2^32-row index can hold
+# > 2^32 distinct runs — the refinement run ids are (hi, lo) pairs too.
+# The reference supports suffix mode for any index it can hold (reference
+# kmers.py:315-316, 391-393) but hard-fails past 2^32 k-mers; this is the
+# configuration that genuinely needs BOTH the 64-bit regime and unbounded k
+# (both-strand human-genome suffix index, SURVEY.md §7.3-1/6).
+# --------------------------------------------------------------------------- #
+
+
+def _seg_tables64(seg_starts_u64, seg_ends_u64, mesh):
+    """Replicated (starts_hi, starts_lo, ends_hi, ends_lo) device tables."""
+    from ..ops.large import split64_np
+
+    sh, sl = split64_np(np.asarray(seg_starts_u64, dtype=np.uint64))
+    eh, el = split64_np(np.asarray(seg_ends_u64, dtype=np.uint64))
+    rep = NamedSharding(mesh, P())
+    return tuple(put_global(jnp.asarray(a), rep) for a in (sh, sl, eh, el))
+
+
+def _caps_large(pos_hi, pos_lo, is_pad, seg_tables, max_cap):
+    """Per-row compare caps for large refinement rounds: uint32-saturated
+    bases-to-segment-end, clipped to ``max_cap``; pad rows (all-ones
+    position pairs would index garbage segments) forced to 0. Saturation at
+    ops/keys.NO_CAP is lossless for resolve decisions up to ~4G tied bases —
+    two suffixes identical beyond that would stop refining early (documented
+    out of scope; no real genome has 4-Gbp exact repeats)."""
+    from ..ops.large import compute_valid_len64
+
+    sh, sl, eh, el = seg_tables
+    vl = compute_valid_len64(pos_hi, pos_lo, sh, sl, eh, el)
+    cap = jnp.minimum(vl, jnp.uint32(max_cap))
+    return jnp.where(is_pad == jnp.uint32(0), cap, jnp.uint32(0))
+
+
+def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
+                               seg_tables, n_words, two_bit, offset,
+                               window_bases, first, max_cap):
+    """Global run structure over the large pair-lane layout: pair run ids
+    (cross-shard pair cumsum of boundaries) and whether any tied pair can
+    still extend past this window — the 64-bit analog of
+    ``_run_structure_local``."""
+    from ..ops.large import add64_u32, sub64
+
+    n_local = pos_hi.shape[0]
+    n_dev = jax.lax.axis_size(AXIS)
+    my = jax.lax.axis_index(AXIS)
+    valid = is_pad == jnp.uint32(0)
+    ones = jnp.uint32(_ONES)
+
+    cap = _caps_large(pos_hi, pos_lo, is_pad, seg_tables, max_cap)
+    words = _words_at(genome, (pos_hi, pos_lo), cap, n_words, two_bit,
+                      offset, strided=True)
+    # "tied so far" compares termination status only WITHIN the window (see
+    # _run_structure_local); the 2-bit cap lane is clamped to the window end
+    cap_eq = jnp.minimum(cap, offset + jnp.uint32(window_bases))
+    lanes = words + ((cap_eq,) if two_bit else ())
+    if not first:
+        lanes = (ghi, glo) + lanes
+
+    eq = jnp.ones(n_local, dtype=bool)
+    for w in lanes:
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eq = eq & (w == prev)
+
+    # halo against the last valid row of the nearest previous non-empty shard
+    n_valid = jnp.sum(valid.astype(jnp.uint32))
+    all_n_valid = jax.lax.all_gather(n_valid, AXIS)
+    has_data = all_n_valid > 0
+    last_i = (jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)).astype(jnp.int32)
+    my_last = jnp.stack([jnp.take(w, last_i) for w in lanes])
+    all_last = jax.lax.all_gather(my_last, AXIS)
+    cand = jnp.where(has_data, jnp.arange(n_dev), -1)
+    pred_idx = jax.lax.associative_scan(jnp.maximum, cand)
+    pred_of_mine = jnp.where(my > 0, jnp.take(pred_idx, jnp.maximum(my - 1, 0)), -1)
+    pred_lanes = jnp.take(all_last, jnp.maximum(pred_of_mine, 0), axis=0)
+    eq0 = jnp.ones((), dtype=bool)
+    for li, w in enumerate(lanes):
+        eq0 = eq0 & (w[0] == pred_lanes[li])
+    eq0 = jnp.where(pred_of_mine < 0, False, eq0)
+    eq = eq.at[0].set(eq0)
+
+    boundary = (~eq) & valid
+    # unresolved iff a tied pair has a member extending past this window
+    beyond = cap > offset + jnp.uint32(window_bases)
+    prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
+    my_last_beyond = jnp.take(beyond, last_i)
+    all_last_beyond = jax.lax.all_gather(my_last_beyond, AXIS)
+    pred_beyond = jnp.where(
+        pred_of_mine < 0, False, jnp.take(all_last_beyond, jnp.maximum(pred_of_mine, 0))
+    )
+    prev_beyond = prev_beyond.at[0].set(pred_beyond)
+    unresolved = eq & valid & (beyond | prev_beyond)
+    any_unresolved = jax.lax.psum(jnp.sum(unresolved.astype(jnp.uint32)), AXIS)
+
+    # global PAIR run ids: local uint32 cumsum (a shard holds < 2^31 rows)
+    # plus an exact pair prefix offset across shards, minus one. The first
+    # valid row overall is always a boundary, so (before + local_b) >= 1 on
+    # every valid row and the subtraction never borrows into the sign.
+    local_b = jnp.cumsum(boundary.astype(jnp.uint32))
+    my_count = local_b[-1]
+    all_counts = jax.lax.all_gather(my_count, AXIS)
+    mask_before = (jnp.arange(n_dev) < my).astype(jnp.uint32)
+    b_hi = jnp.zeros((), jnp.uint32)
+    b_lo = jnp.zeros((), jnp.uint32)
+    for i in range(n_dev):
+        b_hi, b_lo = add64_u32(b_hi, b_lo, all_counts[i] * mask_before[i])
+    g_hi, g_lo = add64_u32(b_hi, b_lo, local_b)
+    g_hi, g_lo = sub64(g_hi, g_lo, jnp.uint32(0), jnp.uint32(1))
+    new_ghi = jnp.where(valid, g_hi, ones)
+    new_glo = jnp.where(valid, g_lo, ones)
+    return new_ghi, new_glo, any_unresolved
+
+
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "window_bases",
+                                   "first", "max_cap", "mesh"))
+def _run_structure_large_jit(genome, pos_hi, pos_lo, is_pad, ghi, glo,
+                             seg_tables, n_words, two_bit, offset,
+                             window_bases, first, max_cap, mesh):
+    # ``offset`` is TRACED (pass jnp.uint32): every window round shares one
+    # executable, exactly like the uint32 _run_structure_jit
+    fn = shard_map(
+        partial(
+            _run_structure_large_local,
+            n_words=n_words,
+            two_bit=two_bit,
+            offset=offset,
+            window_bases=window_bases,
+            first=first,
+            max_cap=max_cap,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  (P(),) * 4),
+        out_specs=(P(AXIS), P(AXIS), P()),
+    )
+    return fn(genome, pos_hi, pos_lo, is_pad, ghi, glo, seg_tables)
+
+
+@partial(jax.jit, static_argnames=("n_words", "two_bit", "n_samples",
+                                   "capacity", "window_bases", "max_cap",
+                                   "mesh"))
+def _refine_round_large_jit(genome, pos_hi, pos_lo, is_pad, ghi, glo,
+                            seg_tables, n_words, two_bit, n_samples, capacity,
+                            offset, window_bases, max_cap, mesh):
+    """One large unbounded refinement round as a single program: pair-gid-
+    keyed sample-sort exchange + pair run structure over the new layout.
+    Returns ((hi, lo), pad, (ghi, glo), flags) with
+    flags = [overflow, unresolved] — ONE dispatch, ONE scalar transfer per
+    round (the 64-bit analog of ``_refine_round_jit``)."""
+    cap = _caps_large(pos_hi, pos_lo, is_pad, seg_tables, max_cap)
+    n_dev = mesh.shape[AXIS]
+
+    def body(genome, pos_hi, pos_lo, cap, is_pad, ghi, glo):
+        pos, pad, g, ov = _sample_sort_local(
+            genome, (pos_hi, pos_lo), cap, is_pad, n_words=n_words,
+            n_dev=n_dev, two_bit=two_bit, n_samples=n_samples,
+            capacity=capacity, uniform_cap=False, gid=(ghi, glo),
+            offset=offset, strided=True,
+        )
+        return pos[0], pos[1], pad, g[0], g[1], ov
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+    )
+    n_hi, n_lo, n_pad, o_ghi, o_glo, overflow = fn(
+        genome, pos_hi, pos_lo, cap, is_pad, ghi, glo
+    )
+    new_ghi, new_glo, unresolved = _run_structure_large_jit(
+        genome, n_hi, n_lo, n_pad, o_ghi, o_glo, seg_tables,
+        n_words, two_bit, offset, window_bases, False, max_cap, mesh,
+    )
+    flags = jnp.stack(
+        [jnp.asarray(overflow, jnp.uint32), jnp.asarray(unresolved, jnp.uint32)]
+    )
+    return (n_hi, n_lo), n_pad, (new_ghi, new_glo), flags
+
+
+def sample_sort_positions_large_unbounded(
+    packed_strided,
+    positions_u64: np.ndarray,
+    seg_starts_u64: np.ndarray,
+    seg_ends_u64: np.ndarray,
+    mesh,
+    two_bit: bool = True,
+    max_kmer_len: int | None = None,
+    n_samples: int = 256,
+    capacity_factor: float = 1.5,
+):
+    """Distributed iterative-refinement sort in the 64-bit regime — suffix
+    mode (``max_kmer_len=None``: compare to each segment's end) or any
+    bounded k beyond the one-window limits, over a strided pack with (hi, lo)
+    position pairs. The uint32 analog is ``sample_sort_positions_unbounded``;
+    the reference cannot reach this configuration at all (hard-fails past
+    2^32 k-mers, reference kmers.py:805-808, while its suffix semantics are
+    kmers.py:315-316).
+
+    Returns ``((pos_hi, pos_lo), is_pad, (gid_hi, gid_lo))`` — the globally
+    sorted ragged pair-lane layout plus each row's CONVERGED run id PAIR:
+    rows share a (hi, lo) id iff their k-mers are equal under the full
+    (max_kmer_len / suffix) comparison — the group identity the large
+    distributed statistics need at ``kmer_len=None`` (pad rows carry
+    all-ones ids).
+    """
+    window_bases = 64 if two_bit else 32
+    n_words = 4  # 64 bases / 16 per word (2-bit) or 32 / 8 (4-bit)
+
+    # round 0: plain large sample sort capped at the first window
+    (hi, lo), is_pad = sample_sort_positions_large_ragged(
+        packed_strided, positions_u64, seg_starts_u64, seg_ends_u64,
+        window_bases, mesh, two_bit=two_bit, n_samples=n_samples,
+        capacity_factor=capacity_factor,
+    )
+
+    seg_tables = _seg_tables64(seg_starts_u64, seg_ends_u64, mesh)
+    genome_g = put_global(packed_strided, NamedSharding(mesh, P()))
+    max_cap = 0xFFFFFFF0 if max_kmer_len is None else int(max_kmer_len)
+
+    offset = 0
+    ghi, glo, unresolved = _run_structure_large_jit(
+        genome_g, hi, lo, is_pad, is_pad, is_pad, seg_tables,
+        n_words, two_bit, jnp.uint32(offset), window_bases, True, max_cap,
+        mesh,
+    )
+    n_dev = mesh.shape[AXIS]
+    m = hi.shape[0] // n_dev
+    while int(unresolved) > 0:
+        offset += window_bases
+        factor = capacity_factor
+        while True:
+            capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
+            out_pos, out_pad, out_gid, flags = _refine_round_large_jit(
+                genome_g, hi, lo, is_pad, ghi, glo, seg_tables,
+                n_words, two_bit, min(n_samples, m), capacity,
+                jnp.uint32(offset), window_bases, max_cap, mesh,
+            )
+            flags = np.asarray(flags)
+            if int(flags[0]) == 0:
+                break
+            if capacity >= m:
+                raise AssertionError(
+                    "large unbounded sample sort overflow at full capacity"
+                )
+            factor *= 2.0
+        (hi, lo), is_pad, (ghi, glo) = out_pos, out_pad, out_gid
+        m = hi.shape[0] // n_dev
+        unresolved = int(flags[1])
+
+    return (hi, lo), is_pad, (ghi, glo)
+
+
+def distributed_adjacent_gids_large(
+    packed_strided,
+    pos_hi: jax.Array,
+    pos_lo: jax.Array,
+    is_pad: jax.Array,
+    seg_starts_u64: np.ndarray,
+    seg_ends_u64: np.ndarray,
+    kmer_len: int | None,
+    mesh,
+    two_bit: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Pair run ids at ``kmer_len``-base identity (None = compare to each
+    segment's end) over an ALREADY globally sorted large ragged layout — the
+    64-bit analog of ``distributed_adjacent_gids``: 64/32-base windows
+    refine the run structure (no re-sorting; the layout's order refines
+    every window prefix) until no tied pair can extend. Rows share a
+    (hi, lo) id iff their k-mers are equal under the reference comparator at
+    max_kmer_len=kmer_len (reference kmers.py:306-397); pads carry all-ones.
+    """
+    window_bases = 64 if two_bit else 32
+    n_words = 4
+    seg_tables = _seg_tables64(seg_starts_u64, seg_ends_u64, mesh)
+    genome_g = put_global(packed_strided, NamedSharding(mesh, P()))
+    max_cap = 0xFFFFFFF0 if kmer_len is None else int(kmer_len)
+
+    offset = 0
+    ghi, glo, unresolved = _run_structure_large_jit(
+        genome_g, pos_hi, pos_lo, is_pad, is_pad, is_pad, seg_tables,
+        n_words, two_bit, jnp.uint32(offset), window_bases, True, max_cap,
+        mesh,
+    )
+    while int(unresolved) > 0:
+        offset += window_bases
+        ghi, glo, unresolved = _run_structure_large_jit(
+            genome_g, pos_hi, pos_lo, is_pad, ghi, glo, seg_tables,
+            n_words, two_bit, jnp.uint32(offset), window_bases, False,
+            max_cap, mesh,
+        )
+    return ghi, glo
 
 
 def sample_sort_canonical_ragged(

@@ -462,10 +462,12 @@ class TestLargeKmersFacade:
     def test_errors(self):
         from genome_kmers_tpu import LargeKmers
 
-        with pytest.raises(NotImplementedError, match="bounded"):
-            LargeKmers.from_records(self.SEQS, 4, None, two_bit=True)
-        with pytest.raises(NotImplementedError, match="bounded"):
-            LargeKmers.from_records(self.SEQS, 4, 65, two_bit=True)
+        # round 5: max_kmer_len=None (suffix mode) and beyond-window bounds
+        # are now real modes, not errors
+        assert not LargeKmers.from_records(self.SEQS, 4, None, two_bit=True)._one_window
+        assert not LargeKmers.from_records(self.SEQS, 4, 65, two_bit=True)._one_window
+        with pytest.raises(ValueError, match="track_strands_separately"):
+            LargeKmers.from_records(self.SEQS, 4, 4, track_strands_separately=True)
         with pytest.raises(ValueError, match="min_kmer_len"):
             LargeKmers.from_records(self.SEQS, 0, 4, two_bit=True)
         with pytest.raises(ValueError, match="empty"):
