@@ -2366,9 +2366,15 @@ class Kmers:
 
         Args:
             mesh: optional ``jax.sharding.Mesh`` — run the splitter-based
-                sample sort over the mesh instead of single-chip (requires a
-                bounded max_kmer_len <= 32). EXTENSION; the reference is
-                single-process only.
+                sample sort over the mesh instead of single-chip. EXTENSION;
+                the reference is single-process only. A 1-D mesh
+                (parallel.make_mesh) uses the flat one-hop all_to_all
+                exchange; a 2-D ``(node, local)`` mesh
+                (parallel.hier.make_mesh2) routes the SAME pipeline through
+                the two-stage hierarchical exchange — node-aggregated blocks
+                over the ``node`` axis (DCN on a real pod), intra-node
+                fan-out over ``local`` (ICI) — with byte-identical output
+                (tests/test_hier_integration.py).
         """
         self._check_forward_only()
 
@@ -2635,7 +2641,7 @@ class Kmers:
             import jax.numpy as jnp
 
             from .parallel import distributed_count_queries
-            from .parallel.distributed import AXIS
+            from .parallel.distributed import mesh_pspec, mesh_size
             from .ops.sort import _PAD_POS
 
             dc = self._dc()
@@ -2648,7 +2654,7 @@ class Kmers:
                 )
             positions = self._device_positions()
             n = positions.shape[0]
-            n_dev = mesh.shape[AXIS]
+            n_dev = mesh_size(mesh)
             n_pad = -(-max(n, 1) // n_dev) * n_dev
             pad_rows = n_pad - n
             pos_p = jnp.concatenate(
@@ -2660,7 +2666,7 @@ class Kmers:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from .parallel.distributed import put_global
 
-            sharding = NamedSharding(mesh, P(AXIS))
+            sharding = NamedSharding(mesh, mesh_pspec(mesh))
             return distributed_count_queries(
                 dc.packed, put_global(pos_p, sharding), put_global(is_pad, sharding),
                 dc.seg_starts, dc.seg_ends, queries, kmer_len, mesh,

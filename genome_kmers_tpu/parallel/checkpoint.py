@@ -22,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .distributed import AXIS, Mesh
+from .distributed import AXIS, Mesh, mesh_pspec
 
 _META_NAME = "gkt_meta.json"
 
@@ -93,7 +93,7 @@ def load_sharded_index(path, mesh: Mesh | None = None):
         if mesh is not None:
             target = {}
             for name, info in arrays_info.items():
-                spec = P(AXIS) if name == "sorted_positions" else P()
+                spec = mesh_pspec(mesh) if name == "sorted_positions" else P()
                 target[name] = jax.ShapeDtypeStruct(
                     tuple(info["shape"]),
                     np.dtype(info["dtype"]),
@@ -203,7 +203,7 @@ def load_large_kmers(lk, path, mesh: Mesh) -> dict:
             name: jax.ShapeDtypeStruct(
                 tuple(info["shape"]),
                 np.dtype(info["dtype"]),
-                sharding=NamedSharding(mesh, P(AXIS)),
+                sharding=NamedSharding(mesh, mesh_pspec(mesh)),
             )
             for name, info in arrays_info.items()
         }
@@ -217,8 +217,8 @@ def load_large_kmers(lk, path, mesh: Mesh) -> dict:
 
         fn = shard_map(
             local, mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            in_specs=(mesh_pspec(mesh),) * 3,
+            out_specs=(mesh_pspec(mesh),) * 3,
         )
         return fn(hi, lo, pad)
 

@@ -61,6 +61,32 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def mesh_axes(mesh: Mesh):
+    """Collective axis spec for a mesh: the single axis name on a 1-D mesh,
+    or the full axis-name tuple on a hierarchical 2-D ``(node, local)``
+    mesh (parallel.hier.make_mesh2). jax linearizes tuple axes row-major,
+    so ``axis_index(axes)`` IS the global shard id and every
+    all_gather/psum sees shards in global order — the shard-level math is
+    identical on both mesh shapes; only the sample sort's exchange step
+    branches (two-stage node-aggregated all_to_all on 2-D)."""
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
+
+
+def mesh_size(mesh: Mesh) -> int:
+    """Total device count across every mesh axis."""
+    out = 1
+    for a in mesh.axis_names:
+        out *= mesh.shape[a]
+    return int(out)
+
+
+def mesh_pspec(mesh: Mesh) -> P:
+    """PartitionSpec sharding the leading dim over ALL mesh axes."""
+    names = tuple(mesh.axis_names)
+    return P(names[0] if len(names) == 1 else names)
+
+
 def _pad_to_multiple(arr: jax.Array, multiple: int, fill) -> jax.Array:
     n = arr.shape[0]
     n_pad = _cdiv(max(n, 1), multiple) * multiple
@@ -102,8 +128,9 @@ def compact_ragged(positions, is_pad, mesh):
         s_pad, s_pos = jax.lax.sort((pad, pos), num_keys=1, is_stable=True)
         return s_pos, s_pad
 
+    sp = mesh_pspec(mesh)
     fn = shard_map(
-        local, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P(AXIS))
+        local, mesh=mesh, in_specs=(sp, sp), out_specs=(sp, sp)
     )
     return fn(positions, is_pad)
 
@@ -229,7 +256,7 @@ def distributed_sort_positions(
 
 def _dist_sizes_digest_local(
     packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
-    sorted_words, mask, ext_gid, n_words, two_bit, keep_bits,
+    sorted_words, mask, ext_gid, n_words, two_bit, keep_bits, axes=AXIS,
 ):
     """shard_map body for distributed group sizes (adaptive-histogram
     stage 1; stage 2 is ``_dist_hist_local``).
@@ -257,13 +284,13 @@ def _dist_sizes_digest_local(
     prefix max over all_gather'd lane values).
     """
     n_local = positions.shape[0]
-    n_dev = jax.lax.axis_size(AXIS)
-    my = jax.lax.axis_index(AXIS)
+    n_dev = jax.lax.axis_size(axes)
+    my = jax.lax.axis_index(axes)
 
     valid = is_pad == jnp.uint32(0)
     cap_len = jnp.where(valid, cap_len, jnp.uint32(0))
     n_valid = jnp.sum(valid.astype(jnp.uint32))
-    all_n_valid = jax.lax.all_gather(n_valid, AXIS)  # (n_dev,)
+    all_n_valid = jax.lax.all_gather(n_valid, axes)  # (n_dev,)
     BIG = jnp.uint32(0xFFFFFFF0)
 
     # counted-row coordinates: vidx[i] = offset + (# counted rows before i
@@ -271,7 +298,7 @@ def _dist_sizes_digest_local(
     counted = valid if mask is None else (mask & valid)
     counted_u = counted.astype(jnp.uint32)
     n_counted = jnp.sum(counted_u)
-    all_n_counted = jax.lax.all_gather(n_counted, AXIS)
+    all_n_counted = jax.lax.all_gather(n_counted, axes)
     offset = jnp.sum(jnp.where(jnp.arange(n_dev) < my, all_n_counted, 0)).astype(jnp.uint32)
     total_valid = jnp.sum(all_n_counted).astype(jnp.uint32)
     local_excl = jnp.cumsum(counted_u) - counted_u
@@ -312,7 +339,7 @@ def _dist_sizes_digest_local(
     # non-empty shard
     last_i = jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)
     my_last = jnp.stack([jnp.take(w, last_i.astype(jnp.int32)) for w in lanes])
-    all_last = jax.lax.all_gather(my_last, AXIS)  # (n_dev, n_lanes)
+    all_last = jax.lax.all_gather(my_last, axes)  # (n_dev, n_lanes)
     has_data = all_n_valid > 0
     # pred[p] = nearest q < p with data (replicated prefix max); -1 if none
     cand = jnp.where(has_data, jnp.arange(n_dev), -1)
@@ -331,7 +358,7 @@ def _dist_sizes_digest_local(
     marked = jnp.where(boundary, vidx, BIG)
     next_b_local = jax.lax.cummin(marked, reverse=True)
     my_first = next_b_local[0]
-    all_firsts = jax.lax.all_gather(my_first, AXIS)
+    all_firsts = jax.lax.all_gather(my_first, axes)
     suffix = jax.lax.associative_scan(jnp.minimum, all_firsts[::-1])[::-1]
     after_mine = jnp.where(
         my + 1 < n_dev, jnp.take(suffix, jnp.minimum(my + 1, n_dev - 1)), BIG
@@ -345,11 +372,11 @@ def _dist_sizes_digest_local(
     # (matters only under a filter mask; unfiltered sizes are always >= 1)
     qualifies = boundary & (size >= jnp.maximum(min_gs, jnp.uint32(1))) & (size <= max_gs)
     total = jax.lax.psum(
-        jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32), AXIS
+        jnp.sum(jnp.where(qualifies, size, jnp.uint32(0)), dtype=jnp.uint32), axes
     )
     # UNclipped largest qualifying size — stage 1 of the adaptive histogram:
     # the host sizes the stage-2 bin count by it (see ops/groups.sizes_digest)
-    hi = jax.lax.pmax(jnp.max(jnp.where(qualifies, size, jnp.uint32(0))), AXIS)
+    hi = jax.lax.pmax(jnp.max(jnp.where(qualifies, size, jnp.uint32(0))), axes)
     # speculative stage-2 counts ride the digest (~1 KB psum) so the common
     # case never dispatches stage 2 (see ops/groups._SPEC_HIST_BINS)
     from ..ops.groups import _SPEC_HIST_BINS
@@ -359,27 +386,29 @@ def _dist_sizes_digest_local(
             qualifies, jnp.minimum(size, jnp.uint32(_SPEC_HIST_BINS)),
             _SPEC_HIST_BINS,
         ),
-        AXIS,
+        axes,
     )
     return size, qualifies, jnp.concatenate([jnp.stack([total, hi]), spec])
 
 
-def _dist_hist_local(size, qualifies, max_counts_bin):
+def _dist_hist_local(size, qualifies, max_counts_bin, axes=AXIS):
     """Stage 2: per-shard clipped histogram + psum — dispatched at a bin
     count the stage-1 digest sized, so the reference's 1e6-bin default
     psums a few KB instead of 4 MB over the ICI."""
     clipped = jnp.minimum(size, jnp.uint32(max_counts_bin))
     counts = clipped_counts(qualifies, clipped, max_counts_bin)
-    return jax.lax.psum(counts, AXIS)
+    return jax.lax.psum(counts, axes)
 
 
 @partial(jax.jit, static_argnames=("max_counts_bin", "mesh"))
 def distributed_hist_from_sizes(size, qualifies, max_counts_bin, mesh):
     """Histogram of sharded qualifying (survivor) group sizes, replicated."""
+    sp = mesh_pspec(mesh)
     fn = shard_map(
-        partial(_dist_hist_local, max_counts_bin=max_counts_bin),
+        partial(_dist_hist_local, max_counts_bin=max_counts_bin,
+                axes=mesh_axes(mesh)),
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS)),
+        in_specs=(sp, sp),
         out_specs=P(),
     )
     return fn(size, qualifies)
@@ -421,19 +450,20 @@ def _dist_sizes_digest_jit(
     packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
     sorted_words, mask, ext_gid, n_words, two_bit, keep_bits, mesh,
 ):
+    sp = mesh_pspec(mesh)
     fn = shard_map(
         partial(
             _dist_sizes_digest_local,
             n_words=n_words,
             two_bit=two_bit,
             keep_bits=keep_bits,
+            axes=mesh_axes(mesh),
         ),
         mesh=mesh,
-        # P(AXIS) prefixes cover the optional pytrees (sorted_words, mask,
-        # ext_gid); None contributes no leaves
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(AXIS),
-                  P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P()),
+        # sharded-spec prefixes cover the optional pytrees (sorted_words,
+        # mask, ext_gid); None contributes no leaves
+        in_specs=(P(), sp, sp, sp, P(), P(), P(), sp, sp, sp),
+        out_specs=(sp, sp, P()),
     )
     return fn(packed, positions, cap_len, is_pad, min_gs, max_gs, strand_split,
               sorted_words, mask, ext_gid)
@@ -467,14 +497,14 @@ def distributed_group_size_histogram(
     two_bit = packed2 is not None
     genome = packed2 if two_bit else packed
     n = sorted_positions.shape[0]
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     n_words = _cdiv(kmer_len, 16 if two_bit else 8)
 
     positions_p = _pad_to_multiple(sorted_positions, n_dev, _PAD_POS)
     cap_p = _pad_to_multiple(cap_len, n_dev, jnp.uint32(0))
     is_pad = _pad_to_multiple(jnp.zeros(n, dtype=jnp.uint32), n_dev, jnp.uint32(1))
 
-    sharding = NamedSharding(mesh, P(AXIS))
+    sharding = NamedSharding(mesh, mesh_pspec(mesh))
     positions_p = put_global(positions_p, sharding)
     cap_p = put_global(cap_p, sharding)
     is_pad = put_global(is_pad, sharding)

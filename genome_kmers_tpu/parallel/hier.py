@@ -20,6 +20,15 @@ sharded over the flattened ``("node", "local")`` axes in row-major shard
 order, so downstream consumers that treat the global array see the same
 bytes. The reference has no distributed code at all (SURVEY.md §2); this is
 TPU-native design per SURVEY §5.8.
+
+ROUND 5: the two-stage exchange is integrated into the MAIN pipeline —
+``Kmers.sort(mesh=make_mesh2(...))`` / ``LargeKmers.sort(mesh2)`` and every
+downstream stats/filter/query path accept a 2-D mesh directly
+(sample_sort._exchange_merge branches on distributed.mesh_axes;
+tests/test_hier_integration.py pins byte identity for all sort families).
+``sample_sort_positions_ragged_hier`` below is the original standalone
+twin, retained for its direct unit tests; ``make_mesh2`` is the public
+mesh constructor.
 """
 
 from __future__ import annotations

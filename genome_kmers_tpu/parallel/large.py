@@ -53,7 +53,7 @@ from ..ops.large import (
     sub64,
 )
 from ..ops.sort import _cdiv
-from .distributed import AXIS, put_global
+from .distributed import AXIS, mesh_axes, mesh_pspec, mesh_size, put_global
 
 _ONES = jnp.uint32(0xFFFFFFFF)
 
@@ -76,6 +76,7 @@ def _large_stats_local(
     pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi, ends_lo,
     min_gs, max_gs_hi, max_gs_lo, sorted_words, mask, ext_gid,
     *, kmer_len, n_words, two_bit, n_dev, keep_bits, strand_split,
+    axes=AXIS,
 ):
     """shard_map body: boundary mask via strided key words + halo compare,
     pair-lane valid-row geometry, per-shard qualifying sizes + pair total
@@ -99,7 +100,7 @@ def _large_stats_local(
     from ..ops.large import lesseq64
 
     n_local = pos_hi.shape[0]
-    my = jax.lax.axis_index(AXIS)
+    my = jax.lax.axis_index(axes)
     valid = is_pad == jnp.uint32(0)
 
     if ext_gid is not None:
@@ -141,9 +142,9 @@ def _large_stats_local(
     counted = valid if mask is None else (valid & mask)
     counted_u = counted.astype(jnp.uint32)
     n_valid = jnp.sum(valid.astype(jnp.uint32))
-    all_n_valid = jax.lax.all_gather(n_valid, AXIS)  # (n_dev,)
+    all_n_valid = jax.lax.all_gather(n_valid, axes)  # (n_dev,)
     n_counted = jnp.sum(counted_u)
-    all_n_counted = jax.lax.all_gather(n_counted, AXIS)
+    all_n_counted = jax.lax.all_gather(n_counted, axes)
     mask_before = (jnp.arange(n_dev) < my).astype(jnp.uint32)
     off_hi, off_lo = _pairsum_small(all_n_counted * mask_before)
     tot_hi, tot_lo = _pairsum_small(all_n_counted)
@@ -159,7 +160,7 @@ def _large_stats_local(
     # halo: row 0 vs the last valid row of the nearest previous non-empty shard
     last_i = (jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)).astype(jnp.int32)
     my_last = jnp.stack([jnp.take(w, last_i) for w in lanes])
-    all_last = jax.lax.all_gather(my_last, AXIS)
+    all_last = jax.lax.all_gather(my_last, axes)
     has_data = all_n_valid > 0
     cand = jnp.where(has_data, jnp.arange(n_dev), -1)
     pred_idx = jax.lax.associative_scan(jnp.maximum, cand)
@@ -177,8 +178,8 @@ def _large_stats_local(
     mh = jnp.where(boundary, vhi_idx, _ONES)
     ml = jnp.where(boundary, vlo_idx, _ONES)
     nb_hi, nb_lo = jax.lax.associative_scan(lexmin2, (mh, ml), reverse=True)
-    first_hi = jax.lax.all_gather(nb_hi[0], AXIS)
-    first_lo = jax.lax.all_gather(nb_lo[0], AXIS)
+    first_hi = jax.lax.all_gather(nb_hi[0], axes)
+    first_lo = jax.lax.all_gather(nb_lo[0], axes)
     suf_hi, suf_lo = jax.lax.associative_scan(
         lexmin2, (first_hi[::-1], first_lo[::-1])
     )
@@ -210,7 +211,7 @@ def _large_stats_local(
     # clip into whatever top bin the host picks) — the host sizes the
     # stage-2 bin count by it
     hi_sat = jnp.where(s_hi > jnp.uint32(0), _ONES, s_lo)
-    hib = jax.lax.pmax(jnp.max(jnp.where(qualifies, hi_sat, jnp.uint32(0))), AXIS)
+    hib = jax.lax.pmax(jnp.max(jnp.where(qualifies, hi_sat, jnp.uint32(0))), axes)
     return s_hi, s_lo, qualifies, th[-1:], tl[-1:], hib, boundary
 
 
@@ -298,11 +299,12 @@ def _large_hist_local(s_hi, s_lo, qualifies, *, max_counts_bin):
 
 @partial(jax.jit, static_argnames=("max_counts_bin", "mesh"))
 def _large_hist_jit(s_hi, s_lo, qualifies, max_counts_bin, mesh):
+    sp = mesh_pspec(mesh)
     fn = shard_map(
         partial(_large_hist_local, max_counts_bin=max_counts_bin),
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=P(AXIS),
+        in_specs=(sp, sp, sp),
+        out_specs=sp,
     )
     return fn(s_hi, s_lo, qualifies)
 
@@ -313,7 +315,8 @@ def _large_stats_jit(pos_hi, pos_lo, is_pad, genome, seg_tables, min_gs,
                      max_gs_hi, max_gs_lo, sorted_words, mask, ext_gid,
                      kmer_len, n_words, two_bit, mesh, keep_bits=32,
                      strand_split=None):
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
+    sp = mesh_pspec(mesh)
     starts_hi, starts_lo, ends_hi, ends_lo = seg_tables
 
     def body(pos_hi, pos_lo, is_pad, genome, sh, sl, eh, el, mn, mh, ml,
@@ -323,16 +326,16 @@ def _large_stats_jit(pos_hi, pos_lo, is_pad, genome, seg_tables, min_gs,
             sw, msk, eg,
             kmer_len=kmer_len, n_words=n_words, two_bit=two_bit, n_dev=n_dev,
             keep_bits=keep_bits, strand_split=strand_split,
+            axes=mesh_axes(mesh),
         )
 
     fn = shard_map(
         body,
         mesh=mesh,
-        # trailing P(AXIS) specs are pytree prefixes over the optional
+        # trailing sharded specs are pytree prefixes over the optional
         # sorted_words / mask / ext_gid (None contributes no leaves)
-        in_specs=(P(AXIS), P(AXIS), P(AXIS)) + (P(),) * 8
-        + (P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS)),
+        in_specs=(sp, sp, sp) + (P(),) * 8 + (sp, sp, sp),
+        out_specs=(sp, sp, sp, sp, sp, P(), sp),
     )
     return fn(pos_hi, pos_lo, is_pad, genome, starts_hi, starts_lo, ends_hi,
               ends_lo, min_gs, max_gs_hi, max_gs_lo, sorted_words, mask,
@@ -431,7 +434,7 @@ def distributed_group_size_histogram_large_ragged(
         keep_bits=keep_bits,
         strand_split=None if strand_split is None else int(strand_split),
     )
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     # adaptive stage 2: the digest's hi (largest qualifying size, saturated
     # to uint32) sizes the device bin count — broadcast-compare bins when
     # the range fits, scatter at the pow2-bucketed user bin count otherwise

@@ -27,7 +27,7 @@ except ImportError:  # older jax
 
 from ..ops.keys import build_key_words, cap_lengths, compute_valid_len
 from ..ops.query import encode_query_words
-from .distributed import AXIS, Mesh, put_global
+from .distributed import AXIS, Mesh, mesh_axes, mesh_pspec, mesh_size, put_global
 
 
 def _lex_less(a: tuple, b: tuple):
@@ -39,7 +39,8 @@ def _lex_less(a: tuple, b: tuple):
     return lt
 
 
-def _local_counts(packed, positions, cap_len, is_pad, q_words, n_words, n_rounds):
+def _local_counts(packed, positions, cap_len, is_pad, q_words, n_words, n_rounds,
+                  axes=AXIS):
     n = positions.shape[0]
     nq = q_words[0].shape[0]
     q_pad = jnp.zeros(nq, dtype=jnp.uint32)
@@ -50,12 +51,12 @@ def _local_counts(packed, positions, cap_len, is_pad, q_words, n_words, n_rounds
         # the loop carry becomes shard-varying (it reads local rows); mark the
         # replicated initial values varying so shard_map's vma typing matches
         try:
-            lo = jax.lax.pcast(lo, AXIS, to="varying")
-            hi = jax.lax.pcast(hi, AXIS, to="varying")
+            lo = jax.lax.pcast(lo, axes, to="varying")
+            hi = jax.lax.pcast(hi, axes, to="varying")
         except (AttributeError, TypeError):
             try:
-                lo = jax.lax.pvary(lo, AXIS)
-                hi = jax.lax.pvary(hi, AXIS)
+                lo = jax.lax.pvary(lo, axes)
+                hi = jax.lax.pvary(hi, axes)
             except AttributeError:
                 pass
 
@@ -80,22 +81,25 @@ def _local_counts(packed, positions, cap_len, is_pad, q_words, n_words, n_rounds
         return lo
 
     counts = (bound(True) - bound(False)).astype(jnp.uint32)
-    return jax.lax.psum(counts, AXIS)
+    return jax.lax.psum(counts, axes)
 
 
 @partial(jax.jit, static_argnames=("n_words", "n_rounds", "mesh"))
 def _dist_counts_jit(packed, positions, cap_len, is_pad, q_words, n_words, n_rounds, mesh):
+    sp = mesh_pspec(mesh)
     fn = shard_map(
-        partial(_local_counts, n_words=n_words, n_rounds=n_rounds),
+        partial(_local_counts, n_words=n_words, n_rounds=n_rounds,
+                axes=mesh_axes(mesh)),
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), tuple(P() for _ in q_words)),
+        in_specs=(P(), sp, sp, sp, tuple(P() for _ in q_words)),
         out_specs=P(),
     )
     return fn(packed, positions, cap_len, is_pad, q_words)
 
 
 def _dist_counts_large_local(genome, pos_hi, pos_lo, cap_len, is_pad, q_words,
-                             q_cap, n_words, n_rounds, two_bit, with_cap_key):
+                             q_cap, n_words, n_rounds, two_bit, with_cap_key,
+                             axes=AXIS):
     """Per-shard bound search in the LARGE regime: probe rows gather the
     (hi, lo) position pair and rebuild key words with the strided funnel
     build (ops/large.py). On the 2-bit path the compare cap rides as an
@@ -112,12 +116,12 @@ def _dist_counts_large_local(genome, pos_hi, pos_lo, cap_len, is_pad, q_words,
         lo = jnp.zeros(nq, dtype=jnp.int32)
         hi = jnp.full(nq, n, dtype=jnp.int32)
         try:
-            lo = jax.lax.pcast(lo, AXIS, to="varying")
-            hi = jax.lax.pcast(hi, AXIS, to="varying")
+            lo = jax.lax.pcast(lo, axes, to="varying")
+            hi = jax.lax.pcast(hi, axes, to="varying")
         except (AttributeError, TypeError):
             try:
-                lo = jax.lax.pvary(lo, AXIS)
-                hi = jax.lax.pvary(hi, AXIS)
+                lo = jax.lax.pvary(lo, axes)
+                hi = jax.lax.pvary(hi, axes)
             except AttributeError:
                 pass
 
@@ -157,6 +161,7 @@ def _dist_counts_large_local(genome, pos_hi, pos_lo, cap_len, is_pad, q_words,
 def _dist_counts_large_jit(genome, pos_hi, pos_lo, cap_len, is_pad, q_words,
                            q_cap, n_words, n_rounds, two_bit, with_cap_key,
                            mesh):
+    sp = mesh_pspec(mesh)
     fn = shard_map(
         partial(
             _dist_counts_large_local,
@@ -164,11 +169,12 @@ def _dist_counts_large_jit(genome, pos_hi, pos_lo, cap_len, is_pad, q_words,
             n_rounds=n_rounds,
             two_bit=two_bit,
             with_cap_key=with_cap_key,
+            axes=mesh_axes(mesh),
         ),
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+        in_specs=(P(), sp, sp, sp, sp,
                   tuple(P() for _ in q_words), P()),
-        out_specs=P(AXIS),
+        out_specs=sp,
     )
     return fn(genome, pos_hi, pos_lo, cap_len, is_pad, q_words, q_cap)
 
@@ -226,13 +232,13 @@ def distributed_count_queries_large(
     cap_len = _large_caps_jit(pos_hi, pos_lo, is_pad, seg_tables, kmer_len)
     bpw = 16 if two_bit else 8
     n_words = -(-kmer_len // bpw)
-    n_local = pos_hi.shape[0] // mesh.shape[AXIS]
+    n_local = pos_hi.shape[0] // mesh_size(mesh)
     n_rounds = max(1, int(np.ceil(np.log2(max(n_local, 2)))) + 1)
     counts = _dist_counts_large_jit(
         genome, pos_hi, pos_lo, cap_len, is_pad, q_words, q_cap,
         n_words, n_rounds, two_bit, two_bit, mesh,
     )
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     per_shard = np.asarray(counts).reshape(n_dev, nq_pad).astype(np.uint64)
     out = per_shard.sum(axis=0)[:nq]
     out[~matchable] = 0
@@ -259,7 +265,7 @@ def distributed_count_queries(
     )
     cap_len = jnp.where(is_pad != 0, jnp.uint32(0), cap_len)
     n_words = -(-kmer_len // 8)
-    n_local = sorted_positions.shape[0] // mesh.shape[AXIS]
+    n_local = sorted_positions.shape[0] // mesh_size(mesh)
     n_rounds = max(1, int(np.ceil(np.log2(max(n_local, 2)))) + 1)
     # numpy (not device-committed) so multi-process jit replicates them;
     # query count bucketed to the next power of two so nearby batch sizes

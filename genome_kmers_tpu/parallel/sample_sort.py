@@ -42,7 +42,28 @@ except ImportError:  # older jax
 
 from ..ops.keys import cap_lengths, compute_valid_len
 from ..ops.sort import _PAD_POS, _cdiv
-from .distributed import AXIS, Mesh, _pad_to_multiple, _words_for, put_global
+from .distributed import (
+    AXIS,
+    Mesh,
+    _pad_to_multiple,
+    _words_for,
+    mesh_axes,
+    mesh_pspec,
+    mesh_size,
+    put_global,
+)
+
+
+def _hier_shape(mesh):
+    """(n_nodes, n_local) on a 2-D hierarchical mesh, else None (flat)."""
+    names = tuple(mesh.axis_names)
+    if len(names) == 1:
+        return None
+    if len(names) != 2:
+        raise NotImplementedError(
+            f"meshes must be 1-D (flat) or 2-D (node, local); got {names}"
+        )
+    return (mesh.shape[names[0]], mesh.shape[names[1]])
 
 _ONES = 0xFFFFFFFF
 
@@ -102,7 +123,8 @@ def _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided=Fals
 
 def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_bit,
                        n_samples, capacity, uniform_cap, gid=None, offset=0,
-                       strided=False, canonical_k=None):
+                       strided=False, canonical_k=None, axes=AXIS,
+                       hier_shape=None):
     words = _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided)
     if canonical_k is not None:
         # canonical (strand-collapsed) keys: min(fwd, revcomp) per row.
@@ -143,16 +165,26 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
     return _exchange_merge(
         lanes, len(pos_lanes), padm, n_dev, n_samples, capacity,
         n_gid=0 if gid is None else len(gid) if isinstance(gid, tuple) else 1,
+        axes=axes, hier_shape=hier_shape,
     )
 
 
 def _exchange_merge(lanes, n_pos_lanes, padm, n_dev, n_samples, capacity,
-                    n_gid=0):
+                    n_gid=0, axes=AXIS, hier_shape=None):
     """Steps 1-5 of the sample-sort pipeline over a prepared key-lane tuple.
 
     ``lanes`` = (key lanes ..., position lanes) with pads already folded to
     all-ones in every non-position lane; ``padm`` marks local pad rows, which
     must sort to the local tail under these lanes (the fold guarantees it).
+
+    ``axes``/``hier_shape``: collective axis spec (distributed.mesh_axes).
+    On a 2-D ``(node, local)`` mesh ``hier_shape`` = (n_nodes, n_local) and
+    step 4's one-hop all_to_all becomes the TWO-STAGE hierarchical exchange
+    (parallel/hier.py's design): stage A moves ONE node-aggregated
+    (n_local, C) block per destination node over the ``node`` axis (the DCN
+    on a real pod), stage B fans blocks out to their final shard over the
+    ``local`` axis (pure ICI). Splitters, destinations, and the merge are
+    identical, so output bytes match the flat exchange exactly.
     """
     m = lanes[0].shape[0]
     ones = jnp.uint32(_ONES)
@@ -165,7 +197,7 @@ def _exchange_merge(lanes, n_pos_lanes, padm, n_dev, n_samples, capacity,
     samp_idx = (jnp.arange(n_samples, dtype=jnp.int32) * stride + stride // 2) % m
     local_samples = tuple(jnp.take(w, samp_idx) for w in lanes)
     gathered = tuple(
-        jax.lax.all_gather(w, AXIS).reshape(-1) for w in local_samples
+        jax.lax.all_gather(w, axes).reshape(-1) for w in local_samples
     )  # (n_dev * n_samples,)
     gsorted = jax.lax.sort(gathered, num_keys=len(gathered))
     split_idx = (jnp.arange(n_dev - 1, dtype=jnp.int32) + 1) * n_samples
@@ -197,13 +229,26 @@ def _exchange_merge(lanes, n_pos_lanes, padm, n_dev, n_samples, capacity,
     send = [pack(w, jnp.uint32(_ONES)) for w in lanes]
     send_valid = valid.astype(jnp.uint32)
 
-    recv = [
-        jax.lax.all_to_all(w, AXIS, split_axis=0, concat_axis=0, tiled=False)
-        for w in send + [send_valid]
-    ]
-    recv, recv_valid = recv[:-1], recv[-1]
-    flat = [w.reshape(-1) for w in recv]
-    flat_valid = recv_valid.reshape(-1)
+    if hier_shape is None:
+        recv = [
+            jax.lax.all_to_all(w, axes, split_axis=0, concat_axis=0, tiled=False)
+            for w in send + [send_valid]
+        ]
+        recv, recv_valid = recv[:-1], recv[-1]
+        flat = [w.reshape(-1) for w in recv]
+        flat_valid = recv_valid.reshape(-1)
+    else:
+        # two-stage exchange: node-aggregated blocks over axes[0], then
+        # intra-node fan-out over axes[1] (same bytes, topology-aware hops)
+        n_nodes, n_local = hier_shape
+        recv = []
+        for w in send + [send_valid]:
+            w3 = w.reshape(n_nodes, n_local, capacity)
+            ra = jax.lax.all_to_all(w3, axes[0], split_axis=0, concat_axis=0)
+            sb = jnp.swapaxes(ra, 0, 1)  # (n_local, n_nodes, C): dim 0 = local dest
+            rb = jax.lax.all_to_all(sb, axes[1], split_axis=0, concat_axis=0)
+            recv.append(rb.reshape(-1))
+        flat, flat_valid = recv[:-1], recv[-1]
 
     # 5. local merge: is_pad leads so valid rows come first, in global order
     # (positions stay keys — see the local-sort note above)
@@ -211,7 +256,7 @@ def _exchange_merge(lanes, n_pos_lanes, padm, n_dev, n_samples, capacity,
     merged = jax.lax.sort((out_pad,) + tuple(flat), num_keys=len(flat) + 1)
     out_is_pad = merged[0]
     out_pos = tuple(merged[len(merged) - n_pos_lanes:])
-    ov = jax.lax.psum(overflow.astype(jnp.uint32), AXIS)
+    ov = jax.lax.psum(overflow.astype(jnp.uint32), axes)
     if n_gid:
         # refinement callers need the old run ids aligned to the new order
         return out_pos, out_is_pad, tuple(merged[1 : 1 + n_gid]), ov
@@ -227,7 +272,8 @@ def _exchange_merge(lanes, n_pos_lanes, padm, n_dev, n_samples, capacity,
 def _sample_sort_jit(genome, pos_lanes, cap_len, is_pad, n_words, two_bit,
                      n_samples, capacity, uniform_cap, strided, mesh,
                      canonical_k=None):
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
+    sp = mesh_pspec(mesh)
     fn = shard_map(
         partial(
             _sample_sort_local,
@@ -239,11 +285,13 @@ def _sample_sort_jit(genome, pos_lanes, cap_len, is_pad, n_words, two_bit,
             uniform_cap=uniform_cap,
             strided=strided,
             canonical_k=canonical_k,
+            axes=mesh_axes(mesh),
+            hier_shape=_hier_shape(mesh),
         ),
         mesh=mesh,
-        # P(AXIS)/P() are pytree prefixes: one spec covers every position lane
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        # sharded/P() specs are pytree prefixes: one covers every position lane
+        in_specs=(P(), sp, sp, sp),
+        out_specs=(sp, sp, sp, P()),
     )
     return fn(genome, pos_lanes, cap_len, is_pad)
 
@@ -255,21 +303,23 @@ def _sample_sort_gid_jit(genome, positions, cap_len, is_pad, gid, n_words, two_b
     # ``offset`` is TRACED (pass jnp.uint32): every refinement round then
     # shares one compiled executable — offsets 0, 32, 64, ... as static
     # values would each pay a full remote-TPU compile (minutes apiece)
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
+    sp = mesh_pspec(mesh)
 
     def body(genome, positions, cap_len, is_pad, gid):
         pos, pad, g, ov = _sample_sort_local(
             genome, (positions,), cap_len, is_pad, n_words=n_words, n_dev=n_dev,
             two_bit=two_bit, n_samples=n_samples, capacity=capacity,
             uniform_cap=False, gid=gid, offset=offset,
+            axes=mesh_axes(mesh), hier_shape=_hier_shape(mesh),
         )
         return pos[0], pad, g[0], ov
 
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(P(), sp, sp, sp, sp),
+        out_specs=(sp, sp, sp, P()),
     )
     return fn(genome, positions, cap_len, is_pad, gid)
 
@@ -302,7 +352,8 @@ def _refine_round_jit(genome, positions, cap_len, is_pad, gid, seg_starts,
 
 
 def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offset,
-                         window_bases, first, seg_starts, seg_ends, max_cap):
+                         window_bases, first, seg_starts, seg_ends, max_cap,
+                         axes=AXIS):
     """Global run structure after a refinement round: new run ids (global
     cumsum of boundaries in valid-row coordinates, stitched across shards via
     the nearest-previous-non-empty-shard halo) and whether any tied pair can
@@ -310,8 +361,8 @@ def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offse
     from ..ops.keys import cap_lengths, compute_valid_len
 
     n_local = positions.shape[0]
-    n_dev = jax.lax.axis_size(AXIS)
-    my = jax.lax.axis_index(AXIS)
+    n_dev = jax.lax.axis_size(axes)
+    my = jax.lax.axis_index(axes)
     valid = is_pad == jnp.uint32(0)
 
     cap = cap_lengths(compute_valid_len(positions, seg_starts, seg_ends), max_cap)
@@ -332,11 +383,11 @@ def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offse
 
     # halo against the last valid row of the nearest previous non-empty shard
     n_valid = jnp.sum(valid.astype(jnp.uint32))
-    all_n_valid = jax.lax.all_gather(n_valid, AXIS)
+    all_n_valid = jax.lax.all_gather(n_valid, axes)
     has_data = all_n_valid > 0
     last_i = jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)
     my_last = jnp.stack([jnp.take(w, last_i.astype(jnp.int32)) for w in lanes])
-    all_last = jax.lax.all_gather(my_last, AXIS)
+    all_last = jax.lax.all_gather(my_last, axes)
     cand = jnp.where(has_data, jnp.arange(n_dev), -1)
     pred_idx = jax.lax.associative_scan(jnp.maximum, cand)
     pred_of_mine = jnp.where(my > 0, jnp.take(pred_idx, jnp.maximum(my - 1, 0)), -1)
@@ -352,18 +403,18 @@ def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offse
     beyond = cap > jnp.uint32(offset + window_bases)
     prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
     my_last_beyond = jnp.take(beyond, last_i.astype(jnp.int32))
-    all_last_beyond = jax.lax.all_gather(my_last_beyond, AXIS)
+    all_last_beyond = jax.lax.all_gather(my_last_beyond, axes)
     pred_beyond = jnp.where(
         pred_of_mine < 0, False, jnp.take(all_last_beyond, jnp.maximum(pred_of_mine, 0))
     )
     prev_beyond = prev_beyond.at[0].set(pred_beyond)
     unresolved = eq & valid & (beyond | prev_beyond)
-    any_unresolved = jax.lax.psum(jnp.sum(unresolved.astype(jnp.uint32)), AXIS)
+    any_unresolved = jax.lax.psum(jnp.sum(unresolved.astype(jnp.uint32)), axes)
 
     # global run ids: cumsum of boundary with cross-shard offset
     local_b = jnp.cumsum(boundary.astype(jnp.uint32))
     my_count = local_b[-1]
-    all_counts = jax.lax.all_gather(my_count, AXIS)
+    all_counts = jax.lax.all_gather(my_count, axes)
     before = jnp.sum(jnp.where(jnp.arange(n_dev) < my, all_counts, 0)).astype(jnp.uint32)
     new_gid = jnp.where(valid, before + local_b - jnp.uint32(1), jnp.uint32(0xFFFFFFFF))
     return new_gid, any_unresolved
@@ -376,6 +427,7 @@ def _run_structure_jit(genome, positions, is_pad, gid, seg_starts, seg_ends,
     # ``offset`` is TRACED (pass jnp.uint32) so every window round shares
     # one executable; it rides into the shard_map body as a replicated
     # closure capture exactly like seg_starts/seg_ends
+    sp = mesh_pspec(mesh)
     fn = shard_map(
         partial(
             _run_structure_local,
@@ -387,10 +439,11 @@ def _run_structure_jit(genome, positions, is_pad, gid, seg_starts, seg_ends,
             seg_starts=seg_starts,
             seg_ends=seg_ends,
             max_cap=max_cap,
+            axes=mesh_axes(mesh),
         ),
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P()),
+        in_specs=(P(), sp, sp, sp),
+        out_specs=(sp, P()),
     )
     return fn(genome, positions, is_pad, gid)
 
@@ -441,7 +494,7 @@ def sample_sort_positions_unbounded(
         genome_g, rag_pos, rag_pad, rag_pad, seg_starts, seg_ends,
         n_words, two_bit, jnp.uint32(offset), window_bases, True, max_cap, mesh,
     )
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     m = rag_pos.shape[0] // n_dev
     while int(unresolved) > 0:
         offset += window_bases
@@ -590,7 +643,7 @@ def sample_sort_positions_ragged(
     two_bit = packed2 is not None
     genome = packed2 if two_bit else packed
     n = positions.shape[0]
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
 
     positions_p = _pad_to_multiple(positions, n_dev, _PAD_POS)
@@ -599,7 +652,7 @@ def sample_sort_positions_ragged(
     m = positions_p.shape[0] // n_dev
     n_samples = min(n_samples, m)
 
-    sharding = NamedSharding(mesh, P(AXIS))
+    sharding = NamedSharding(mesh, mesh_pspec(mesh))
     positions_p = put_global(positions_p, sharding)
     cap_p = put_global(cap_p, sharding)
     is_pad = put_global(is_pad, sharding)
@@ -632,14 +685,15 @@ def sample_sort_positions_ragged(
 
 
 def _sample_sort_dense_local(key_lanes, positions, is_pad, n_dev, n_samples,
-                             capacity):
+                             capacity, axes=AXIS, hier_shape=None):
     """Per-shard pipeline body for prebuilt dense lanes: invalid rows are
     already folded to lane values that sort strictly last (see
     ``_dense_key_lanes``), so no further folding is needed — positions stay
     real values (ascending iota) and ride as the final tie-break key."""
     padm = is_pad != jnp.uint32(0)
     lanes = key_lanes + (positions,)
-    return _exchange_merge(lanes, 1, padm, n_dev, n_samples, capacity)
+    return _exchange_merge(lanes, 1, padm, n_dev, n_samples, capacity,
+                           axes=axes, hier_shape=hier_shape)
 
 
 def _dense_key_lanes(packed, seg_starts, seg_ends, min_len, n_words, k,
@@ -664,7 +718,7 @@ def _dense_key_lanes(packed, seg_starts, seg_ends, min_len, n_words, k,
     )
 
     L = packed.shape[0]
-    shd = NamedSharding(mesh, P(AXIS))
+    shd = NamedSharding(mesh, mesh_pspec(mesh))
     csc = jax.lax.with_sharding_constraint
     iota = csc(jax.lax.iota(jnp.uint32, L), shd)
     vl = csc(valid_len_all(seg_starts, seg_ends, iota), shd)
@@ -697,17 +751,20 @@ def _sample_sort_dense_jit(packed, seg_starts, seg_ends, min_len, n_words, k,
         packed, seg_starts, seg_ends, min_len, n_words, k, two_bit,
         uniform_cap, mesh,
     )
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
+    sp = mesh_pspec(mesh)
     fn = shard_map(
         partial(
             _sample_sort_dense_local,
             n_dev=n_dev,
             n_samples=n_samples,
             capacity=capacity,
+            axes=mesh_axes(mesh),
+            hier_shape=_hier_shape(mesh),
         ),
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(sp, sp, sp),
+        out_specs=(sp, sp, sp, P()),
     )
     return fn(key_lanes, iota, is_pad)
 
@@ -743,7 +800,7 @@ def sample_sort_positions_dense_ragged(
         raise NotImplementedError(
             f"dense sample sort requires max_kmer_len <= {limit} bases"
         )
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
     # pad the pack to a shardable length; padding packs as rank 0 => vl 0
     packed_p = _pad_to_multiple(packed, n_dev, jnp.uint32(0))
@@ -790,7 +847,7 @@ def _canonical_dense_lanes(packed2, seg_starts, seg_ends, min_len, k, n_words,
     from ..ops.keys import build_key2_words_dense, valid_len_all
 
     L = packed2.shape[0]
-    shd = NamedSharding(mesh, P(AXIS))
+    shd = NamedSharding(mesh, mesh_pspec(mesh))
     csc = jax.lax.with_sharding_constraint
     iota = csc(jax.lax.iota(jnp.uint32, L), shd)
     vl = csc(valid_len_all(seg_starts, seg_ends, iota), shd)
@@ -817,17 +874,20 @@ def _canonical_sample_sort_jit(packed2, seg_starts, seg_ends, min_len, n_words,
     key_lanes, iota, is_pad = _canonical_dense_lanes(
         packed2, seg_starts, seg_ends, min_len, k, n_words, mesh
     )
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
+    sp = mesh_pspec(mesh)
     fn = shard_map(
         partial(
             _sample_sort_dense_local,
             n_dev=n_dev,
             n_samples=n_samples,
             capacity=capacity,
+            axes=mesh_axes(mesh),
+            hier_shape=_hier_shape(mesh),
         ),
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(sp, sp, sp),
+        out_specs=(sp, sp, sp, P()),
     )
     return fn(key_lanes, iota, is_pad)
 
@@ -856,7 +916,7 @@ def sample_sort_canonical_dense_ragged(
     """
     if k > 64:
         raise NotImplementedError("canonical keys require k <= 64")
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     n_words = _cdiv(k, 16)
     packed_p = _pad_to_multiple(packed2, n_dev, jnp.uint32(0))
     m = packed_p.shape[0] // n_dev
@@ -943,7 +1003,7 @@ def sample_sort_positions_large_ragged(
         pad_mask_np = (cap_np < np.uint32(canonical_k)).astype(np.uint32)
 
     n = pos.shape[0]
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
 
     hi_np, lo_np = split64_np(pos)
@@ -954,7 +1014,7 @@ def sample_sort_positions_large_ragged(
     m = hi_p.shape[0] // n_dev
     n_samples = min(n_samples, m)
 
-    sharding = NamedSharding(mesh, P(AXIS))
+    sharding = NamedSharding(mesh, mesh_pspec(mesh))
     hi_p = put_global(hi_p, sharding)
     lo_p = put_global(lo_p, sharding)
     cap_p = put_global(cap_p, sharding)
@@ -1017,7 +1077,7 @@ def _caps_large(pos_hi, pos_lo, is_pad, seg_tables, max_cap):
 
 def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
                                seg_tables, n_words, two_bit, offset,
-                               window_bases, first, max_cap):
+                               window_bases, first, max_cap, axes=AXIS):
     """Global run structure over the large pair-lane layout: pair run ids
     (cross-shard pair cumsum of boundaries) and whether any tied pair can
     still extend past this window — the 64-bit analog of
@@ -1025,8 +1085,8 @@ def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
     from ..ops.large import add64_u32, sub64
 
     n_local = pos_hi.shape[0]
-    n_dev = jax.lax.axis_size(AXIS)
-    my = jax.lax.axis_index(AXIS)
+    n_dev = jax.lax.axis_size(axes)
+    my = jax.lax.axis_index(axes)
     valid = is_pad == jnp.uint32(0)
     ones = jnp.uint32(_ONES)
 
@@ -1047,11 +1107,11 @@ def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
 
     # halo against the last valid row of the nearest previous non-empty shard
     n_valid = jnp.sum(valid.astype(jnp.uint32))
-    all_n_valid = jax.lax.all_gather(n_valid, AXIS)
+    all_n_valid = jax.lax.all_gather(n_valid, axes)
     has_data = all_n_valid > 0
     last_i = (jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)).astype(jnp.int32)
     my_last = jnp.stack([jnp.take(w, last_i) for w in lanes])
-    all_last = jax.lax.all_gather(my_last, AXIS)
+    all_last = jax.lax.all_gather(my_last, axes)
     cand = jnp.where(has_data, jnp.arange(n_dev), -1)
     pred_idx = jax.lax.associative_scan(jnp.maximum, cand)
     pred_of_mine = jnp.where(my > 0, jnp.take(pred_idx, jnp.maximum(my - 1, 0)), -1)
@@ -1067,13 +1127,13 @@ def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
     beyond = cap > offset + jnp.uint32(window_bases)
     prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
     my_last_beyond = jnp.take(beyond, last_i)
-    all_last_beyond = jax.lax.all_gather(my_last_beyond, AXIS)
+    all_last_beyond = jax.lax.all_gather(my_last_beyond, axes)
     pred_beyond = jnp.where(
         pred_of_mine < 0, False, jnp.take(all_last_beyond, jnp.maximum(pred_of_mine, 0))
     )
     prev_beyond = prev_beyond.at[0].set(pred_beyond)
     unresolved = eq & valid & (beyond | prev_beyond)
-    any_unresolved = jax.lax.psum(jnp.sum(unresolved.astype(jnp.uint32)), AXIS)
+    any_unresolved = jax.lax.psum(jnp.sum(unresolved.astype(jnp.uint32)), axes)
 
     # global PAIR run ids: local uint32 cumsum (a shard holds < 2^31 rows)
     # plus an exact pair prefix offset across shards, minus one. The first
@@ -1081,7 +1141,7 @@ def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
     # every valid row and the subtraction never borrows into the sign.
     local_b = jnp.cumsum(boundary.astype(jnp.uint32))
     my_count = local_b[-1]
-    all_counts = jax.lax.all_gather(my_count, AXIS)
+    all_counts = jax.lax.all_gather(my_count, axes)
     mask_before = (jnp.arange(n_dev) < my).astype(jnp.uint32)
     b_hi = jnp.zeros((), jnp.uint32)
     b_lo = jnp.zeros((), jnp.uint32)
@@ -1101,6 +1161,7 @@ def _run_structure_large_jit(genome, pos_hi, pos_lo, is_pad, ghi, glo,
                              window_bases, first, max_cap, mesh):
     # ``offset`` is TRACED (pass jnp.uint32): every window round shares one
     # executable, exactly like the uint32 _run_structure_jit
+    sp = mesh_pspec(mesh)
     fn = shard_map(
         partial(
             _run_structure_large_local,
@@ -1110,11 +1171,11 @@ def _run_structure_large_jit(genome, pos_hi, pos_lo, is_pad, ghi, glo,
             window_bases=window_bases,
             first=first,
             max_cap=max_cap,
+            axes=mesh_axes(mesh),
         ),
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  (P(),) * 4),
-        out_specs=(P(AXIS), P(AXIS), P()),
+        in_specs=(P(), sp, sp, sp, sp, sp, (P(),) * 4),
+        out_specs=(sp, sp, P()),
     )
     return fn(genome, pos_hi, pos_lo, is_pad, ghi, glo, seg_tables)
 
@@ -1131,7 +1192,8 @@ def _refine_round_large_jit(genome, pos_hi, pos_lo, is_pad, ghi, glo,
     flags = [overflow, unresolved] — ONE dispatch, ONE scalar transfer per
     round (the 64-bit analog of ``_refine_round_jit``)."""
     cap = _caps_large(pos_hi, pos_lo, is_pad, seg_tables, max_cap)
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
+    sp = mesh_pspec(mesh)
 
     def body(genome, pos_hi, pos_lo, cap, is_pad, ghi, glo):
         pos, pad, g, ov = _sample_sort_local(
@@ -1139,14 +1201,15 @@ def _refine_round_large_jit(genome, pos_hi, pos_lo, is_pad, ghi, glo,
             n_dev=n_dev, two_bit=two_bit, n_samples=n_samples,
             capacity=capacity, uniform_cap=False, gid=(ghi, glo),
             offset=offset, strided=True,
+            axes=mesh_axes(mesh), hier_shape=_hier_shape(mesh),
         )
         return pos[0], pos[1], pad, g[0], g[1], ov
 
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(P(), sp, sp, sp, sp, sp, sp),
+        out_specs=(sp, sp, sp, sp, sp, P()),
     )
     n_hi, n_lo, n_pad, o_ghi, o_glo, overflow = fn(
         genome, pos_hi, pos_lo, cap, is_pad, ghi, glo
@@ -1207,7 +1270,7 @@ def sample_sort_positions_large_unbounded(
         n_words, two_bit, jnp.uint32(offset), window_bases, True, max_cap,
         mesh,
     )
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     m = hi.shape[0] // n_dev
     while int(unresolved) > 0:
         offset += window_bases
@@ -1298,7 +1361,7 @@ def sample_sort_canonical_ragged(
     if kmer_len is None or kmer_len < 1 or kmer_len > 64:
         raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
     n = positions.shape[0]
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     n_words = _cdiv(kmer_len, 16)
 
     vl = compute_valid_len(positions, seg_starts, seg_ends)
@@ -1312,7 +1375,7 @@ def sample_sort_canonical_ragged(
     m = positions_p.shape[0] // n_dev
     n_samples = min(n_samples, m)
 
-    sharding = NamedSharding(mesh, P(AXIS))
+    sharding = NamedSharding(mesh, mesh_pspec(mesh))
     positions_p = put_global(positions_p, sharding)
     cap_p = put_global(cap_p, sharding)
     is_pad = put_global(is_pad, sharding)

@@ -191,6 +191,40 @@ def main() -> int:
             "total": int(exp_total),
         }
 
+    # --- unbounded (suffix-mode) mesh sort + ext_gid stats across the real
+    # process boundary (round 5): a repeat-bearing genome so refinement
+    # rounds actually execute, pinned against a suffix-string oracle ---
+    from genome_kmers_tpu.parallel import sample_sort_positions_unbounded
+
+    unit = "".join(rng.choice(list("ACGT"), size=40))
+    rep_seq = unit * 6 + "".join(rng.choice(list("ACGT"), size=37))
+    sba_u = np.frombuffer(rep_seq.encode(), dtype=np.uint8).copy()
+    ss_u = np.zeros(1, dtype=np.uint32)
+    se_u = np.array([len(sba_u) - 1], dtype=np.uint32)
+    import jax.numpy as jnp
+
+    packed_u = np.asarray(pack_rank_words(jnp.asarray(sba_u)))
+    packed2_u = np.asarray(pack_rank2_words(jnp.asarray(sba_u)))
+    pos_u = np.arange(len(sba_u), dtype=np.uint32)
+    rag_pos_u, rag_pad_u, gid_u = sample_sort_positions_unbounded(
+        packed_u, jnp.asarray(pos_u), jnp.asarray(ss_u), jnp.asarray(se_u),
+        mesh, packed2=jnp.asarray(packed2_u), return_ragged=True,
+    )
+    suffixes = [rep_seq[p:] for p in range(len(rep_seq))]
+    want_suffix_order = [
+        p for _, p in sorted((s, p) for p, s in enumerate(suffixes))
+    ]
+    got_u = gather_valid(rag_pos_u, rag_pad_u)
+    assert got_u.tolist() == want_suffix_order, "unbounded sort mismatch"
+    counts_u, total_u = distributed_group_size_histogram_ragged(
+        packed_u, rag_pos_u, rag_pad_u, ss_u, se_u, None, mesh,
+        max_counts_bin=50, packed2=packed2_u, ext_gid=gid_u,
+    )
+    # distinct suffixes of one segment: every group is a singleton
+    assert int(total_u) == len(rep_seq)
+    assert int(np.asarray(counts_u)[1]) == len(rep_seq)
+    results["unbounded_n"] = len(rep_seq)
+
     # --- sharded checkpoint: save on the full mesh, restore onto a smaller
     # mesh (one device per process) ---
     ckpt_dir = os.path.join(outdir, "ckpt")

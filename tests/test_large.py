@@ -360,6 +360,266 @@ class TestPast2p32:
         assert t2 == total
 
 
+class _StreamPacker:
+    """Accumulate byte chunks into a strided 2-bit pack without ever
+    materializing the whole genome (16-base word alignment handled by a
+    small carry buffer)."""
+
+    def __init__(self):
+        self.chunks = []
+        self.stream = np.empty(0, dtype=np.uint8)
+
+    def emit(self, arr):
+        self.stream = (
+            np.concatenate([self.stream, arr]) if self.stream.size else arr
+        )
+        take = (len(self.stream) // 16) * 16
+        if take:
+            self.chunks.append(
+                pack_rank2_strided_np(self.stream[:take], extra_words=0)
+            )
+            self.stream = self.stream[take:]
+
+    def finish(self):
+        if len(self.stream):
+            self.chunks.append(pack_rank2_strided_np(self.stream, extra_words=0))
+        self.chunks.append(np.zeros(8, dtype=np.uint32))
+        return np.concatenate(self.chunks)
+
+
+_GEN_CHUNK = 1 << 24  # 16M bases per generated block
+
+
+def _gen_blocks(rng, seg_len, plant31=None):
+    """Random ACGT blocks totalling ``seg_len`` bases, with optional
+    (offset, 31-mer bytes) plants (each must fall inside one block)."""
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    produced = 0
+    while produced < seg_len:
+        n = min(_GEN_CHUNK, seg_len - produced)
+        block = lut[rng.integers(0, 4, size=n, dtype=np.uint8)]
+        if plant31:
+            for off, w in plant31:
+                if produced <= off and off + 31 <= produced + n:
+                    block[off - produced : off - produced + 31] = w
+        yield block
+        produced += n
+
+
+def _random_pack_two_segments(seg_len, tail_share, seed=21):
+    """Strided 2-bit pack of two random segments of ``seg_len`` bases each
+    (total > 2^32 for seg_len >= 2^31) with the last ``tail_share`` bases
+    SHARED — real suffix-equal position pairs straddling the 2^32
+    boundary. Returns (packed_words, seg_starts, seg_ends)."""
+    rng = np.random.default_rng(seed)
+    pk = _StreamPacker()
+    last = None
+    for block in _gen_blocks(rng, seg_len):
+        last = block
+        pk.emit(block)
+    tail = last[-tail_share:].copy()
+    pk.emit(np.frombuffer(b"$", dtype=np.uint8))
+    prev = None  # hold back one block so segment B's tail can be patched
+    for block in _gen_blocks(rng, seg_len):
+        if prev is not None:
+            pk.emit(prev)
+        prev = block
+    prev[-tail_share:] = tail
+    pk.emit(prev)
+    packed = pk.finish()
+    L = 2 * seg_len + 1
+    seg_starts = np.array([0, seg_len + 1], dtype=np.uint64)
+    seg_ends = np.array([seg_len - 1, L - 1], dtype=np.uint64)
+    return packed, seg_starts, seg_ends
+
+
+class TestPast2p32Suffix:
+    """Round-5 headline: suffix mode (max_kmer_len=None) past 2^32 — the
+    one configuration that needs BOTH the 64-bit regime and unbounded k
+    (SURVEY §7.3-1/6; the reference supports suffix semantics,
+    kmers.py:315-316, but hard-fails at this scale, kmers.py:805-808)."""
+
+    def test_suffix_sort_and_stats_past_2p32(self):
+        from genome_kmers_tpu import LargeKmers
+        from genome_kmers_tpu.ops.large import decode_strided_np
+
+        SEG = (1 << 31) + (1 << 25)  # 2 segments -> L = 4.36e9 > 2^32
+        TAIL = 256                   # shared tail: suffix-equal pairs,
+        #                              resolved in ceil(256/64) = 4 rounds
+        packed, seg_starts, seg_ends = _random_pack_two_segments(SEG, TAIL)
+        L = int(seg_ends[-1]) + 1
+        assert L > 2**32
+
+        rng = np.random.default_rng(33)
+        # random positions from both segments (none in the shared tails —
+        # random suffixes are unique) + mirrored tail pairs at sampled
+        # depths (equal suffixes straddling 2^32)
+        pos_a = rng.choice(SEG - TAIL - 64, size=6000, replace=False).astype(np.uint64)
+        pos_b = (
+            np.uint64(SEG + 1)
+            + rng.choice(SEG - TAIL - 64, size=6000, replace=False).astype(np.uint64)
+        )
+        depths = rng.choice(np.arange(1, TAIL + 1), size=120, replace=False).astype(np.uint64)
+        pair_a = np.uint64(SEG) - depths
+        pair_b = np.uint64(L) - depths
+        pos = np.concatenate([pos_a, pos_b, pair_a, pair_b])
+        rng.shuffle(pos)
+        assert int(np.sum(pos >= (1 << 32))) > 0
+
+        lk = LargeKmers(packed, seg_starts, seg_ends, 1, None, two_bit=True)
+        assert not lk._one_window
+        mesh = make_mesh(2)
+        lk.sort(mesh, positions=pos)
+
+        # oracle: 320-byte capped prefixes (tail pairs are <= 256 long and
+        # truly equal; random suffixes are unique well before 320 bases)
+        K_OR = 320
+        starts = seg_starts
+        seg_ids = np.searchsorted(starts, pos, side="right") - 1
+        nat = (seg_ends[seg_ids] - pos + np.uint64(1)).astype(np.int64)
+        lens = np.minimum(nat, K_OR)
+        block = decode_strided_np(packed, pos, K_OR, True)
+        keys = [block[i, : lens[i]].tobytes() for i in range(len(pos))]
+        order = sorted(range(len(pos)), key=lambda i: (keys[i], pos[i]))
+        want_sorted = pos[np.array(order)]
+        got = lk.sorted_positions()
+        np.testing.assert_array_equal(got, want_sorted)
+
+        # suffix-identity stats: tail pairs form groups of 2 iff truly
+        # suffix-equal (equal bytes AND equal natural length) — exactly the
+        # mirrored pairs; everything else singleton
+        ks = [keys[i] for i in order]
+        nt = nat[np.array(order)]
+        bnd = np.array(
+            [True]
+            + [ks[i] != ks[i - 1] or nt[i] != nt[i - 1] for i in range(1, len(ks))]
+        )
+        sizes = np.diff(np.concatenate([np.flatnonzero(bnd), [len(ks)]]))
+        want_counts = np.bincount(np.minimum(sizes, 10), minlength=11).astype(np.uint64)
+        assert want_counts[2] == 120  # the planted pairs all found
+        counts, total = lk.get_kmer_group_counts(None, max_counts_bin=10)
+        np.testing.assert_array_equal(counts, want_counts)
+        assert total == len(pos)
+
+        # bounded identity on the same suffix index (k=31 via in-kernel keys)
+        k31 = [block[i, : min(31, lens[i])].tobytes() for i in range(len(pos))]
+        s31 = sorted(k31)
+        import itertools
+
+        sizes31 = np.array([len(list(g)) for _, g in itertools.groupby(s31)])
+        want31 = np.bincount(np.minimum(sizes31, 10), minlength=11).astype(np.uint64)
+        c31, t31 = lk.get_kmer_group_counts(31, max_counts_bin=10)
+        np.testing.assert_array_equal(c31, want31)
+        assert t31 == len(pos)
+
+
+class TestPast2p32TrackStrands:
+    """track_strands_separately past 2^32 (VERDICT round-4 item 2): a
+    both-strand index of > 2^32 total bases with strand-split stats."""
+
+    def test_strand_split_stats_past_2p32(self):
+        from genome_kmers_tpu import LargeKmers
+        from genome_kmers_tpu.ops.large import decode_strided_np
+
+        SEG = (1 << 31) + (1 << 25)
+        K = 31
+        rng = np.random.default_rng(55)
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+        comp_lut = np.zeros(256, dtype=np.uint8)
+        for k_, v_ in ((65, 84), (67, 71), (71, 67), (84, 65)):
+            comp_lut[k_] = v_
+        # plant W at offset a and revcomp(W) at offset b of the FORWARD
+        # strand: the both-strand index then holds "W" once on "+" (at a)
+        # and once on "-" (the rc strand reads W across locus b)
+        W = lut[rng.integers(0, 4, size=K, dtype=np.uint8)]
+        Wrc = comp_lut[W[::-1]]
+        a_off, b_off = 10_000_000, (1 << 31) + 1_000_000
+        plants = [(a_off, W), (b_off, Wrc)]
+
+        # forward strand + '$' + its reverse complement, packed streaming.
+        # Per-block independent rngs ([seed, i]) make any block regenerable
+        # on demand, so the rc pass re-derives blocks in reverse order
+        # without holding the 2.2 GB strand in memory.
+        nblocks = -(-SEG // _GEN_CHUNK)
+
+        def ablock(i):
+            n = min(_GEN_CHUNK, SEG - i * _GEN_CHUNK)
+            blk = lut[
+                np.random.default_rng([55, i]).integers(0, 4, size=n, dtype=np.uint8)
+            ]
+            base = i * _GEN_CHUNK
+            for off, w in plants:
+                if base <= off and off + K <= base + n:
+                    blk[off - base : off - base + K] = w
+            return blk
+
+        pk = _StreamPacker()
+        for i in range(nblocks):
+            pk.emit(ablock(i))
+        pk.emit(np.frombuffer(b"$", dtype=np.uint8))
+        for i in reversed(range(nblocks)):
+            pk.emit(comp_lut[ablock(i)[::-1]])
+        packed = pk.finish()
+        L = 2 * SEG + 1
+        seg_starts = np.array([0, SEG + 1], dtype=np.uint64)
+        seg_ends = np.array([SEG - 1, L - 1], dtype=np.uint64)
+
+        lk = LargeKmers(packed, seg_starts, seg_ends, K, K, two_bit=True)
+        lk._n_fwd_records = 1
+        lk._track_strands = True
+        lk.record_names = ["chrA", "chrA"]
+
+        # sampled positions from both strands + the planted cross-strand pair
+        rng2 = np.random.default_rng(66)
+        pos_f = rng2.choice(SEG - K, size=5000, replace=False).astype(np.uint64)
+        pos_r = (
+            np.uint64(SEG + 1)
+            + rng2.choice(SEG - K, size=5000, replace=False).astype(np.uint64)
+        )
+        w_plus = np.uint64(a_off)  # W on "+"
+        w_minus = np.uint64(2 * SEG - (b_off + K - 1))  # W on "-" (rc coords)
+        pos = np.concatenate([pos_f, pos_r, [w_plus, w_minus]])
+        pos = np.unique(pos)
+        rng2.shuffle(pos)
+        assert int(np.sum(pos >= (1 << 32))) > 0
+        mesh = make_mesh(2)
+        lk.sort(mesh, positions=pos)
+
+        # oracle over decoded 31-mers, split and joint
+        block = decode_strided_np(packed, pos, K, True)
+        keys = [block[i].tobytes() for i in range(len(pos))]
+        is_rc = pos >= np.uint64(SEG + 1)
+        import itertools
+
+        def hist(split):
+            items = sorted(
+                (keys[i], bool(is_rc[i]) if split else False)
+                for i in range(len(pos))
+            )
+            sizes = np.array([len(list(g)) for _, g in itertools.groupby(items)])
+            return (
+                np.bincount(np.minimum(sizes, 10), minlength=11).astype(np.uint64),
+                int(sizes.sum()),
+            )
+
+        # planted pair: W appears once on each strand
+        assert keys[int(np.flatnonzero(pos == w_plus)[0])] == W.tobytes()
+        assert keys[int(np.flatnonzero(pos == w_minus)[0])] == W.tobytes()
+
+        want_split, wt_split = hist(True)
+        c_split, t_split = lk.get_kmer_group_counts(K, max_counts_bin=10)
+        np.testing.assert_array_equal(c_split, want_split)
+        assert t_split == wt_split
+
+        lk._track_strands = False  # joint identity on the same layout
+        want_joint, wt_joint = hist(False)
+        c_joint, t_joint = lk.get_kmer_group_counts(K, max_counts_bin=10)
+        np.testing.assert_array_equal(c_joint, want_joint)
+        assert t_joint == wt_joint
+        assert want_joint[2] >= 1  # the cross-strand W pair shares a group
+        assert want_split[2] <= want_joint[2]  # split breaks it apart
+
+
 class TestLargeKmersFacade:
     """LargeKmers: the 64-bit regime behind the familiar class surface.
     Small-genome runs must agree exactly with the uint32 Kmers engine."""

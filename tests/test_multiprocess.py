@@ -95,8 +95,8 @@ def _run_cluster(tmp_path, n_procs: int, local_devices: int, timeout: int = 420)
 
 @pytest.mark.parametrize(
     "n_procs,local_devices",
-    [(2, 2), (4, 1)],
-    ids=["2proc_x2dev", "4proc_x1dev"],
+    [(2, 2), (4, 2)],
+    ids=["2proc_x2dev", "4proc_x2dev"],
 )
 def test_multiprocess_pipeline_exact(tmp_path, n_procs, local_devices):
     results = _run_cluster(tmp_path, n_procs, local_devices)
