@@ -2690,10 +2690,14 @@ class Kmers:
         """EXTENSION: strand-collapsed occurrence counts — each query counts
         its forward hits plus its reverse complement's hits (once, for
         palindromes). Completes BASELINE config 5's canonical + streaming
-        query pairing; requires ACGT queries and a sorted index.
-        ``mesh`` routes both direction lookups through the distributed
-        per-shard bound search (parallel.distributed_count_queries).
+        query pairing; uppercase IUPAC queries (round 5 — was ACGT-only;
+        complements per reference sequence_collection.py:402-433) and a
+        sorted index. ``mesh`` routes both direction lookups through the
+        distributed per-shard bound search
+        (parallel.distributed_count_queries).
         """
+        from .ops.encoding import COMPLEMENT_PAIRS
+
         if self.kmer_source_strand == "both":
             raise NotImplementedError(
                 "canonical queries are defined on a single-strand index; "
@@ -2702,11 +2706,16 @@ class Kmers:
             )
         if not queries:
             return np.zeros(0, dtype=np.uint32)
-        table = str.maketrans("ACGT", "TGCA")
+        table = str.maketrans(
+            {c: v for c, v in COMPLEMENT_PAIRS.items() if c != "$"}
+        )
+        allowed = set(COMPLEMENT_PAIRS) - {"$"}
         rcs = []
         for q in queries:
-            if set(q) - set("ACGT"):
-                raise ValueError(f"canonical queries must be ACGT-only: '{q}'")
+            if set(q) - allowed:
+                raise ValueError(
+                    f"canonical queries must be uppercase IUPAC: '{q}'"
+                )
             rcs.append(q.translate(table)[::-1])
         fwd = self.count_queries(queries, kmer_len, mesh=mesh)
         rc = self.count_queries(rcs, kmer_len, mesh=mesh)
@@ -2724,8 +2733,13 @@ class Kmers:
         (ops/canonical.py). The reference declares both-strand handling but
         raises NotImplementedError (kmers.py:689-696).
 
-        Requires an ACGT-only genome and kmer_len <= 64; only full-length
-        k-mers participate (truncated k-mers have no canonical form).
+        ACGT genomes ride the 2-bit lanes (kmer_len <= 64); IUPAC genomes
+        take the 4-bit lanes with a per-nibble rank-space complement
+        (round 5 — was NotImplementedError; R<->Y, K<->M, B<->V, D<->H, and
+        N/S/W self-complementary per reference
+        sequence_collection.py:402-433; kmer_len <= 32 there). Only
+        full-length k-mers participate (truncated k-mers have no canonical
+        form).
 
         Pass ``mesh`` (a jax.sharding.Mesh) to run the whole pipeline on the
         mesh: sharded gather-free canonical sample sort
@@ -2741,22 +2755,24 @@ class Kmers:
                 "(a both-strand index already contains each k-mer's reverse "
                 "complement)"
             )
-        if kmer_len is None or kmer_len < 1 or kmer_len > 64:
-            raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
         if max_counts_bin <= 0:
             raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
 
         import jax.numpy as jnp
 
-        from .ops.canonical import canonical_sizes_digest
+        from .ops.canonical import canonical_sizes_digest, canonical_sizes_digest4
         from .ops.keys import compute_valid_len
         from .ops.sort import _PAD_POS, _bucket, _pad_to
 
         dc = self._dc()
-        if dc.packed2 is None:
-            raise NotImplementedError(
-                "canonical k-mer statistics require an ACGT-only genome"
+        two_bit = dc.packed2 is not None
+        limit = 64 if two_bit else 32
+        if kmer_len is None or kmer_len < 1 or kmer_len > limit:
+            raise ValueError(
+                f"kmer_len ({kmer_len}) must be in [1, {limit}]"
+                + ("" if two_bit else " (4-bit IUPAC lanes)")
             )
+        packed_e = dc.packed2 if two_bit else dc.packed
         if mesh is not None:
             from .parallel import (
                 distributed_group_size_histogram_ragged,
@@ -2770,8 +2786,8 @@ class Kmers:
                 if int(self._init_geometry[2]) == 0:
                     return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
                 rag_pos, rag_pad, rag_words = sample_sort_canonical_dense_ragged(
-                    dc.packed2, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
-                    kmer_len, mesh,
+                    packed_e, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
+                    kmer_len, mesh, two_bit=two_bit,
                 )
             else:
                 # customized/filtered position sets: gather canonical
@@ -2780,12 +2796,13 @@ class Kmers:
                 if int(positions.shape[0]) == 0:
                     return np.zeros(max_counts_bin + 1, dtype=np.int64), 0
                 rag_pos, rag_pad, rag_words = sample_sort_canonical_ragged(
-                    dc.packed2, positions, dc.seg_starts, dc.seg_ends,
-                    kmer_len, mesh,
+                    packed_e, positions, dc.seg_starts, dc.seg_ends,
+                    kmer_len, mesh, two_bit=two_bit,
                 )
             size, qualifies, digest = distributed_group_size_histogram_ragged(
-                None, rag_pos, rag_pad, dc.seg_starts, dc.seg_ends, kmer_len,
-                mesh, packed2=dc.packed2, sorted_words=rag_words,
+                None if two_bit else dc.packed, rag_pos, rag_pad,
+                dc.seg_starts, dc.seg_ends, kmer_len, mesh,
+                packed2=dc.packed2, sorted_words=rag_words,
                 return_sizes=True,
             )
             return self._adaptive_hist_to_host(
@@ -2803,8 +2820,8 @@ class Kmers:
             from .ops.canonical import canonical_sizes_digest_dense
 
             size, qualifies, digest = canonical_sizes_digest_dense(
-                dc.packed2, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
-                kmer_len,
+                packed_e, dc.seg_starts, dc.seg_ends, self.min_kmer_len,
+                kmer_len, two_bit=two_bit,
             )
             return self._adaptive_hist_to_host(
                 size, qualifies, np.asarray(digest), max_counts_bin
@@ -2820,8 +2837,9 @@ class Kmers:
         n_pad = _bucket(n)
         positions = _pad_to(positions, n_pad, _PAD_POS)
         valid_len = _pad_to(valid_len, n_pad, jnp.uint32(0))
-        size, qualifies, digest = canonical_sizes_digest(
-            dc.packed2, positions, valid_len, kmer_len
+        digest_fn = canonical_sizes_digest if two_bit else canonical_sizes_digest4
+        size, qualifies, digest = digest_fn(
+            packed_e, positions, valid_len, kmer_len
         )
         return self._adaptive_hist_to_host(
             size, qualifies, np.asarray(digest), max_counts_bin

@@ -545,25 +545,24 @@ class LargeKmers:
         """Group-size histogram over CANONICAL (min(kmer, revcomp)) k-mers —
         the large-regime analog of Kmers.get_canonical_kmer_group_counts.
         Runs its own canonical sample sort (the canonical order differs per
-        kmer_len); only full-length k-mers participate. Requires the 2-bit
-        (ACGT) pack. ``mesh`` defaults to the mesh ``sort`` ran on;
-        ``positions`` optionally restricts to an explicit uint64 subset
-        (the full canonical start set is 8 B/k-mer of host memory)."""
+        kmer_len); only full-length k-mers participate. ACGT genomes ride
+        the 2-bit lanes (kmer_len <= 64); IUPAC genomes the 4-bit lanes
+        (kmer_len <= 32; round 5 — was NotImplementedError). ``mesh``
+        defaults to the mesh ``sort`` ran on; ``positions`` optionally
+        restricts to an explicit uint64 subset (the full canonical start
+        set is 8 B/k-mer of host memory)."""
         from .parallel.large import distributed_group_size_histogram_large_ragged
         from .parallel.sample_sort import sample_sort_canonical_large_ragged
 
-        if not self.two_bit:
-            raise NotImplementedError(
-                "canonical k-mer statistics require an ACGT-only genome"
-            )
         if self._n_fwd_records is not None:
             raise NotImplementedError(
                 "canonical statistics are defined on a single-strand index "
                 "(a both-strand index already contains each k-mer's reverse "
                 "complement)"
             )
-        if kmer_len is None or kmer_len < 1 or kmer_len > 64:
-            raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
+        limit = 64 if self.two_bit else 32
+        if kmer_len is None or kmer_len < 1 or kmer_len > limit:
+            raise ValueError(f"kmer_len ({kmer_len}) must be in [1, {limit}]")
         if max_counts_bin <= 0:
             raise ValueError(f"max_counts_bin ({max_counts_bin}) must be >= 1")
         if mesh is None:
@@ -578,14 +577,14 @@ class LargeKmers:
         )
         (hi, lo), is_pad, can_lanes = sample_sort_canonical_large_ragged(
             self.packed_words, pos, self.seg_starts,
-            self.seg_ends, kmer_len, mesh,
+            self.seg_ends, kmer_len, mesh, two_bit=self.two_bit,
         )
         # group identity = the retained canonical words (full-length rows
         # only, so no cap lane rides along)
         return distributed_group_size_histogram_large_ragged(
             self.packed_words, hi, lo, is_pad, self.seg_starts, self.seg_ends,
-            kmer_len, mesh, max_counts_bin=max_counts_bin, two_bit=True,
-            sorted_words=can_lanes, built_k=kmer_len,
+            kmer_len, mesh, max_counts_bin=max_counts_bin,
+            two_bit=self.two_bit, sorted_words=can_lanes, built_k=kmer_len,
         )
 
     # ------------------------------------------------------------------ #
@@ -626,7 +625,10 @@ class LargeKmers:
         self, queries: list, kmer_len: Union[int, None] = None
     ) -> np.ndarray:
         """Strand-collapsed occurrence counts: forward hits + reverse-
-        complement hits (once, for palindromes). ACGT queries only."""
+        complement hits (once, for palindromes). Uppercase IUPAC queries
+        (round 5 — was ACGT-only)."""
+        from .ops.encoding import COMPLEMENT_PAIRS
+
         if self._n_fwd_records is not None:
             raise NotImplementedError(
                 "canonical queries are defined on a single-strand index; "
@@ -635,11 +637,16 @@ class LargeKmers:
             )
         if not queries:
             return np.zeros(0, dtype=np.uint64)
-        table = str.maketrans("ACGT", "TGCA")
+        table = str.maketrans(
+            {c: v for c, v in COMPLEMENT_PAIRS.items() if c != "$"}
+        )
+        allowed = set(COMPLEMENT_PAIRS) - {"$"}
         rcs = []
         for q in queries:
-            if set(q) - set("ACGT"):
-                raise ValueError(f"canonical queries must be ACGT-only: '{q}'")
+            if set(q) - allowed:
+                raise ValueError(
+                    f"canonical queries must be uppercase IUPAC: '{q}'"
+                )
             rcs.append(q.translate(table)[::-1])
         fwd = self.count_queries(queries, kmer_len)
         rc = self.count_queries(rcs, kmer_len)

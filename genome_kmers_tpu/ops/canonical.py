@@ -11,8 +11,15 @@ TPU-native formulation: on the 2-bit packing (A=0 C=1 G=2 T=3) the reverse
 complement of a key is bit-arithmetic — complement = XOR all-ones (A<->T,
 C<->G), reversal = 2-bit-field reversal via masked shifts — so canonical keys
 are computed from the forward packed words without touching the genome
-bytes. Requires an ACGT-only alphabet and full-length (non-truncated) k-mers
-with k <= 32.
+bytes. Full-length (non-truncated) k-mers only.
+
+ROUND 5: IUPAC genomes take the 4-BIT lane variant — per-nibble rank-space
+complement (a 256-entry byte-pair table applied per uint32 byte, mapping
+R<->Y, K<->M, B<->V, D<->H; N, S, W self-complementary — reference
+sequence_collection.py:402-433) + 4-bit field reversal. Ranks are
+ASCII-ordered (ops/encoding.py), so min(fwd, rc) over the packed words IS
+min of the ASCII strings — the same canonical convention, exact on any
+IUPAC genome.
 """
 
 from __future__ import annotations
@@ -21,8 +28,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .keys import build_key2_words
+from .encoding import COMPLEMENT_PAIRS, RANK_TABLE
+from .keys import build_key2_words, build_key_words
+
+# 4-bit rank -> rank of the IUPAC complement ('$' -> '$': rank 0 -> 0)
+_COMP_RANK = np.zeros(16, dtype=np.uint8)
+for _ch, _cc in COMPLEMENT_PAIRS.items():
+    _COMP_RANK[RANK_TABLE[ord(_ch)]] = RANK_TABLE[ord(_cc)]
+# byte-level pair table: complements BOTH nibbles of a byte in one lookup
+_COMP_BYTE = np.zeros(256, dtype=np.uint32)
+for _b in range(256):
+    _COMP_BYTE[_b] = (np.uint32(_COMP_RANK[_b >> 4]) << 4) | _COMP_RANK[_b & 0xF]
 
 
 @jax.jit
@@ -74,6 +92,69 @@ def revcomp_key_words(words: tuple, k: int) -> tuple:
     return tuple(out)
 
 
+@jax.jit
+def _reverse_4bit_fields(x: jax.Array) -> jax.Array:
+    """Reverse the order of the 8 4-bit fields within each uint32."""
+    x = (x >> 16) | (x << 16)
+    x = ((x & jnp.uint32(0xFF00FF00)) >> 8) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    x = ((x & jnp.uint32(0xF0F0F0F0)) >> 4) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    return x
+
+
+@jax.jit
+def _complement_nibbles(x: jax.Array) -> jax.Array:
+    """Apply the IUPAC rank-space complement to every 4-bit field (four
+    byte-pair table lookups per word)."""
+    t = jnp.asarray(_COMP_BYTE)
+    out = jnp.zeros_like(x)
+    for sh in (0, 8, 16, 24):
+        b = ((x >> jnp.uint32(sh)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        out = out | (jnp.take(t, b) << jnp.uint32(sh))
+    return out
+
+
+@partial(jax.jit, static_argnames=("k",))
+def revcomp_key_words4(words: tuple, k: int) -> tuple:
+    """Reverse-complement 4-BIT (IUPAC) key words — the nibble-lane analog
+    of ``revcomp_key_words``: per-nibble rank complement, 4-bit field
+    reversal of the whole container, left-justify, clear fields past k.
+    Full-length k-mers only (no in-word terminators within the k fields)."""
+    from .encoding import NIBBLE_MASKS
+
+    ones = jnp.uint32(0xFFFFFFFF)
+    W = len(words)
+    rev = [
+        _reverse_4bit_fields(_complement_nibbles(words[W - 1 - i]))
+        for i in range(W)
+    ]
+    f = 8 * W - k
+    q, r4 = f // 8, 4 * (f % 8)
+    out = []
+    for i in range(W):
+        hi = rev[i + q] if i + q < W else jnp.zeros_like(rev[0])
+        lo = rev[i + q + 1] if i + q + 1 < W else jnp.zeros_like(rev[0])
+        if r4:
+            out.append(((hi << r4) | (lo >> (32 - r4))) & ones)
+        else:
+            out.append(hi)
+    masks = jnp.asarray(NIBBLE_MASKS)
+    full_words = k // 8
+    rem = k % 8
+    for i in range(W):
+        if i < full_words:
+            continue
+        if i == full_words and rem:
+            out[i] = out[i] & masks[rem]
+        else:
+            out[i] = jnp.zeros_like(out[i])
+    return tuple(out)
+
+
+def revcomp_words_any(words: tuple, k: int, two_bit: bool) -> tuple:
+    """Encoding-dispatching reverse complement of left-justified key words."""
+    return revcomp_key_words(words, k) if two_bit else revcomp_key_words4(words, k)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def canonical_key_words(packed2: jax.Array, positions: jax.Array, k: int) -> tuple:
     """min(forward key, revcomp key) per position, as 2-bit packed words.
@@ -92,7 +173,7 @@ def canonical_key_words(packed2: jax.Array, positions: jax.Array, k: int) -> tup
     return tuple(jnp.where(lt, a, b) for a, b in zip(rc, fwd))
 
 
-def _canonical_sizes_tail(lead, fwd, payload, k: int):
+def _canonical_sizes_tail(lead, fwd, payload, k: int, two_bit: bool = True):
     """Shared tail of both statistics kernels: fold forward key words to
     canonical min(key, revcomp), sort, and reduce to group sizes + the
     qualifying mask + the ``[total, hi]`` digest (stage 1 of the adaptive
@@ -108,7 +189,7 @@ def _canonical_sizes_tail(lead, fwd, payload, k: int):
     from .groups import _qualify_digest, group_sizes_at_boundaries
 
     n_words = len(fwd)
-    rc = revcomp_key_words(fwd, k)
+    rc = revcomp_words_any(fwd, k, two_bit)
     lt = jnp.zeros(payload.shape, dtype=bool)
     eq = jnp.ones(payload.shape, dtype=bool)
     for a, b in zip(rc, fwd):
@@ -164,11 +245,29 @@ def canonical_sizes_digest(
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _canonical_sizes_dense_jit(packed2, seg_starts, seg_ends, min_len, k: int):
-    from .keys import build_key2_words_dense, valid_len_all
+def canonical_sizes_digest4(
+    packed: jax.Array,
+    positions: jax.Array,
+    valid_len: jax.Array,
+    k: int,
+):
+    """IUPAC (4-bit lane) variant of ``canonical_sizes_digest`` — round 5:
+    canonical statistics no longer require an ACGT-only genome."""
+    n_words = -(-k // 8)
+    valid = valid_len >= jnp.uint32(k)
+    lead = (~valid).astype(jnp.uint32)
+    cap = jnp.where(valid, jnp.uint32(k), jnp.uint32(0))
+    fwd = build_key_words(packed, positions, cap, n_words, jnp.uint32(0))
+    return _canonical_sizes_tail(lead, fwd, positions, k, two_bit=False)
 
-    n_words = -(-k // 16)
-    L = packed2.shape[0]
+
+@partial(jax.jit, static_argnames=("k", "two_bit"))
+def _canonical_sizes_dense_jit(packed_e, seg_starts, seg_ends, min_len, k: int,
+                               two_bit: bool = True):
+    from .keys import build_key2_words_dense, build_key_words_dense, valid_len_all
+
+    n_words = -(-k // (16 if two_bit else 8))
+    L = packed_e.shape[0]
     iota = jax.lax.iota(jnp.uint32, L)
     vl = valid_len_all(seg_starts, seg_ends, iota)
     # index membership (vl >= min_kmer_len) AND full length (vl >= k) —
@@ -176,12 +275,14 @@ def _canonical_sizes_dense_jit(packed2, seg_starts, seg_ends, min_len, k: int):
     valid = vl >= jnp.maximum(jnp.uint32(k), min_len)
     lead = (~valid).astype(jnp.uint32)
     cap = jnp.where(valid, jnp.uint32(k), jnp.uint32(0))
-    fwd = build_key2_words_dense(packed2, cap, n_words)
-    return _canonical_sizes_tail(lead, fwd, iota, k)
+    build = build_key2_words_dense if two_bit else build_key_words_dense
+    fwd = build(packed_e, cap, n_words)
+    return _canonical_sizes_tail(lead, fwd, iota, k, two_bit=two_bit)
 
 
 def canonical_sizes_digest_dense(
     packed2, seg_starts, seg_ends, min_kmer_len: int, k: int,
+    two_bit: bool = True,
 ):
     """Gather-free dense variant of ``canonical_sizes_digest`` — valid
     while the index is the canonical dense start set (every position with
@@ -205,7 +306,8 @@ def canonical_sizes_digest_dense(
     # seg_end, so valid_len_all yields 0 for them; the fill value itself is
     # never observed (cap masks every slice read)
     return _canonical_sizes_dense_jit(
-        packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), k
+        packed2, seg_starts, seg_ends, jnp.uint32(min_kmer_len), k,
+        two_bit=two_bit,
     )
 
 

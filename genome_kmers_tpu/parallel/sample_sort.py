@@ -127,13 +127,14 @@ def _sample_sort_local(genome, pos_lanes, cap_len, is_pad, n_words, n_dev, two_b
                        hier_shape=None):
     words = _words_at(genome, pos_lanes, cap_len, n_words, two_bit, offset, strided)
     if canonical_k is not None:
-        # canonical (strand-collapsed) keys: min(fwd, revcomp) per row.
-        # Requires the 2-bit path and full-length rows only (the caller
-        # pads out truncated rows), so the word format matches
-        # ops/canonical.revcomp_key_words exactly.
-        from ..ops.canonical import revcomp_key_words
+        # canonical (strand-collapsed) keys: min(fwd, revcomp) per row —
+        # bit-arithmetic revcomp on the 2-bit path, per-nibble rank
+        # complement on the 4-bit (IUPAC) path. Full-length rows only (the
+        # caller pads out truncated rows), so the word formats match
+        # ops/canonical.revcomp_key_words / revcomp_key_words4 exactly.
+        from ..ops.canonical import revcomp_words_any
 
-        rc = revcomp_key_words(words, canonical_k)
+        rc = revcomp_words_any(words, canonical_k, two_bit)
         lt = jnp.zeros(words[0].shape, dtype=bool)
         eq = jnp.ones(words[0].shape, dtype=bool)
         for a, b in zip(rc, words):
@@ -831,30 +832,36 @@ def sample_sort_positions_dense_ragged(
         factor *= 2.0
 
 
-def _canonical_dense_lanes(packed2, seg_starts, seg_ends, min_len, k, n_words,
-                           mesh):
+def _canonical_dense_lanes(packed_e, seg_starts, seg_ends, min_len, k, n_words,
+                           mesh, two_bit=True):
     """Sharded gather-free CANONICAL key lanes for every position 0..L-1.
 
-    Forward words are shifted slices of the replicated 2-bit pack
-    (ops/keys.build_key2_words_dense); the reverse complement is pure
-    bit-arithmetic on those words (ops/canonical.revcomp_key_words), so the
-    canonical fold min(fwd, rc) never touches the genome either. Rows that
-    are not FULL-LENGTH k-mer starts (vl < max(k, min_kmer_len):
-    separators, short tails, padding — truncated k-mers have no canonical
-    form) carry a leading invalid lane and are flagged as pads.
+    Forward words are shifted slices of the replicated pack
+    (ops/keys.build_key*_words_dense); the reverse complement is pure
+    bit-arithmetic on those words (ops/canonical.revcomp_key_words /
+    revcomp_key_words4 for IUPAC), so the canonical fold min(fwd, rc) never
+    touches the genome either. Rows that are not FULL-LENGTH k-mer starts
+    (vl < max(k, min_kmer_len): separators, short tails, padding —
+    truncated k-mers have no canonical form) carry a leading invalid lane
+    and are flagged as pads.
     """
-    from ..ops.canonical import revcomp_key_words
-    from ..ops.keys import build_key2_words_dense, valid_len_all
+    from ..ops.canonical import revcomp_words_any
+    from ..ops.keys import (
+        build_key2_words_dense,
+        build_key_words_dense,
+        valid_len_all,
+    )
 
-    L = packed2.shape[0]
+    L = packed_e.shape[0]
     shd = NamedSharding(mesh, mesh_pspec(mesh))
     csc = jax.lax.with_sharding_constraint
     iota = csc(jax.lax.iota(jnp.uint32, L), shd)
     vl = csc(valid_len_all(seg_starts, seg_ends, iota), shd)
     valid = vl >= jnp.maximum(jnp.uint32(k), jnp.uint32(min_len))
     cap = jnp.where(valid, jnp.uint32(k), jnp.uint32(0))
-    fwd = build_key2_words_dense(packed2, cap, n_words)
-    rc = revcomp_key_words(fwd, k)
+    build = build_key2_words_dense if two_bit else build_key_words_dense
+    fwd = build(packed_e, cap, n_words)
+    rc = revcomp_words_any(fwd, k, two_bit)
     lt = jnp.zeros(iota.shape, dtype=bool)
     eq = jnp.ones(iota.shape, dtype=bool)
     for a, b in zip(rc, fwd):
@@ -868,11 +875,12 @@ def _canonical_dense_lanes(packed2, seg_starts, seg_ends, min_len, k, n_words,
 
 
 @partial(jax.jit, static_argnames=("min_len", "n_words", "k", "n_samples",
-                                   "capacity", "mesh"))
-def _canonical_sample_sort_jit(packed2, seg_starts, seg_ends, min_len, n_words,
-                               k, n_samples, capacity, mesh):
+                                   "capacity", "mesh", "two_bit"))
+def _canonical_sample_sort_jit(packed_e, seg_starts, seg_ends, min_len, n_words,
+                               k, n_samples, capacity, mesh, two_bit=True):
     key_lanes, iota, is_pad = _canonical_dense_lanes(
-        packed2, seg_starts, seg_ends, min_len, k, n_words, mesh
+        packed_e, seg_starts, seg_ends, min_len, k, n_words, mesh,
+        two_bit=two_bit,
     )
     n_dev = mesh_size(mesh)
     sp = mesh_pspec(mesh)
@@ -893,7 +901,7 @@ def _canonical_sample_sort_jit(packed2, seg_starts, seg_ends, min_len, n_words,
 
 
 def sample_sort_canonical_dense_ragged(
-    packed2,
+    packed_e,
     seg_starts,
     seg_ends,
     min_kmer_len: int,
@@ -901,12 +909,15 @@ def sample_sort_canonical_dense_ragged(
     mesh,
     n_samples: int = 256,
     capacity_factor: float = 1.5,
+    two_bit: bool = True,
 ):
     """Distributed sort of the dense start set by CANONICAL key — the mesh
     analog of the single-chip canonical kernels (ops/canonical.py; an
     EXTENSION, the reference declares both-strand handling but raises —
     reference kmers.py:689-696). Gather-free throughout: dense slice key
-    build + bit-arithmetic revcomp + splitter sample sort.
+    build + bit-arithmetic revcomp + splitter sample sort. ``two_bit=False``
+    takes the 4-bit IUPAC lanes (per-nibble rank complement — round 5:
+    canonical stats no longer require an ACGT-only genome).
 
     Returns (positions, is_pad, sorted canonical word lanes), each sharded
     ragged (per-shard real-row prefixes); pads mark every row that is not a
@@ -914,11 +925,12 @@ def sample_sort_canonical_dense_ragged(
     ``distributed_group_size_histogram_ragged(sorted_words=...)`` so the
     histogram needs no key re-gather.
     """
-    if k > 64:
-        raise NotImplementedError("canonical keys require k <= 64")
+    limit = 64 if two_bit else 32
+    if k > limit:
+        raise NotImplementedError(f"canonical keys require k <= {limit}")
     n_dev = mesh_size(mesh)
-    n_words = _cdiv(k, 16)
-    packed_p = _pad_to_multiple(packed2, n_dev, jnp.uint32(0))
+    n_words = _cdiv(k, 16 if two_bit else 8)
+    packed_p = _pad_to_multiple(packed_e, n_dev, jnp.uint32(0))
     m = packed_p.shape[0] // n_dev
     n_samples = min(n_samples, m)
 
@@ -931,7 +943,7 @@ def sample_sort_canonical_dense_ragged(
         capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
         out_pos, out_is_pad, out_lanes, overflow = _canonical_sample_sort_jit(
             genome, seg_starts, seg_ends, int(min_kmer_len), n_words, int(k),
-            n_samples, capacity, mesh,
+            n_samples, capacity, mesh, two_bit=two_bit,
         )
         if int(overflow) == 0:
             # drop the leading invalid lane; pads carry all word content
@@ -986,8 +998,8 @@ def sample_sort_positions_large_ragged(
         raise NotImplementedError(
             f"large sample sort requires max_kmer_len <= {limit} bases"
         )
-    if canonical_k is not None and (not two_bit or not uniform_cap):
-        raise ValueError("canonical_k requires two_bit=True and uniform_cap=True")
+    if canonical_k is not None and not uniform_cap:
+        raise ValueError("canonical_k requires uniform_cap=True")
     from ..ops.large import split64_np
 
     pos = np.asarray(positions_u64, dtype=np.uint64)
@@ -1339,7 +1351,7 @@ def distributed_adjacent_gids_large(
 
 
 def sample_sort_canonical_ragged(
-    packed2,
+    packed_e,
     positions,
     seg_starts,
     seg_ends,
@@ -1347,6 +1359,7 @@ def sample_sort_canonical_ragged(
     mesh,
     n_samples: int = 256,
     capacity_factor: float = 1.5,
+    two_bit: bool = True,
 ):
     """Canonical (strand-collapsed) sample sort over an ARBITRARY uint32
     position set: rows ordered by min(key, revcomp(key)) with position
@@ -1355,14 +1368,15 @@ def sample_sort_canonical_ragged(
     retained canonical word lanes are the group identity for the ragged
     histogram (``sorted_words=``). The dense-index variant is
     ``sample_sort_canonical_dense_ragged``; this one serves customized /
-    filtered position sets (2-bit genomes only)."""
+    filtered position sets. ``two_bit=False``: 4-bit IUPAC lanes."""
     from ..ops.keys import compute_valid_len
 
-    if kmer_len is None or kmer_len < 1 or kmer_len > 64:
-        raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
+    limit = 64 if two_bit else 32
+    if kmer_len is None or kmer_len < 1 or kmer_len > limit:
+        raise ValueError(f"kmer_len ({kmer_len}) must be in [1, {limit}]")
     n = positions.shape[0]
     n_dev = mesh_size(mesh)
-    n_words = _cdiv(kmer_len, 16)
+    n_words = _cdiv(kmer_len, 16 if two_bit else 8)
 
     vl = compute_valid_len(positions, seg_starts, seg_ends)
     full = vl >= jnp.uint32(kmer_len)
@@ -1379,13 +1393,13 @@ def sample_sort_canonical_ragged(
     positions_p = put_global(positions_p, sharding)
     cap_p = put_global(cap_p, sharding)
     is_pad = put_global(is_pad, sharding)
-    genome = put_global(packed2, NamedSharding(mesh, P()))
+    genome = put_global(packed_e, NamedSharding(mesh, P()))
 
     factor = capacity_factor
     while True:
         capacity = min(m, int(np.ceil(m / n_dev * factor)) + n_dev)
         out_pos, out_is_pad, lanes, overflow = _sample_sort_jit(
-            genome, (positions_p,), cap_p, is_pad, n_words, True, n_samples,
+            genome, (positions_p,), cap_p, is_pad, n_words, two_bit, n_samples,
             capacity, True, False, mesh, canonical_k=kmer_len,
         )
         if int(overflow) == 0:
@@ -1404,18 +1418,20 @@ def sample_sort_canonical_large_ragged(
     mesh,
     n_samples: int = 256,
     capacity_factor: float = 1.5,
+    two_bit: bool = True,
 ):
     """Canonical (strand-collapsed) large sample sort: rows ordered by
     min(key, revcomp(key)) with the position pair as tie-break; truncated
     rows ride as pads. Returns ``((hi, lo), is_pad, canonical_lanes)`` — the
     retained canonical word lanes are the group identity for
     ``distributed_canonical_histogram_large`` (no re-gather, no cap lane:
-    every real row is full-length)."""
-    if kmer_len is None or kmer_len < 1 or kmer_len > 64:
-        raise ValueError(f"kmer_len ({kmer_len}) must be in [1, 64]")
+    every real row is full-length). ``two_bit=False``: 4-bit IUPAC lanes."""
+    limit = 64 if two_bit else 32
+    if kmer_len is None or kmer_len < 1 or kmer_len > limit:
+        raise ValueError(f"kmer_len ({kmer_len}) must be in [1, {limit}]")
     return sample_sort_positions_large_ragged(
         packed_strided, positions_u64, seg_starts_u64, seg_ends_u64,
-        kmer_len, mesh, two_bit=True, n_samples=n_samples,
+        kmer_len, mesh, two_bit=two_bit, n_samples=n_samples,
         capacity_factor=capacity_factor, uniform_cap=True,
         return_lanes=True, canonical_k=kmer_len,
     )

@@ -173,3 +173,78 @@ def test_large_facade_fuzz(seed):
         np.asarray(c1)[:31].astype(np.int64), np.asarray(c2)[:31]
     )
     assert t1 == t2
+
+
+@pytest.mark.parametrize(
+    "seed,alphabet,k",
+    [
+        (11, "ACGTN", 5),
+        (12, "ACGTRYSWKMBDHVN", 4),
+        (13, "ACGTN", 9),
+        (14, "ACGT", 7),  # 2-bit regression through the same oracle
+    ],
+)
+def test_canonical_iupac_fuzz(seed, alphabet, k):
+    """Round 5: canonical statistics on IUPAC genomes (4-bit lanes with the
+    per-nibble rank complement) — dense, customized-gather, mesh, and
+    LargeKmers paths all pinned to a string oracle min(kmer, revcomp)."""
+    rng = np.random.default_rng(seed)
+    seq_list = _random_seq_list(rng, alphabet, int(rng.integers(1, 4)), k, 80)
+    sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+
+    canon = Counter()
+    for _, s in seq_list:
+        for j in range(len(s) - k + 1):
+            km_s = s[j : j + k]
+            canon[min(km_s, _rc(km_s))] += 1
+    exp_hist = Counter(canon.values())
+    exp_total = sum(canon.values())
+
+    def check(counts, total):
+        for size in range(1, 31):
+            assert int(counts[size]) == exp_hist.get(size, 0), size
+        assert int(total) == exp_total
+
+    km = Kmers(sc, min_kmer_len=1, max_kmer_len=max(k, 4))
+    check(*km.get_canonical_kmer_group_counts(k, max_counts_bin=30))
+    check(*km.get_canonical_kmer_group_counts(k, max_counts_bin=30,
+                                              mesh=make_mesh(4)))
+    # customized position set (same rows, shuffled) takes the gather paths
+    km2 = Kmers(sc, min_kmer_len=1, max_kmer_len=max(k, 4))
+    pos = np.asarray(km2.kmer_sba_start_indices)
+    rng.shuffle(pos)
+    km2.kmer_sba_start_indices = pos
+    check(*km2.get_canonical_kmer_group_counts(k, max_counts_bin=30))
+    check(*km2.get_canonical_kmer_group_counts(k, max_counts_bin=30,
+                                               mesh=make_mesh(4)))
+    # the 64-bit regime
+    lk = LargeKmers.from_records(seq_list, 1, max(k, 4))
+    lk.sort(make_mesh(2))
+    check(*lk.get_canonical_kmer_group_counts(k, max_counts_bin=30))
+
+
+def test_canonical_queries_iupac():
+    """Canonical queries accept uppercase IUPAC (round 5 — was ACGT-only)."""
+    rng = np.random.default_rng(21)
+    seq_list = _random_seq_list(rng, "ACGTN", 2, 8, 60)
+    sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=1, max_kmer_len=8)
+    km.sort()
+    K = 6
+    queries = [seq_list[0][1][:K], "N" * K, "RYSWKM"]
+    want = []
+    for q in queries:
+        tot = sum(
+            1 for _, s in seq_list for i in range(len(s) - K + 1)
+            if s[i : i + K] == q
+        )
+        r = _rc(q)
+        if r != q:
+            tot += sum(
+                1 for _, s in seq_list for i in range(len(s) - K + 1)
+                if s[i : i + K] == r
+            )
+        want.append(tot)
+    assert km.count_queries_canonical(queries, K).tolist() == want
+    with pytest.raises(ValueError, match="uppercase IUPAC"):
+        km.count_queries_canonical(["acgtac"], K)

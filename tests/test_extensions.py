@@ -131,11 +131,14 @@ class TestCanonicalGroupCounts:
         hist, total = km.get_canonical_kmer_group_counts(4, max_counts_bin=10)
         assert total == 5
 
-    def test_non_acgt_rejected(self):
+    def test_iupac_genome_supported(self):
+        """Round 5: canonical stats on an IUPAC genome (4-bit lanes) — was
+        NotImplementedError. N complements to N, so "ACGTN" has canonical
+        4-mers {min(ACGT, ACGT)=ACGT, min(CGTN, NACG)=CGTN} -> 2 singletons."""
         km_sc = SequenceCollection(sequence_list=[("c", "ACGTN")], strands_to_load="forward")
         km = Kmers(km_sc, min_kmer_len=2, max_kmer_len=4)
-        with pytest.raises(NotImplementedError):
-            km.get_canonical_kmer_group_counts(4)
+        counts, total = km.get_canonical_kmer_group_counts(4, max_counts_bin=8)
+        assert total == 2 and counts[1] == 2
 
     def test_bad_k(self):
         km = make_sorted([("c", "ACGTACGT")], 4, 4)
@@ -143,6 +146,13 @@ class TestCanonicalGroupCounts:
             km.get_canonical_kmer_group_counts(65)
         with pytest.raises(ValueError):
             km.get_canonical_kmer_group_counts(0)
+        # IUPAC (4-bit) lanes cap at 32
+        km_sc = SequenceCollection(
+            sequence_list=[("c", "ACGTN" * 10)], strands_to_load="forward"
+        )
+        km_n = Kmers(km_sc, min_kmer_len=2, max_kmer_len=40)
+        with pytest.raises(ValueError, match=r"\[1, 32\]"):
+            km_n.get_canonical_kmer_group_counts(40)
 
 
 class TestRevcompKeyWords:
@@ -222,10 +232,14 @@ class TestCanonicalQueries:
         got = km.count_queries_canonical(["ACGCGT"])
         assert int(got[0]) == 2  # appears twice; its own revcomp
 
-    def test_non_acgt_rejected(self):
+    def test_invalid_query_rejected(self):
         km = make_sorted([("c", "ACGTACGT")], 4, 4)
-        with pytest.raises(ValueError):
-            km.count_queries_canonical(["ACGN"])
+        # IUPAC queries are accepted (round 5); lowercase / non-IUPAC not
+        assert km.count_queries_canonical(["ACGN"]).tolist() == [0]
+        with pytest.raises(ValueError, match="uppercase IUPAC"):
+            km.count_queries_canonical(["acgt"])
+        with pytest.raises(ValueError, match="uppercase IUPAC"):
+            km.count_queries_canonical(["ACG$"])
 
 
 class TestGetKmersFullArrays:
