@@ -183,13 +183,25 @@ class TestLargeCanonical:
             np.testing.assert_array_equal(cl.astype(np.int64), ck)
             assert tk == tl
 
-    def test_rejects_both_strand_and_4bit(self):
+    def test_rejects_both_strand_and_caps_4bit(self):
         lk = LargeKmers.from_records(_acgt_seqs(), 8, 16, both_strands=True)
         with pytest.raises(NotImplementedError, match="single-strand"):
             lk.get_canonical_kmer_group_counts(8, mesh=make_mesh(2))
-        lk4 = LargeKmers.from_records([("n", "ACGTNACGTACG")], 3, 4)
-        with pytest.raises(NotImplementedError, match="ACGT-only"):
-            lk4.get_canonical_kmer_group_counts(3, mesh=make_mesh(2))
+        # round 5: IUPAC genomes are supported (4-bit lanes) — verify counts
+        # against the uint32 engine instead of expecting an error; the 4-bit
+        # lanes cap kmer_len at 32
+        seqs = [("n", "ACGTNACGTACG")]
+        lk4 = LargeKmers.from_records(seqs, 3, 4)
+        got_c, got_t = lk4.get_canonical_kmer_group_counts(3, mesh=make_mesh(2))
+        sc = SequenceCollection(sequence_list=seqs, strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=3, max_kmer_len=4)
+        want_c, want_t = km.get_canonical_kmer_group_counts(3)
+        np.testing.assert_array_equal(
+            np.asarray(got_c)[: len(want_c)].astype(np.int64), want_c
+        )
+        assert got_t == want_t
+        with pytest.raises(ValueError, match=r"\[1, 32\]"):
+            lk4.get_canonical_kmer_group_counts(33, mesh=make_mesh(2))
 
 
 class TestLargeArrays:
