@@ -101,6 +101,51 @@ def parse_fasta_bytes(data: bytes) -> tuple[np.ndarray, np.ndarray, list[str]]:
     return sba, sba_seg_starts, record_names
 
 
+def iter_fasta_records(fasta_file_path):
+    """Yield ``(name, sequence_bytes)`` per FASTA record WITHOUT building
+    the concatenated SBA — the ingestion path for the 64-bit large regime
+    (``LargeKmers.from_fasta``), where a '$'-joined byte array with uint32
+    segment starts could overflow. Same parsing rules as
+    ``parse_fasta_bytes`` (uppercase, '\\r' stripped, Bowtie-style names,
+    empty sequences rejected); duplicate names rejected like the reference
+    loader (sequence_collection.py:568)."""
+    data = Path(fasta_file_path).read_bytes()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        raise AssertionError("After parsing the fasta file, we expect sba to be full")
+    nl = np.flatnonzero(arr == ord("\n"))
+    line_starts = np.concatenate([[0], nl + 1])
+    if line_starts[-1] >= n:
+        line_starts = line_starts[:-1]
+    line_ends = np.concatenate([nl, [n]])[: len(line_starts)]
+    is_header = arr[line_starts] == ord(">")
+    header_idx = np.flatnonzero(is_header)
+    seen = set()
+    for hi_i, h in enumerate(header_idx):
+        s, e = int(line_starts[h]), int(line_ends[h])
+        name = _get_fasta_record_name(data[s:e].decode())
+        if name in seen:
+            raise ValueError(
+                f"Repeated record name ({name}) found in the input file"
+            )
+        seen.add(name)
+        body_start = int(line_ends[h]) + 1
+        body_end = (
+            int(line_starts[header_idx[hi_i + 1]])
+            if hi_i + 1 < len(header_idx)
+            else n
+        )
+        chunk = arr[body_start:body_end] if body_start < body_end else arr[0:0]
+        keep = (chunk != ord("\n")) & (chunk != ord("\r"))
+        seq = _UPPER_TABLE[chunk[keep]]
+        if seq.size == 0:
+            raise ValueError(
+                f"At least one empty sequence was found in the input file ({fasta_file_path})"
+            )
+        yield name, seq.tobytes()
+
+
 def parse_fasta_file(fasta_file_path) -> tuple[np.ndarray, np.ndarray, list[str]]:
     data = Path(fasta_file_path).read_bytes()
     try:

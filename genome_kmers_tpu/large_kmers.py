@@ -210,6 +210,36 @@ class LargeKmers:
         return out
 
     @classmethod
+    def from_fasta(
+        cls,
+        fasta_file_path,
+        min_kmer_len: int,
+        max_kmer_len: Union[int, None],
+        both_strands: bool = False,
+        two_bit: Union[bool, None] = None,
+        track_strands_separately: bool = False,
+    ) -> "LargeKmers":
+        """Build straight from a FASTA file — the large-regime ingestion
+        entry point: records stream out of the file
+        (io.fasta.iter_fasta_records — same parsing rules as the
+        SequenceCollection loader: uppercase, CR stripped, Bowtie-style
+        names, empty sequences and duplicate names rejected) into the
+        chunked strided pack, so the '$'-joined byte SBA never
+        materializes and segment coordinates are uint64 from the start
+        (a SequenceCollection would overflow past 2^32 bases). Pass an
+        explicit ``two_bit`` with ``both_strands=False`` to keep the
+        stream one-shot (autodetect and both_strands buffer the record
+        list — O(genome) host bytes either way, since the raw file is
+        read whole)."""
+        from .io.fasta import iter_fasta_records
+
+        return cls.from_records(
+            iter_fasta_records(fasta_file_path), min_kmer_len, max_kmer_len,
+            both_strands=both_strands, two_bit=two_bit,
+            track_strands_separately=track_strands_separately,
+        )
+
+    @classmethod
     def from_sequence_collection(
         cls, seq_coll, min_kmer_len: int, max_kmer_len: Union[int, None],
         both_strands: bool = False, track_strands_separately: bool = False,

@@ -251,3 +251,47 @@ class TestTrackStrandsLarge:
         cs, ts = lk_split.get_kmer_group_counts(4, max_counts_bin=20)
         assert tj == ts
         assert cs.sum() >= cj.sum()
+
+
+class TestFromFasta:
+    """LargeKmers.from_fasta: streaming record ingestion with the
+    SequenceCollection loader's parsing rules."""
+
+    def test_matches_from_records(self, tmp_path):
+        rng = np.random.default_rng(19)
+        seqs = [
+            ("chrA", "".join(rng.choice(list("ACGT"), 200))),
+            ("chrB", "".join(rng.choice(list("ACGT"), 150))),
+        ]
+        fa = tmp_path / "g.fa"
+        # lowercase + wrapped lines + CRLF: the loader normalizes all three
+        fa.write_bytes(
+            (
+                ">chrA extra description\r\n"
+                + seqs[0][1][:100].lower() + "\r\n" + seqs[0][1][100:] + "\n"
+                + ">chrB\n" + seqs[1][1] + "\n"
+            ).encode()
+        )
+        lk = LargeKmers.from_fasta(fa, 1, None)
+        lk_r = LargeKmers.from_records(seqs, 1, None)
+        np.testing.assert_array_equal(lk.packed_words, lk_r.packed_words)
+        np.testing.assert_array_equal(lk.seg_starts, lk_r.seg_starts)
+        assert lk.record_names == ["chrA", "chrB"]
+        mesh = make_mesh(2)
+        lk.sort(mesh)
+        sc = SequenceCollection(sequence_list=seqs, strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=1, max_kmer_len=None)
+        km.sort()
+        np.testing.assert_array_equal(
+            lk.sorted_positions(), km.kmer_sba_start_indices.astype(np.uint64)
+        )
+
+    def test_error_parity(self, tmp_path):
+        fa = tmp_path / "bad.fa"
+        fa.write_text(">a\nACGT\n>a\nGGTT\n")
+        with pytest.raises(ValueError, match="Repeated record name"):
+            LargeKmers.from_fasta(fa, 1, 4, two_bit=True)
+        fa2 = tmp_path / "empty.fa"
+        fa2.write_text(">a\nACGT\n>b\n>c\nGG\n")
+        with pytest.raises(ValueError, match="empty sequence"):
+            LargeKmers.from_fasta(fa2, 1, 2, two_bit=True)
