@@ -270,6 +270,21 @@ class LargeKmers:
             write += int(n)
         return out
 
+    def _dense_positions_for_sort(self):
+        """The canonical dense start set in the cheapest form the sort
+        accepts: DEVICE (hi, lo) pairs below 2^31 rows (one iota +
+        searchsorted — no host array, no 24 B/row link upload, which
+        dominates remote-link wall-clock), host uint64 beyond."""
+        if self.num_kmers < (1 << 31):
+            from .ops.large import build_dense_positions_pairs
+
+            pairs, n = build_dense_positions_pairs(
+                self.seg_starts, self.seg_ends, self.min_kmer_len
+            )
+            assert n == self.num_kmers
+            return pairs
+        return self.build_positions()
+
     def __len__(self) -> int:
         return self.num_kmers
 
@@ -296,11 +311,12 @@ class LargeKmers:
         )
 
         if positions is None:
-            pos = self.build_positions()
+            pos = self._dense_positions_for_sort()
             self._custom_positions = False
         else:
             pos = np.asarray(positions, dtype=np.uint64)
             self._custom_positions = True
+        n_real = int(pos[0].shape[0]) if isinstance(pos, tuple) else len(pos)
         self._gid_cache = {}
         if self._one_window:
             (hi, lo), is_pad, lanes = sample_sort_positions_large_ragged(
@@ -308,13 +324,13 @@ class LargeKmers:
                 self.max_kmer_len, mesh, two_bit=self.two_bit,
                 return_lanes=True,
             )
-            self._sorted = ((hi, lo), is_pad, mesh, len(pos), lanes)
+            self._sorted = ((hi, lo), is_pad, mesh, n_real, lanes)
         else:
             (hi, lo), is_pad, gid = sample_sort_positions_large_unbounded(
                 self.packed_words, pos, self.seg_starts, self.seg_ends,
                 mesh, two_bit=self.two_bit, max_kmer_len=self.max_kmer_len,
             )
-            self._sorted = ((hi, lo), is_pad, mesh, len(pos), None)
+            self._sorted = ((hi, lo), is_pad, mesh, n_real, None)
             # built identity (suffix when max_kmer_len is None) comes free
             self._gid_cache[self.max_kmer_len] = gid
         self._is_sorted = True
@@ -602,8 +618,10 @@ class LargeKmers:
                     "pipeline knows its device mesh"
                 )
             mesh = self._sorted[2]
-        pos = self.build_positions() if positions is None else np.asarray(
-            positions, dtype=np.uint64
+        pos = (
+            self._dense_positions_for_sort()
+            if positions is None
+            else np.asarray(positions, dtype=np.uint64)
         )
         (hi, lo), is_pad, can_lanes = sample_sort_canonical_large_ragged(
             self.packed_words, pos, self.seg_starts,

@@ -289,6 +289,39 @@ def decode_strided_var_np(packed_words: np.ndarray, positions_u64, lens,
     return lut[r], offsets
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _dense_pairs_jit(cum_excl, starts_hi, starts_lo, n):
+    idx = jax.lax.iota(jnp.uint32, n)
+    rec = (
+        jnp.searchsorted(cum_excl, idx, side="right").astype(jnp.int32) - 1
+    )
+    off = idx - jnp.take(cum_excl, rec)
+    return add64_u32(jnp.take(starts_hi, rec), jnp.take(starts_lo, rec), off)
+
+
+def build_dense_positions_pairs(seg_starts_u64, seg_ends_u64, min_kmer_len):
+    """The canonical dense k-mer start set as DEVICE (hi, lo) uint32 pairs —
+    no host position array, no 24 B/k-mer tunnel upload (the large analog of
+    Kmers._build_positions_device: per-record aranges become one iota +
+    searchsorted over the cumulative-count table). Valid for indexes below
+    2^31 rows per process (the uint32 row iota); larger index builds stay on
+    the host-array path. Returns ((hi, lo), n)."""
+    starts = np.asarray(seg_starts_u64, dtype=np.uint64)
+    ends = np.asarray(seg_ends_u64, dtype=np.uint64)
+    counts = (
+        ends.astype(np.int64) - starts.astype(np.int64) + 1
+    ) - int(min_kmer_len) + 1
+    n = int(counts.sum())
+    if n >= (1 << 31):
+        raise ValueError("device dense pairs require < 2^31 rows")
+    cum_excl = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.uint32)
+    sh, sl = split64_np(starts)
+    hi, lo = _dense_pairs_jit(
+        jnp.asarray(cum_excl), jnp.asarray(sh), jnp.asarray(sl), n
+    )
+    return (hi, lo), n
+
+
 def compute_valid_len64(pos_hi, pos_lo, starts_hi, starts_lo, ends_hi, ends_lo):
     """uint32-saturated bases-to-segment-end per position (the 64-bit analog
     of ops/keys.compute_valid_len; saturation at NO_CAP is lossless because

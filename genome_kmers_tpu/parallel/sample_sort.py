@@ -989,9 +989,15 @@ def sample_sort_positions_large_ragged(
     unless ``uniform_cap``; pad rows folded to all-ones) so downstream
     statistics/filters can skip the per-shard key re-gather.
 
-    ``canonical_k`` (2-bit only): sort by min(key, revcomp(key)) — the
-    strand-collapsed order; truncated rows (cap < k) become pads since a
-    truncated k-mer has no canonical form.
+    ``canonical_k``: sort by min(key, revcomp(key)) — the strand-collapsed
+    order; truncated rows (cap < k) become pads since a truncated k-mer has
+    no canonical form.
+
+    ``positions_u64`` may also be a DEVICE ``(hi, lo)`` uint32 pair tuple
+    (ops/large.build_dense_positions_pairs): caps then derive on device and
+    nothing position-sized crosses the host link — the host-array path
+    uploads 24 B/row (hi + lo + cap), which dominates wall-clock on remote
+    links (~4-9 MB/s tunnel: ~30 s at 2^24 rows).
     """
     limit = 64 if two_bit else 32
     if max_kmer_len is None or max_kmer_len > limit:
@@ -1002,27 +1008,42 @@ def sample_sort_positions_large_ragged(
         raise ValueError("canonical_k requires uniform_cap=True")
     from ..ops.large import split64_np
 
-    pos = np.asarray(positions_u64, dtype=np.uint64)
-    starts = np.asarray(seg_starts_u64, dtype=np.uint64)
-    ends = np.asarray(seg_ends_u64, dtype=np.uint64)
-    seg = np.maximum(np.searchsorted(starts, pos, side="right").astype(np.int64) - 1, 0)
-    valid = ends[seg] - pos + np.uint64(1)
-    cap_np = np.minimum(valid, np.uint64(max_kmer_len)).astype(np.uint32)
-
-    pad_mask_np = np.zeros(pos.shape[0], dtype=np.uint32)
-    if canonical_k is not None:
-        # truncated rows have no canonical form: fold them to pads
-        pad_mask_np = (cap_np < np.uint32(canonical_k)).astype(np.uint32)
-
-    n = pos.shape[0]
     n_dev = mesh_size(mesh)
     n_words = _cdiv(max_kmer_len, 16 if two_bit else 8)
 
-    hi_np, lo_np = split64_np(pos)
-    hi_p = _pad_to_multiple(jnp.asarray(hi_np), n_dev, jnp.uint32(_ONES))
-    lo_p = _pad_to_multiple(jnp.asarray(lo_np), n_dev, jnp.uint32(_ONES))
-    cap_p = _pad_to_multiple(jnp.asarray(cap_np), n_dev, jnp.uint32(0))
-    is_pad = _pad_to_multiple(jnp.asarray(pad_mask_np), n_dev, jnp.uint32(1))
+    if isinstance(positions_u64, tuple):
+        hi_d, lo_d = positions_u64
+        n = int(hi_d.shape[0])
+        seg_tables = _seg_tables64(seg_starts_u64, seg_ends_u64, mesh)
+        cap_d, pad_d = _device_caps_pads_jit(
+            hi_d, lo_d, seg_tables, int(max_kmer_len),
+            0 if canonical_k is None else int(canonical_k),
+        )
+        hi_p = _pad_to_multiple(hi_d, n_dev, jnp.uint32(_ONES))
+        lo_p = _pad_to_multiple(lo_d, n_dev, jnp.uint32(_ONES))
+        cap_p = _pad_to_multiple(cap_d, n_dev, jnp.uint32(0))
+        is_pad = _pad_to_multiple(pad_d, n_dev, jnp.uint32(1))
+    else:
+        pos = np.asarray(positions_u64, dtype=np.uint64)
+        starts = np.asarray(seg_starts_u64, dtype=np.uint64)
+        ends = np.asarray(seg_ends_u64, dtype=np.uint64)
+        seg = np.maximum(
+            np.searchsorted(starts, pos, side="right").astype(np.int64) - 1, 0
+        )
+        valid = ends[seg] - pos + np.uint64(1)
+        cap_np = np.minimum(valid, np.uint64(max_kmer_len)).astype(np.uint32)
+
+        pad_mask_np = np.zeros(pos.shape[0], dtype=np.uint32)
+        if canonical_k is not None:
+            # truncated rows have no canonical form: fold them to pads
+            pad_mask_np = (cap_np < np.uint32(canonical_k)).astype(np.uint32)
+
+        n = pos.shape[0]
+        hi_np, lo_np = split64_np(pos)
+        hi_p = _pad_to_multiple(jnp.asarray(hi_np), n_dev, jnp.uint32(_ONES))
+        lo_p = _pad_to_multiple(jnp.asarray(lo_np), n_dev, jnp.uint32(_ONES))
+        cap_p = _pad_to_multiple(jnp.asarray(cap_np), n_dev, jnp.uint32(0))
+        is_pad = _pad_to_multiple(jnp.asarray(pad_mask_np), n_dev, jnp.uint32(1))
     m = hi_p.shape[0] // n_dev
     n_samples = min(n_samples, m)
 
@@ -1060,6 +1081,22 @@ def sample_sort_positions_large_ragged(
 # configuration that genuinely needs BOTH the 64-bit regime and unbounded k
 # (both-strand human-genome suffix index, SURVEY.md §7.3-1/6).
 # --------------------------------------------------------------------------- #
+
+
+@partial(jax.jit, static_argnames=("max_k", "canonical_k"))
+def _device_caps_pads_jit(pos_hi, pos_lo, seg_tables, max_k, canonical_k):
+    """Per-row compare caps + canonical pad mask for DEVICE pair positions
+    (no host round trip)."""
+    from ..ops.large import compute_valid_len64
+
+    sh, sl, eh, el = seg_tables
+    vl = compute_valid_len64(pos_hi, pos_lo, sh, sl, eh, el)
+    cap = jnp.minimum(vl, jnp.uint32(max_k))
+    if canonical_k:
+        pad = (cap < jnp.uint32(canonical_k)).astype(jnp.uint32)
+    else:
+        pad = jnp.zeros(cap.shape, dtype=jnp.uint32)
+    return cap, pad
 
 
 def _seg_tables64(seg_starts_u64, seg_ends_u64, mesh):
