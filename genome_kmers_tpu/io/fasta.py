@@ -107,8 +107,11 @@ def iter_fasta_records(fasta_file_path):
     (``LargeKmers.from_fasta``), where a '$'-joined byte array with uint32
     segment starts could overflow. Same parsing rules as
     ``parse_fasta_bytes`` (uppercase, '\\r' stripped, Bowtie-style names,
-    empty sequences rejected); duplicate names rejected like the reference
-    loader (sequence_collection.py:568)."""
+    mid-file empty sequences rejected); duplicate names rejected like the
+    reference loader (sequence_collection.py:568). The reference's
+    trailing-empty-record acceptance quirk maps to SKIPPING the phantom
+    record (the loader keeps its name with a past-the-end segment start,
+    a geometry the pair-coordinate regime has no use for)."""
     data = Path(fasta_file_path).read_bytes()
     arr = np.frombuffer(data, dtype=np.uint8)
     n = arr.size
@@ -140,6 +143,8 @@ def iter_fasta_records(fasta_file_path):
         keep = (chunk != ord("\n")) & (chunk != ord("\r"))
         seq = _UPPER_TABLE[chunk[keep]]
         if seq.size == 0:
+            if hi_i + 1 == len(header_idx):
+                continue  # trailing empty record: accepted (skipped)
             raise ValueError(
                 f"At least one empty sequence was found in the input file ({fasta_file_path})"
             )

@@ -2696,7 +2696,7 @@ class Kmers:
         distributed per-shard bound search
         (parallel.distributed_count_queries).
         """
-        from .ops.encoding import COMPLEMENT_PAIRS
+        from .ops.encoding import iupac_revcomp_strs
 
         if self.kmer_source_strand == "both":
             raise NotImplementedError(
@@ -2706,17 +2706,7 @@ class Kmers:
             )
         if not queries:
             return np.zeros(0, dtype=np.uint32)
-        table = str.maketrans(
-            {c: v for c, v in COMPLEMENT_PAIRS.items() if c != "$"}
-        )
-        allowed = set(COMPLEMENT_PAIRS) - {"$"}
-        rcs = []
-        for q in queries:
-            if set(q) - allowed:
-                raise ValueError(
-                    f"canonical queries must be uppercase IUPAC: '{q}'"
-                )
-            rcs.append(q.translate(table)[::-1])
+        rcs = iupac_revcomp_strs(queries)
         fwd = self.count_queries(queries, kmer_len, mesh=mesh)
         rc = self.count_queries(rcs, kmer_len, mesh=mesh)
         is_palindrome = np.array([q == r for q, r in zip(queries, rcs)])

@@ -675,7 +675,7 @@ class LargeKmers:
         """Strand-collapsed occurrence counts: forward hits + reverse-
         complement hits (once, for palindromes). Uppercase IUPAC queries
         (round 5 — was ACGT-only)."""
-        from .ops.encoding import COMPLEMENT_PAIRS
+        from .ops.encoding import iupac_revcomp_strs
 
         if self._n_fwd_records is not None:
             raise NotImplementedError(
@@ -685,17 +685,7 @@ class LargeKmers:
             )
         if not queries:
             return np.zeros(0, dtype=np.uint64)
-        table = str.maketrans(
-            {c: v for c, v in COMPLEMENT_PAIRS.items() if c != "$"}
-        )
-        allowed = set(COMPLEMENT_PAIRS) - {"$"}
-        rcs = []
-        for q in queries:
-            if set(q) - allowed:
-                raise ValueError(
-                    f"canonical queries must be uppercase IUPAC: '{q}'"
-                )
-            rcs.append(q.translate(table)[::-1])
+        rcs = iupac_revcomp_strs(queries)
         fwd = self.count_queries(queries, kmer_len)
         rc = self.count_queries(rcs, kmer_len)
         is_palindrome = np.array([q == r for q, r in zip(queries, rcs)])

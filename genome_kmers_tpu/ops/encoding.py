@@ -79,6 +79,24 @@ for _r in range(9):
     NIBBLE_MASKS[_r] = (0xFFFFFFFF << (4 * (8 - _r))) & 0xFFFFFFFF if _r else 0
 
 
+_QUERY_COMP_TABLE = str.maketrans(
+    {_k: _v for _k, _v in COMPLEMENT_PAIRS.items() if _k != "$"}
+)
+_QUERY_ALLOWED = frozenset(COMPLEMENT_PAIRS) - {"$"}
+
+
+def iupac_revcomp_strs(queries) -> list[str]:
+    """Reverse complements of uppercase IUPAC query strings — shared by both
+    engines' ``count_queries_canonical`` (one complement table, one error
+    message). Raises ValueError on any non-IUPAC character."""
+    out = []
+    for q in queries:
+        if set(q) - _QUERY_ALLOWED:
+            raise ValueError(f"canonical queries must be uppercase IUPAC: '{q}'")
+        out.append(q.translate(_QUERY_COMP_TABLE)[::-1])
+    return out
+
+
 def reverse_complement_bytes(sba: np.ndarray) -> np.ndarray:
     """Vectorized reverse complement of an ASCII SBA.
 

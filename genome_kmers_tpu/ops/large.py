@@ -105,6 +105,17 @@ def lexmax2(a, b):
     return jnp.where(a_lt, b[0], a[0]), jnp.where(a_lt, b[1], a[1])
 
 
+def pairsum_small(vals):
+    """Exact (hi, lo) sum of a small static-length uint32 vector (unrolled
+    carry adds) — shared by the distributed stats and the large run-id
+    cumsum (cross-shard prefix offsets)."""
+    hi = jnp.zeros((), jnp.uint32)
+    lo = jnp.zeros((), jnp.uint32)
+    for i in range(int(vals.shape[0])):
+        hi, lo = add64_u32(hi, lo, vals[i])
+    return hi, lo
+
+
 def searchsorted64_right(table_hi, table_lo, q_hi, q_lo) -> jax.Array:
     """count of table entries <= query, per query row (int32) — the pair-lane
     analog of ``jnp.searchsorted(side="right")`` via an unrolled binary

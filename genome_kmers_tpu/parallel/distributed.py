@@ -73,6 +73,20 @@ def mesh_axes(mesh: Mesh):
     return names[0] if len(names) == 1 else names
 
 
+def hier_shape(mesh: Mesh):
+    """(n_nodes, n_local) on a 2-D hierarchical mesh, None on a flat 1-D
+    mesh; >2-D meshes are rejected HERE, the single home of mesh-shape
+    policy (mesh_axes above happily names any mesh)."""
+    names = tuple(mesh.axis_names)
+    if len(names) == 1:
+        return None
+    if len(names) != 2:
+        raise NotImplementedError(
+            f"meshes must be 1-D (flat) or 2-D (node, local); got {names}"
+        )
+    return (mesh.shape[names[0]], mesh.shape[names[1]])
+
+
 def mesh_size(mesh: Mesh) -> int:
     """Total device count across every mesh axis."""
     out = 1
@@ -223,6 +237,11 @@ def distributed_sort_positions(
         raise NotImplementedError(
             f"distributed sort requires max_kmer_len <= {limit} bases"
             " (64 with the 2-bit ACGT fast path)"
+        )
+    if len(mesh.axis_names) != 1:
+        raise NotImplementedError(
+            "the odd-even merge sort is 1-D-mesh only (its ppermute ring "
+            "has no hierarchical form); use the sample sort for 2-D meshes"
         )
     cap_len = cap_lengths(
         compute_valid_len(positions, seg_starts, seg_ends), max_kmer_len

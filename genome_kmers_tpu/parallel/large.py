@@ -64,12 +64,10 @@ def _pair_add(a, b):
 
 
 def _pairsum_small(vals):
-    """Exact (hi, lo) sum of a small static-length uint32 vector (unrolled)."""
-    hi = jnp.zeros((), jnp.uint32)
-    lo = jnp.zeros((), jnp.uint32)
-    for i in range(int(vals.shape[0])):
-        hi, lo = add64_u32(hi, lo, vals[i])
-    return hi, lo
+    """Shared exact pair sum (ops/large.pairsum_small)."""
+    from ..ops.large import pairsum_small
+
+    return pairsum_small(vals)
 
 
 def _large_stats_local(

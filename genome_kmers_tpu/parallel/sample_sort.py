@@ -47,23 +47,13 @@ from .distributed import (
     Mesh,
     _pad_to_multiple,
     _words_for,
+    hier_shape as _hier_shape,
     mesh_axes,
     mesh_pspec,
     mesh_size,
     put_global,
 )
 
-
-def _hier_shape(mesh):
-    """(n_nodes, n_local) on a 2-D hierarchical mesh, else None (flat)."""
-    names = tuple(mesh.axis_names)
-    if len(names) == 1:
-        return None
-    if len(names) != 2:
-        raise NotImplementedError(
-            f"meshes must be 1-D (flat) or 2-D (node, local); got {names}"
-        )
-    return (mesh.shape[names[0]], mesh.shape[names[1]])
 
 _ONES = 0xFFFFFFFF
 
@@ -1131,7 +1121,7 @@ def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
     (cross-shard pair cumsum of boundaries) and whether any tied pair can
     still extend past this window — the 64-bit analog of
     ``_run_structure_local``."""
-    from ..ops.large import add64_u32, sub64
+    from ..ops.large import add64_u32, pairsum_small, sub64
 
     n_local = pos_hi.shape[0]
     n_dev = jax.lax.axis_size(axes)
@@ -1192,10 +1182,7 @@ def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
     my_count = local_b[-1]
     all_counts = jax.lax.all_gather(my_count, axes)
     mask_before = (jnp.arange(n_dev) < my).astype(jnp.uint32)
-    b_hi = jnp.zeros((), jnp.uint32)
-    b_lo = jnp.zeros((), jnp.uint32)
-    for i in range(n_dev):
-        b_hi, b_lo = add64_u32(b_hi, b_lo, all_counts[i] * mask_before[i])
+    b_hi, b_lo = pairsum_small(all_counts * mask_before)
     g_hi, g_lo = add64_u32(b_hi, b_lo, local_b)
     g_hi, g_lo = sub64(g_hi, g_lo, jnp.uint32(0), jnp.uint32(1))
     new_ghi = jnp.where(valid, g_hi, ones)

@@ -295,3 +295,17 @@ class TestFromFasta:
         fa2.write_text(">a\nACGT\n>b\n>c\nGG\n")
         with pytest.raises(ValueError, match="empty sequence"):
             LargeKmers.from_fasta(fa2, 1, 2, two_bit=True)
+
+    def test_trailing_empty_record_skipped(self, tmp_path):
+        """The reference loader ACCEPTS a trailing empty record (preserved
+        quirk); the large-regime iterator maps that acceptance to skipping
+        the phantom record."""
+        fa = tmp_path / "trail.fa"
+        fa.write_text(">a\nACGTACGT\n>b\n")
+        lk = LargeKmers.from_fasta(fa, 1, 4, two_bit=True)
+        assert lk.record_names == ["a"]
+        # mid-file empties still raise
+        fa2 = tmp_path / "mid.fa"
+        fa2.write_text(">a\nACGT\n>b\n>c\nGG\n")
+        with pytest.raises(ValueError, match="empty sequence"):
+            LargeKmers.from_fasta(fa2, 1, 2, two_bit=True)
