@@ -11,6 +11,7 @@ over ``local`` (ICI). Every output must be BYTE-IDENTICAL to the flat 1-D
 mesh at the same total device count.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -18,6 +19,23 @@ from genome_kmers_tpu import Kmers, LargeKmers, SequenceCollection
 from genome_kmers_tpu.ops.filters import GcContentFilter
 from genome_kmers_tpu.parallel.distributed import make_mesh
 from genome_kmers_tpu.parallel.hier import make_mesh2
+
+# the whole battery scales with the virtual device count, so
+# GKT_TEST_DEVICES=16/32 re-runs it at larger meshes (the committed 16/32
+# runs are recorded in RESULTS.md, VERDICT round-4 item 3 done criterion)
+_N = None  # resolved lazily (jax initializes after conftest)
+
+
+def _ndev():
+    global _N
+    if _N is None:
+        _N = len(jax.devices())
+    return _N
+
+
+def _shapes():
+    n = _ndev()
+    return [(2, n // 2), (n // 2, 2)]
 
 
 @pytest.fixture(scope="module")
@@ -30,12 +48,13 @@ def genome():
     return seqs, SequenceCollection(sequence_list=seqs, strands_to_load="forward")
 
 
-@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("shape_idx", [0, 1])
 class TestHierByteIdentity:
-    def test_dense_bounded(self, genome, shape):
+    def test_dense_bounded(self, genome, shape_idx):
+        shape = _shapes()[shape_idx]
         _, sc = genome
         km_f = Kmers(sc, min_kmer_len=8, max_kmer_len=31)
-        km_f.sort(mesh=make_mesh(8))
+        km_f.sort(mesh=make_mesh(_ndev()))
         km_h = Kmers(sc, min_kmer_len=8, max_kmer_len=31)
         km_h.sort(mesh=make_mesh2(*shape))
         np.testing.assert_array_equal(
@@ -58,7 +77,8 @@ class TestHierByteIdentity:
             km_f.count_queries(qs, 8), km_h.count_queries(qs, 8)
         )
 
-    def test_ragged_custom_positions(self, genome, shape):
+    def test_ragged_custom_positions(self, genome, shape_idx):
+        shape = _shapes()[shape_idx]
         _, sc = genome
         rng = np.random.default_rng(9)
         km0 = Kmers(sc, min_kmer_len=8, max_kmer_len=31)
@@ -66,7 +86,7 @@ class TestHierByteIdentity:
         rng.shuffle(pos)
         km_f = Kmers(sc, min_kmer_len=8, max_kmer_len=31)
         km_f.kmer_sba_start_indices = pos.copy()
-        km_f.sort(mesh=make_mesh(8))
+        km_f.sort(mesh=make_mesh(_ndev()))
         km_h = Kmers(sc, min_kmer_len=8, max_kmer_len=31)
         km_h.kmer_sba_start_indices = pos.copy()
         km_h.sort(mesh=make_mesh2(*shape))
@@ -74,10 +94,11 @@ class TestHierByteIdentity:
             km_f.kmer_sba_start_indices, km_h.kmer_sba_start_indices
         )
 
-    def test_unbounded(self, genome, shape):
+    def test_unbounded(self, genome, shape_idx):
+        shape = _shapes()[shape_idx]
         _, sc = genome
         km_f = Kmers(sc, min_kmer_len=1, max_kmer_len=None)
-        km_f.sort(mesh=make_mesh(8))
+        km_f.sort(mesh=make_mesh(_ndev()))
         km_h = Kmers(sc, min_kmer_len=1, max_kmer_len=None)
         km_h.sort(mesh=make_mesh2(*shape))
         np.testing.assert_array_equal(
@@ -88,21 +109,23 @@ class TestHierByteIdentity:
         np.testing.assert_array_equal(np.asarray(cf), np.asarray(ch))
         assert int(tf) == int(th)
 
-    def test_canonical(self, genome, shape):
+    def test_canonical(self, genome, shape_idx):
+        shape = _shapes()[shape_idx]
         _, sc = genome
         km = Kmers(sc, min_kmer_len=8, max_kmer_len=31)
         km.sort()
         cf, tf = km.get_canonical_kmer_group_counts(8, max_counts_bin=30,
-                                                    mesh=make_mesh(8))
+                                                    mesh=make_mesh(_ndev()))
         ch, th = km.get_canonical_kmer_group_counts(8, max_counts_bin=30,
                                                     mesh=make_mesh2(*shape))
         np.testing.assert_array_equal(np.asarray(cf), np.asarray(ch))
         assert int(tf) == int(th)
 
-    def test_large_suffix(self, genome, shape):
+    def test_large_suffix(self, genome, shape_idx):
+        shape = _shapes()[shape_idx]
         seqs, _ = genome
         lk_f = LargeKmers.from_records(seqs, 1, None)
-        lk_f.sort(make_mesh(8))
+        lk_f.sort(make_mesh(_ndev()))
         lk_h = LargeKmers.from_records(seqs, 1, None)
         lk_h.sort(make_mesh2(*shape))
         np.testing.assert_array_equal(
