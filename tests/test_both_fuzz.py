@@ -248,3 +248,46 @@ def test_canonical_queries_iupac():
     assert km.count_queries_canonical(queries, K).tolist() == want
     with pytest.raises(ValueError, match="uppercase IUPAC"):
         km.count_queries_canonical(["acgtac"], K)
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33, 34, 35, 36])
+def test_large_suffix_fuzz(seed):
+    """Round 5: suffix-mode LargeKmers differential fuzz — random alphabets,
+    repeat-seeded genomes (multi-round refinement), random strand config,
+    all pinned to the uint32 engine at kmer_len=None AND a random bounded
+    kmer_len."""
+    rng = np.random.default_rng(seed)
+    alphabet = ["ACGT", "ACGTN"][seed % 2]
+    seq_list = _random_seq_list(rng, alphabet, int(rng.integers(1, 4)), 6, 90)
+    if seed % 3 == 0:
+        # plant a repeat so refinement rounds actually run
+        name0, s0 = seq_list[0]
+        unit = s0[: min(40, len(s0))]
+        seq_list[0] = (name0, (unit * 4 + s0)[:300])
+    both = bool(seed % 2 == 0 and alphabet == "ACGT")
+    track = both and bool(seed % 4 == 0)
+    if both:
+        sc = SequenceCollection(sequence_list=seq_list, strands_to_load="both")
+        km = Kmers.from_strand(
+            sc, min_kmer_len=1, max_kmer_len=None, source_strand="both",
+            track_strands_separately=track,
+        )
+    else:
+        sc = SequenceCollection(sequence_list=seq_list, strands_to_load="forward")
+        km = Kmers(sc, min_kmer_len=1, max_kmer_len=None)
+    km.sort()
+    lk = LargeKmers.from_records(
+        seq_list, 1, None, both_strands=both, track_strands_separately=track
+    )
+    lk.sort(make_mesh(int(rng.choice([2, 4]))))
+    np.testing.assert_array_equal(
+        lk.sorted_positions(), km.kmer_sba_start_indices.astype(np.uint64)
+    )
+    kq = int(rng.integers(2, 7))
+    for K in (None, kq):
+        c1, t1 = lk.get_kmer_group_counts(K, max_counts_bin=30)
+        c2, t2 = km.get_kmer_group_counts(K, max_counts_bin=30)
+        np.testing.assert_array_equal(
+            np.asarray(c1)[:31].astype(np.int64), np.asarray(c2)[:31]
+        )
+        assert t1 == t2
