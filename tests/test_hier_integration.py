@@ -169,3 +169,21 @@ def test_three_axis_mesh_rejected(genome):
     km = Kmers(sc, min_kmer_len=8, max_kmer_len=31)
     with pytest.raises(NotImplementedError, match="1-D.*or 2-D"):
         km.sort(mesh=mesh3)
+
+
+def test_non_pow2_2d_mesh(genome):
+    """(3, 2) and (2, 3) node/local splits over 6 of the 8 virtual devices
+    — non-power-of-2 hierarchies stay byte-identical to the flat 6-device
+    mesh (splitter math and the two-stage exchange have no pow2
+    assumptions)."""
+    if _ndev() < 6:
+        pytest.skip("needs 6 devices")
+    _, sc = genome
+    km_f = Kmers(sc, min_kmer_len=8, max_kmer_len=31)
+    km_f.sort(mesh=make_mesh(6))
+    for shape in [(3, 2), (2, 3)]:
+        km_h = Kmers(sc, min_kmer_len=8, max_kmer_len=31)
+        km_h.sort(mesh=make_mesh2(*shape))
+        np.testing.assert_array_equal(
+            km_f.kmer_sba_start_indices, km_h.kmer_sba_start_indices
+        )
