@@ -124,6 +124,9 @@ def iter_fasta_records(fasta_file_path):
     line_ends = np.concatenate([nl, [n]])[: len(line_starts)]
     is_header = arr[line_starts] == ord(">")
     header_idx = np.flatnonzero(is_header)
+    if header_idx.size == 0:
+        # headerless input: parse_fasta_bytes fails its fullness check
+        raise AssertionError("After parsing the fasta file, we expect sba to be full")
     seen = set()
     for hi_i, h in enumerate(header_idx):
         s, e = int(line_starts[h]), int(line_ends[h])
@@ -133,13 +136,25 @@ def iter_fasta_records(fasta_file_path):
                 f"Repeated record name ({name}) found in the input file"
             )
         seen.add(name)
-        body_start = int(line_ends[h]) + 1
-        body_end = (
-            int(line_starts[header_idx[hi_i + 1]])
-            if hi_i + 1 < len(header_idx)
-            else n
-        )
-        chunk = arr[body_start:body_end] if body_start < body_end else arr[0:0]
+        # bytes before the FIRST header are sequence content the whole-buffer
+        # parser attributes to the first record (its keep-mask drops only
+        # header lines) — mirror that so both loaders index the same genome
+        body_start = 0 if hi_i == 0 else int(line_ends[h]) + 1
+        if hi_i == 0:
+            chunk = np.concatenate([
+                arr[: int(line_starts[h])],
+                arr[int(line_ends[h]) + 1 : (
+                    int(line_starts[header_idx[1]])
+                    if len(header_idx) > 1 else n
+                )],
+            ])
+        else:
+            body_end = (
+                int(line_starts[header_idx[hi_i + 1]])
+                if hi_i + 1 < len(header_idx)
+                else n
+            )
+            chunk = arr[body_start:body_end] if body_start < body_end else arr[0:0]
         keep = (chunk != ord("\n")) & (chunk != ord("\r"))
         seq = _UPPER_TABLE[chunk[keep]]
         if seq.size == 0:

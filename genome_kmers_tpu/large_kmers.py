@@ -408,11 +408,19 @@ class LargeKmers:
         full suffix) over the sorted layout, via window refinement
         (parallel.distributed_adjacent_gids_large), cached per identity.
         The identity the sort itself converged on is retained by ``sort``
-        for free; a restored checkpoint rebuilds lazily here."""
+        for free; a restored checkpoint rebuilds lazily here. The cache
+        holds the BUILT identity plus at most one query identity (a gid
+        pair is 8 B/row of device memory — unbounded growth across many
+        distinct beyond-window identities would OOM at this regime's
+        scale), evicting the previous query identity on a new one."""
         if kmer_len not in self._gid_cache:
             from .parallel.sample_sort import distributed_adjacent_gids_large
 
             (hi, lo), is_pad, mesh, _, _ = self._sorted
+            for stale in [
+                k for k in self._gid_cache if k != self.max_kmer_len
+            ]:
+                del self._gid_cache[stale]
             self._gid_cache[kmer_len] = distributed_adjacent_gids_large(
                 self.packed_words, hi, lo, is_pad, self.seg_starts,
                 self.seg_ends, kmer_len, mesh, two_bit=self.two_bit,

@@ -322,6 +322,13 @@ def build_dense_positions_pairs(seg_starts_u64, seg_ends_u64, min_kmer_len):
     counts = (
         ends.astype(np.int64) - starts.astype(np.int64) + 1
     ) - int(min_kmer_len) + 1
+    if (counts < 1).any():
+        # a negative count would make cum_excl non-monotonic and the device
+        # searchsorted silently misassign rows
+        raise ValueError(
+            "every segment must hold at least one k-mer "
+            "(min_kmer_len exceeds a segment length)"
+        )
     n = int(counts.sum())
     if n >= (1 << 31):
         raise ValueError("device dense pairs require < 2^31 rows")

@@ -342,6 +342,49 @@ def _refine_round_jit(genome, positions, cap_len, is_pad, gid, seg_starts,
     return pos, pad, new_gid, flags
 
 
+def _halo_adjacent_eq(lanes, valid, axes):
+    """Adjacent equality over sharded lane tuples with the cross-shard HALO:
+    row 0 compares against the last VALID row of the nearest previous
+    non-empty shard (empty shards skipped via a replicated prefix max).
+    Shared by both refinement run structures (uint32 and 64-bit pair);
+    returns ``(eq, pred_of_mine, last_i)`` so callers can stitch further
+    per-row flags with ``_halo_prev_flag``."""
+    n_dev = jax.lax.axis_size(axes)
+    my = jax.lax.axis_index(axes)
+    n_local = lanes[0].shape[0]
+    eq = jnp.ones(n_local, dtype=bool)
+    for w in lanes:
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        eq = eq & (w == prev)
+
+    n_valid = jnp.sum(valid.astype(jnp.uint32))
+    all_n_valid = jax.lax.all_gather(n_valid, axes)
+    has_data = all_n_valid > 0
+    last_i = (jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)).astype(jnp.int32)
+    my_last = jnp.stack([jnp.take(w, last_i) for w in lanes])
+    all_last = jax.lax.all_gather(my_last, axes)
+    cand = jnp.where(has_data, jnp.arange(n_dev), -1)
+    pred_idx = jax.lax.associative_scan(jnp.maximum, cand)
+    pred_of_mine = jnp.where(my > 0, jnp.take(pred_idx, jnp.maximum(my - 1, 0)), -1)
+    pred_lanes = jnp.take(all_last, jnp.maximum(pred_of_mine, 0), axis=0)
+    eq0 = jnp.ones((), dtype=bool)
+    for li, w in enumerate(lanes):
+        eq0 = eq0 & (w[0] == pred_lanes[li])
+    eq0 = jnp.where(pred_of_mine < 0, False, eq0)
+    return eq.at[0].set(eq0), pred_of_mine, last_i
+
+
+def _halo_prev_flag(flag, pred_of_mine, last_i, axes):
+    """Previous-row value of a per-row flag under the same halo stitch: row
+    0 reads the predecessor shard's last-valid-row flag (False if none)."""
+    prev = jnp.concatenate([flag[:1], flag[:-1]])
+    all_last = jax.lax.all_gather(jnp.take(flag, last_i), axes)
+    pred = jnp.where(
+        pred_of_mine < 0, False, jnp.take(all_last, jnp.maximum(pred_of_mine, 0))
+    )
+    return prev.at[0].set(pred)
+
+
 def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offset,
                          window_bases, first, seg_starts, seg_ends, max_cap,
                          axes=AXIS):
@@ -351,7 +394,6 @@ def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offse
     still be extended past this window."""
     from ..ops.keys import cap_lengths, compute_valid_len
 
-    n_local = positions.shape[0]
     n_dev = jax.lax.axis_size(axes)
     my = jax.lax.axis_index(axes)
     valid = is_pad == jnp.uint32(0)
@@ -367,38 +409,11 @@ def _run_structure_local(genome, positions, is_pad, gid, n_words, two_bit, offse
     if not first:
         lanes = (gid,) + lanes
 
-    eq = jnp.ones(n_local, dtype=bool)
-    for w in lanes:
-        prev = jnp.concatenate([w[:1], w[:-1]])
-        eq = eq & (w == prev)
-
-    # halo against the last valid row of the nearest previous non-empty shard
-    n_valid = jnp.sum(valid.astype(jnp.uint32))
-    all_n_valid = jax.lax.all_gather(n_valid, axes)
-    has_data = all_n_valid > 0
-    last_i = jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)
-    my_last = jnp.stack([jnp.take(w, last_i.astype(jnp.int32)) for w in lanes])
-    all_last = jax.lax.all_gather(my_last, axes)
-    cand = jnp.where(has_data, jnp.arange(n_dev), -1)
-    pred_idx = jax.lax.associative_scan(jnp.maximum, cand)
-    pred_of_mine = jnp.where(my > 0, jnp.take(pred_idx, jnp.maximum(my - 1, 0)), -1)
-    pred_lanes = jnp.take(all_last, jnp.maximum(pred_of_mine, 0), axis=0)
-    eq0 = jnp.ones((), dtype=bool)
-    for li, w in enumerate(lanes):
-        eq0 = eq0 & (w[0] == pred_lanes[li])
-    eq0 = jnp.where(pred_of_mine < 0, False, eq0)
-    eq = eq.at[0].set(eq0)
-
+    eq, pred_of_mine, last_i = _halo_adjacent_eq(lanes, valid, axes)
     boundary = (~eq) & valid
     # unresolved iff a tied pair has a member extending past this window
     beyond = cap > jnp.uint32(offset + window_bases)
-    prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
-    my_last_beyond = jnp.take(beyond, last_i.astype(jnp.int32))
-    all_last_beyond = jax.lax.all_gather(my_last_beyond, axes)
-    pred_beyond = jnp.where(
-        pred_of_mine < 0, False, jnp.take(all_last_beyond, jnp.maximum(pred_of_mine, 0))
-    )
-    prev_beyond = prev_beyond.at[0].set(pred_beyond)
+    prev_beyond = _halo_prev_flag(beyond, pred_of_mine, last_i, axes)
     unresolved = eq & valid & (beyond | prev_beyond)
     any_unresolved = jax.lax.psum(jnp.sum(unresolved.astype(jnp.uint32)), axes)
 
@@ -1120,10 +1135,11 @@ def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
     """Global run structure over the large pair-lane layout: pair run ids
     (cross-shard pair cumsum of boundaries) and whether any tied pair can
     still extend past this window — the 64-bit analog of
-    ``_run_structure_local``."""
+    ``_run_structure_local`` (halo stitch shared via ``_halo_adjacent_eq``
+    / ``_halo_prev_flag``; only the lane build and the run-id arithmetic
+    differ)."""
     from ..ops.large import add64_u32, pairsum_small, sub64
 
-    n_local = pos_hi.shape[0]
     n_dev = jax.lax.axis_size(axes)
     my = jax.lax.axis_index(axes)
     valid = is_pad == jnp.uint32(0)
@@ -1139,38 +1155,11 @@ def _run_structure_large_local(genome, pos_hi, pos_lo, is_pad, ghi, glo,
     if not first:
         lanes = (ghi, glo) + lanes
 
-    eq = jnp.ones(n_local, dtype=bool)
-    for w in lanes:
-        prev = jnp.concatenate([w[:1], w[:-1]])
-        eq = eq & (w == prev)
-
-    # halo against the last valid row of the nearest previous non-empty shard
-    n_valid = jnp.sum(valid.astype(jnp.uint32))
-    all_n_valid = jax.lax.all_gather(n_valid, axes)
-    has_data = all_n_valid > 0
-    last_i = (jnp.maximum(n_valid, jnp.uint32(1)) - jnp.uint32(1)).astype(jnp.int32)
-    my_last = jnp.stack([jnp.take(w, last_i) for w in lanes])
-    all_last = jax.lax.all_gather(my_last, axes)
-    cand = jnp.where(has_data, jnp.arange(n_dev), -1)
-    pred_idx = jax.lax.associative_scan(jnp.maximum, cand)
-    pred_of_mine = jnp.where(my > 0, jnp.take(pred_idx, jnp.maximum(my - 1, 0)), -1)
-    pred_lanes = jnp.take(all_last, jnp.maximum(pred_of_mine, 0), axis=0)
-    eq0 = jnp.ones((), dtype=bool)
-    for li, w in enumerate(lanes):
-        eq0 = eq0 & (w[0] == pred_lanes[li])
-    eq0 = jnp.where(pred_of_mine < 0, False, eq0)
-    eq = eq.at[0].set(eq0)
-
+    eq, pred_of_mine, last_i = _halo_adjacent_eq(lanes, valid, axes)
     boundary = (~eq) & valid
     # unresolved iff a tied pair has a member extending past this window
     beyond = cap > offset + jnp.uint32(window_bases)
-    prev_beyond = jnp.concatenate([beyond[:1], beyond[:-1]])
-    my_last_beyond = jnp.take(beyond, last_i)
-    all_last_beyond = jax.lax.all_gather(my_last_beyond, axes)
-    pred_beyond = jnp.where(
-        pred_of_mine < 0, False, jnp.take(all_last_beyond, jnp.maximum(pred_of_mine, 0))
-    )
-    prev_beyond = prev_beyond.at[0].set(pred_beyond)
+    prev_beyond = _halo_prev_flag(beyond, pred_of_mine, last_i, axes)
     unresolved = eq & valid & (beyond | prev_beyond)
     any_unresolved = jax.lax.psum(jnp.sum(unresolved.astype(jnp.uint32)), axes)
 
