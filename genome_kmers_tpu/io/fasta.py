@@ -136,25 +136,23 @@ def iter_fasta_records(fasta_file_path):
                 f"Repeated record name ({name}) found in the input file"
             )
         seen.add(name)
-        # bytes before the FIRST header are sequence content the whole-buffer
-        # parser attributes to the first record (its keep-mask drops only
-        # header lines) — mirror that so both loaders index the same genome
-        body_start = 0 if hi_i == 0 else int(line_ends[h]) + 1
-        if hi_i == 0:
-            chunk = np.concatenate([
-                arr[: int(line_starts[h])],
-                arr[int(line_ends[h]) + 1 : (
-                    int(line_starts[header_idx[1]])
-                    if len(header_idx) > 1 else n
-                )],
-            ])
-        else:
-            body_end = (
-                int(line_starts[header_idx[hi_i + 1]])
-                if hi_i + 1 < len(header_idx)
-                else n
+        if hi_i == 0 and int(line_starts[h]) != 0:
+            # bytes before the first header: malformed FASTA. The
+            # whole-buffer parser's keep-mask quirk splits such bytes
+            # ACROSS records (garbage geometry either way); the
+            # large-regime iterator rejects them loudly instead of
+            # silently indexing a different genome.
+            raise ValueError(
+                f"sequence data before the first '>' header in "
+                f"{fasta_file_path} (malformed FASTA)"
             )
-            chunk = arr[body_start:body_end] if body_start < body_end else arr[0:0]
+        body_start = int(line_ends[h]) + 1
+        body_end = (
+            int(line_starts[header_idx[hi_i + 1]])
+            if hi_i + 1 < len(header_idx)
+            else n
+        )
+        chunk = arr[body_start:body_end] if body_start < body_end else arr[0:0]
         keep = (chunk != ord("\n")) & (chunk != ord("\r"))
         seq = _UPPER_TABLE[chunk[keep]]
         if seq.size == 0:

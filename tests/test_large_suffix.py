@@ -309,3 +309,15 @@ class TestFromFasta:
         fa2.write_text(">a\nACGT\n>b\n>c\nGG\n")
         with pytest.raises(ValueError, match="empty sequence"):
             LargeKmers.from_fasta(fa2, 1, 2, two_bit=True)
+
+    def test_preamble_bytes_rejected(self, tmp_path):
+        """Bytes before the first '>' header (malformed FASTA) raise loudly
+        in the large-regime iterator — the whole-buffer parser's keep-mask
+        quirk splits such bytes ACROSS records, so silently indexing the
+        file would give a different genome than the Kmers path."""
+        from genome_kmers_tpu.io.fasta import iter_fasta_records
+
+        fa = tmp_path / "pre.fa"
+        fa.write_bytes(b"ACGTACGTAAAA\n>a\nACGT\n>b\nGGTT\n")
+        with pytest.raises(ValueError, match="before the first"):
+            list(iter_fasta_records(fa))
