@@ -274,6 +274,68 @@ def profile_get_segment_num_from_sba_index(
     )
 
 
+def profile_large_sort(
+    seq_lens: list[int],
+    kmer_lens: list[Union[int, None]] = [31],
+    num_iterations: int = 3,
+    discard_first_run: bool = True,
+    seed: int = 42,
+    n_devices: Union[int, None] = None,
+):
+    """EXTENSION sweep: the 64-bit large-regime sorted-index build
+    (LargeKmers over a mesh — strided pack, pair coordinates; suffix mode
+    via ``kmer_lens=[None]``). The reference has no analog (it hard-fails
+    past 2^32 k-mers); this sweep sizes the regime's overhead on genomes
+    BOTH engines hold. NOTE: runs wherever shard_map executes (CPU virtual
+    meshes, real TPU runtimes) — not on the axon tunnel
+    (docs/development.md)."""
+    from .large_kmers import LargeKmers
+    from .parallel import make_mesh
+
+    mesh = make_mesh(n_devices)
+    rows = []
+    for seq_len in seq_lens:
+        for kmer_len in kmer_lens:
+            records = [("chr1", get_random_seq(seq_len, seed=seed))]
+            times = []
+            n = num_iterations + (1 if discard_first_run else 0)
+            for i in range(n):
+                lk = LargeKmers.from_records(
+                    records, kmer_len if kmer_len else 1, kmer_len
+                )
+                t0 = time.perf_counter()
+                lk.sort(mesh)
+                # force completion: the pads vector is tiny but device-real
+                int(np.asarray(lk._sorted[1]).sum())
+                run_time = time.perf_counter() - t0
+                if discard_first_run and i == 0:
+                    continue
+                times.append(run_time)
+            avg = float(np.mean(times))
+            num_kmers = lk.num_kmers
+            rows.append(
+                [seq_len, kmer_len, num_kmers, num_iterations, avg,
+                 float(np.min(times)),
+                 num_kmers / avg if avg > 0 else float("inf")]
+            )
+            logger.info(
+                "large_sort len=%s k=%s avg=%.4fs (%.3g kmers/s)",
+                seq_len, kmer_len, avg, rows[-1][6],
+            )
+    return _summarize(
+        rows,
+        [
+            "seq_len",
+            "kmer_len",
+            "num_kmers",
+            "num_iterations",
+            "avg_run_time",
+            "min_run_time",
+            "kmers_per_s",
+        ],
+    )
+
+
 def profile_kmers_sort(
     seq_lens: list[int],
     kmer_lens: list[Union[int, None]] = [31],

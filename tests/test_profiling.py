@@ -95,3 +95,10 @@ def test_profile_kmers_sort():
     df = profiling.profile_kmers_sort([300], kmer_lens=[8], num_iterations=1)
     assert df["num_kmers"][0] == 293
     assert (df["kmers_per_s"] > 0).all()
+
+
+def test_profile_large_sort():
+    df = profiling.profile_large_sort([300], kmer_lens=[8, None], num_iterations=1)
+    assert df["num_kmers"][0] == 293
+    assert df["num_kmers"][1] == 300  # suffix mode: min_kmer_len=1
+    assert (df["kmers_per_s"] > 0).all()

@@ -70,7 +70,8 @@ def parse_args():
         "-c",
         type=str,
         default="all",
-        choices=["all", "seq_list_init", "fasta_init", "get_segment_num", "kmers_sort"],
+        choices=["all", "seq_list_init", "fasta_init", "get_segment_num",
+                 "kmers_sort", "large_sort"],
     )
     parser.add_argument(
         "--output-base",
@@ -128,6 +129,14 @@ def main():
             sizes["sort_lens"], sizes["sort_ks"], num_iterations=args.num_iter
         )
         _dump(df, args.output_base, "kmers_sort")
+
+    if args.category == "large_sort":
+        # EXTENSION (not in "all": needs a shard_map-capable backend —
+        # CPU virtual meshes or a real TPU runtime, not the axon tunnel)
+        df = profiling.profile_large_sort(
+            sizes["sort_lens"], sizes["sort_ks"], num_iterations=args.num_iter
+        )
+        _dump(df, args.output_base, "large_sort")
 
 
 if __name__ == "__main__":
