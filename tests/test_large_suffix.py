@@ -321,3 +321,29 @@ class TestFromFasta:
         fa.write_bytes(b"ACGTACGTAAAA\n>a\nACGT\n>b\nGGTT\n")
         with pytest.raises(ValueError, match="before the first"):
             list(iter_fasta_records(fa))
+
+
+def test_suffix_filtered_arrays_parity():
+    """Filtered bulk-array extraction at suffix identity (kmer_len=None +
+    a lanes filter + yield_first_n) matches the uint32 engine row for row —
+    the composition of _rows_for_arrays, ext_gid identity, and the lanes
+    filter mask."""
+    rng = np.random.default_rng(8)
+    seqs = [
+        ("a", "".join(rng.choice(list("ACGT"), 260))),
+        ("b", "".join(rng.choice(list("ACGT"), 180))),
+    ]
+    sc = SequenceCollection(sequence_list=seqs, strands_to_load="forward")
+    km = Kmers(sc, min_kmer_len=8, max_kmer_len=None)
+    km.sort()
+    lk = LargeKmers.from_records(seqs, 8, None)
+    lk.sort(make_mesh(4))
+    f = GcContentFilter(0.3, 0.7, 8)
+    for kw in (dict(), dict(min_group_size=1, yield_first_n=2)):
+        a = km.get_kmers_arrays(None, kmer_filter_func=f, **kw)
+        b = lk.get_kmers_arrays(None, kmer_filter_func=f, **kw)
+        for i in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(a[i]).astype(np.int64),
+                np.asarray(b[i]).astype(np.int64),
+            )
